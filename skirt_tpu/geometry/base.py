@@ -18,6 +18,19 @@ import jax.numpy as jnp
 from .. import rng
 
 
+def array_namespace(x):
+    """Return np for host (float64) inputs, jnp for device arrays.
+
+    Geometry densities in SI units span ~1e-60..1e-10 kg/m^3-equivalents,
+    far outside float32 range; setup-time evaluation therefore runs through
+    NumPy float64, while device-side callers (dimensionless uses only) get
+    jax arrays.
+    """
+    if isinstance(x, (np.ndarray, np.generic, float, int)):
+        return np
+    return jnp
+
+
 class InverseCdf:
     """Tabulated inverse CDF: maps u in [0,1] to x; device-side sampling."""
 
@@ -127,9 +140,10 @@ class SpheGeometry(Geometry):
         return self._rmax
 
     def density(self, pos):
-        r = jnp.linalg.norm(pos, axis=-1)
+        xp = array_namespace(pos)
+        r = xp.sqrt(xp.sum(pos * pos, axis=-1))
         rho = self.radial_density(r)
-        return jnp.where(r <= self._rmax, rho, 0.0)
+        return xp.where((r <= self._rmax) & (r >= self._rmin), rho, 0.0)
 
     def generate_position(self, key, n: int):
         k1, k2 = jax.random.split(key)
@@ -156,7 +170,8 @@ class AxGeometry(Geometry):
     dimension = 2
 
     def density(self, pos):
-        R = jnp.sqrt(pos[..., 0] ** 2 + pos[..., 1] ** 2)
+        xp = array_namespace(pos)
+        R = xp.sqrt(pos[..., 0] ** 2 + pos[..., 1] ** 2)
         return self.density_rz(R, pos[..., 2])
 
     def density_rz(self, R, z):
