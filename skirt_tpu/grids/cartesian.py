@@ -1,0 +1,204 @@
+"""3-D rectilinear Cartesian dust grid with vectorized DDA traversal.
+
+ref: SKIRTcore/CartesianDustGrid.cpp — whichcell via per-axis binary search
+(:109-118) and a DDA-style path walk to the next x/y/z wall (:136-220).
+
+TPU re-design: traversal is an index-stepping Amanatides-Woo walk carried
+out lockstep over a whole packet batch.  The per-packet traversal state is
+(ix, iy, iz, t) with t the ray parameter from the traversal origin; each
+step gathers the next border per axis, takes the nearest crossing, and
+advances one cell.  No positions are re-derived from floating-point
+accumulation, so cells are never skipped or revisited.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class CartesianState(NamedTuple):
+    """Traversal state: per-axis cell indices and ray parameter."""
+    ix: jnp.ndarray
+    iy: jnp.ndarray
+    iz: jnp.ndarray
+    t: jnp.ndarray
+
+    @property
+    def inside(self):
+        return (self.ix >= 0) & (self.iy >= 0) & (self.iz >= 0)
+
+
+_BIG = jnp.float32(3.4e38)
+
+
+class CartesianGrid:
+    """Rectilinear grid from three border arrays (SI meters)."""
+
+    dimension = 3
+
+    def __init__(self, xborders, yborders, zborders):
+        self.xb64 = np.asarray(xborders, dtype=np.float64)
+        self.yb64 = np.asarray(yborders, dtype=np.float64)
+        self.zb64 = np.asarray(zborders, dtype=np.float64)
+        for b in (self.xb64, self.yb64, self.zb64):
+            if b.ndim != 1 or b.size < 2 or np.any(np.diff(b) <= 0):
+                raise ValueError("borders must be strictly increasing 1-D arrays")
+        self.nx = self.xb64.size - 1
+        self.ny = self.yb64.size - 1
+        self.nz = self.zb64.size - 1
+        self.ncells = self.nx * self.ny * self.nz
+        self.xb = jnp.asarray(self.xb64, jnp.float32)
+        self.yb = jnp.asarray(self.yb64, jnp.float32)
+        self.zb = jnp.asarray(self.zb64, jnp.float32)
+        self.max_steps = self.nx + self.ny + self.nz + 4
+
+    # -- host-side cell metadata ------------------------------------------
+
+    def bounding_box(self):
+        return (self.xb64[0], self.yb64[0], self.zb64[0],
+                self.xb64[-1], self.yb64[-1], self.zb64[-1])
+
+    def cell_volumes(self) -> np.ndarray:
+        dx = np.diff(self.xb64)
+        dy = np.diff(self.yb64)
+        dz = np.diff(self.zb64)
+        return (dx[:, None, None] * dy[None, :, None] * dz[None, None, :]).ravel()
+
+    def cell_centers(self) -> np.ndarray:
+        cx = 0.5 * (self.xb64[:-1] + self.xb64[1:])
+        cy = 0.5 * (self.yb64[:-1] + self.yb64[1:])
+        cz = 0.5 * (self.zb64[:-1] + self.zb64[1:])
+        g = np.stack(np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1)
+        return g.reshape(-1, 3)
+
+    def random_positions_in_cells(self, rng_np: np.random.Generator,
+                                  cells: np.ndarray) -> np.ndarray:
+        """Uniform positions inside the given cells (host side, for setup MC)."""
+        ix, iy, iz = self._split_np(cells)
+        u = rng_np.uniform(size=(cells.size, 3))
+        x = self.xb64[ix] + u[:, 0] * (self.xb64[ix + 1] - self.xb64[ix])
+        y = self.yb64[iy] + u[:, 1] * (self.yb64[iy + 1] - self.yb64[iy])
+        z = self.zb64[iz] + u[:, 2] * (self.zb64[iz + 1] - self.zb64[iz])
+        return np.stack([x, y, z], axis=-1)
+
+    def _split_np(self, cells):
+        iz = cells % self.nz
+        iy = (cells // self.nz) % self.ny
+        ix = cells // (self.ny * self.nz)
+        return ix, iy, iz
+
+    # -- device-side protocol ---------------------------------------------
+
+    def flatten_index(self, ix, iy, iz):
+        return (ix * self.ny + iy) * self.nz + iz
+
+    def cell_of(self, state: CartesianState):
+        ok = ((state.ix >= 0) & (state.ix < self.nx)
+              & (state.iy >= 0) & (state.iy < self.ny)
+              & (state.iz >= 0) & (state.iz < self.nz))
+        return jnp.where(ok, self.flatten_index(state.ix, state.iy, state.iz), -1)
+
+    def locate(self, pos):
+        """Flat cell index containing pos, -1 outside (vectorized)."""
+        s = self.start(pos)
+        return self.cell_of(s)
+
+    def start(self, pos) -> CartesianState:
+        """Traversal state for rays originating at pos (t = 0)."""
+        ix = jnp.searchsorted(self.xb, pos[..., 0], side="right").astype(jnp.int32) - 1
+        iy = jnp.searchsorted(self.yb, pos[..., 1], side="right").astype(jnp.int32) - 1
+        iz = jnp.searchsorted(self.zb, pos[..., 2], side="right").astype(jnp.int32) - 1
+        ix = jnp.where((ix >= 0) & (ix < self.nx), ix, -1)
+        iy = jnp.where((iy >= 0) & (iy < self.ny), iy, -1)
+        iz = jnp.where((iz >= 0) & (iz < self.nz), iz, -1)
+        t = jnp.zeros(pos.shape[:-1], dtype=pos.dtype)
+        return CartesianState(ix, iy, iz, t)
+
+    def enter(self, pos, direction):
+        """Distance to the domain boundary for outside rays + entry state.
+
+        ref: DustGridPath::moveInside.  Returns (s0, state) with s0 = inf
+        (and state outside) for rays that miss the box.
+        """
+        eps = jnp.float32(1e-5)
+        lo = jnp.stack([self.xb[0], self.yb[0], self.zb[0]])
+        hi = jnp.stack([self.xb[-1], self.yb[-1], self.zb[-1]])
+        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        t1 = (lo - pos) * inv
+        t2 = (hi - pos) * inv
+        tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        # parallel rays outside the slab never enter
+        par_outside = jnp.any((jnp.abs(direction) <= 1e-30)
+                              & ((pos < lo) | (pos > hi)), axis=-1)
+        hit = (tnear <= tfar) & (tfar > 0) & jnp.logical_not(par_outside)
+        s0 = jnp.where(hit, jnp.maximum(tnear, 0.0), _BIG)
+        # nudge slightly inside to get a well-defined cell
+        span = jnp.max(hi - lo)
+        entry = pos + (s0 + eps * span)[..., None] * direction
+        state = self.start(entry)
+        state = state._replace(t=jnp.where(hit, s0, _BIG))
+        dead = jnp.logical_not(hit)
+        state = state._replace(ix=jnp.where(dead, -1, state.ix))
+        return s0, state
+
+    def step(self, state: CartesianState, origin, direction):
+        """Advance one cell: returns (ds, new_state).
+
+        ds is the path length through the current cell; new_state.t is the
+        ray parameter at the exit wall.  For states already outside, ds = 0
+        and the state is unchanged.
+        """
+        ix, iy, iz, t = state
+        inside = (ix >= 0) & (iy >= 0) & (iz >= 0)
+        cix = jnp.clip(ix, 0, self.nx - 1)
+        ciy = jnp.clip(iy, 0, self.ny - 1)
+        ciz = jnp.clip(iz, 0, self.nz - 1)
+
+        dx, dy, dz = direction[..., 0], direction[..., 1], direction[..., 2]
+        ox, oy, oz = origin[..., 0], origin[..., 1], origin[..., 2]
+
+        # parameter value of the next wall crossing on each axis
+        tx = self._axis_t(self.xb, cix, ox, dx, self.nx)
+        ty = self._axis_t(self.yb, ciy, oy, dy, self.ny)
+        tz = self._axis_t(self.zb, ciz, oz, dz, self.nz)
+
+        tmin = jnp.minimum(tx, jnp.minimum(ty, tz))
+        ds = jnp.maximum(tmin - t, 0.0)
+
+        stepx = (tx <= ty) & (tx <= tz)
+        stepy = jnp.logical_not(stepx) & (ty <= tz)
+        stepz = jnp.logical_not(stepx) & jnp.logical_not(stepy)
+
+        sgn = lambda d: jnp.where(d > 0, 1, -1).astype(jnp.int32)
+        nix = jnp.where(stepx, cix + sgn(dx), cix)
+        niy = jnp.where(stepy, ciy + sgn(dy), ciy)
+        niz = jnp.where(stepz, ciz + sgn(dz), ciz)
+
+        # leaving the domain marks the state outside
+        nix = jnp.where((nix < 0) | (nix >= self.nx), -1, nix)
+        niy = jnp.where((niy < 0) | (niy >= self.ny), -1, niy)
+        niz = jnp.where((niz < 0) | (niz >= self.nz), -1, niz)
+
+        new_state = CartesianState(
+            jnp.where(inside, nix, ix),
+            jnp.where(inside, niy, iy),
+            jnp.where(inside, niz, iz),
+            jnp.where(inside, tmin, t),
+        )
+        return jnp.where(inside, ds, 0.0), new_state
+
+    def _axis_t(self, borders, idx, o, d, n):
+        """Ray parameter of the next border crossing along one axis."""
+        pos_dir = d > 0
+        nxt = jnp.where(pos_dir, idx + 1, idx)
+        border = borders[nxt]
+        t = (border - o) / jnp.where(jnp.abs(d) > 1e-30, d, jnp.float32(1e-30))
+        return jnp.where(jnp.abs(d) > 1e-30, t, _BIG)
+
+    def position_at(self, origin, direction, t):
+        return origin + t[..., None] * direction
