@@ -1,0 +1,205 @@
+"""The photon-packet lifecycle megakernel.
+
+ref: SKIRTcore/MonteCarloSimulation.cpp — dostellaremissionchunk (:265-301),
+peeloffemission (:305-315), peeloffscattering (:319-363),
+simulateescapeandabsorption (:438-515), simulatepropagation (:519-537),
+simulatescattering (:541-549).
+
+TPU re-design: instead of a scalar per-photon loop, a whole batch of
+packets advances in lockstep through launch -> [traverse+absorb ->
+propagate -> peel-off -> scatter]* with masked lanes, streaming traversal
+sweeps (no path records), scatter-add tallies (replacing LockFree::add),
+and counter-based RNG.  The entire cycle is one jit-compiled function.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .. import rng
+from . import traversal
+
+
+@dataclass(frozen=True)
+class LifecycleOptions:
+    """ref: MonteCarloSimulation.hpp property defaults (:41-65)."""
+    min_weight_reduction: float = 1e4
+    min_scatt_events: int = 0
+    scatt_bias: float = 0.5          # the composite biasing factor xi
+    max_scatt_events: int = 256      # lockstep-loop bound (ref loops freely;
+                                     # with minWeightReduction=1e4 packets die
+                                     # far earlier except for albedo ~ 1)
+    store_absorption: bool = False   # tally Labs per (cell, wavelength)
+
+
+def begin_traversal(grid, pos, direction):
+    """Traversal state from an arbitrary position: inside -> start, outside
+    -> advance to the domain entry (ref: DustGridPath::moveInside)."""
+    s_in = grid.start(pos)
+    inside = grid.cell_of(s_in) >= 0
+    _, s_enter = grid.enter(pos, direction)
+    state = jax.tree.map(
+        lambda a, b: jnp.where(inside, a, b), s_in, s_enter)
+    return state
+
+
+def make_peel_off(grid, dust_system, instrument):
+    """Returns fn(tallies, key?, pos, ell, contribution, tags) applying
+    extinction along the observer direction and detecting."""
+
+    def peel(tallies, pos, ell, contribution, tags):
+        kobs = jnp.broadcast_to(instrument.kobs_dev, pos.shape)
+        if dust_system is not None:
+            state0 = begin_traversal(grid, pos, kobs)
+            kapparho = dust_system.kapparho_ext_fn(ell)
+            tau = traversal.optical_depth(grid, kapparho, pos, kobs, state0=state0)
+        else:
+            tau = jnp.zeros(contribution.shape, contribution.dtype)
+        extincted = contribution * jnp.exp(-tau)
+        if tags is not None:
+            tags = dict(tags, transparent=contribution)
+        return instrument.detect(tallies, pos, ell, extincted, tags)
+
+    return peel
+
+
+def make_lifecycle(grid, dust_system, stellar_system, instruments,
+                   options: LifecycleOptions, nlambda: int):
+    """Build the jittable per-batch lifecycle function.
+
+    Returns run_batch(key, ell, L0, tallies) -> tallies where
+    - ell: (N,) int32 wavelength bin per packet,
+    - L0:  (N,) float32 launch luminosity per packet [W] (Lv[ell]/Npp),
+    - tallies: dict with "instruments" (list of per-instrument dicts) and
+      optionally "labs" (flat (Ncells*Nlambda,) absorption tally).
+    """
+    ds = dust_system
+    peels = [make_peel_off(grid, ds, ins) for ins in instruments]
+
+    def run_batch(key, ell, L0, tallies):
+        n = ell.shape[0]
+        k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
+
+        # --- launch (ref: StellarSystem::launch) --------------------------
+        pos, direction, L, _comp = stellar_system.launch(k_launch, ell, L0)
+        alive = L > 0
+
+        # --- emission peel-off (ref: peeloffemission) ---------------------
+        tags = {"nscatt": jnp.zeros(n, jnp.int32)}
+        for i, peel in enumerate(peels):
+            contribution = jnp.where(alive, L, 0.0)
+            tallies["instruments"][i] = peel(
+                tallies["instruments"][i], pos, ell, contribution, tags)
+
+        if ds is None:
+            return tallies
+
+        Lthreshold = L0 / options.min_weight_reduction
+        labs = tallies.get("labs")
+
+        def cycle_body(state):
+            it, pos, direction, L, nscatt, alive, labs, ins_tallies = state
+            kit = rng.event_key(k_cycle, it)
+            k1, k2, k3 = jax.random.split(kit, 3)
+
+            # -- traverse + absorb (ref: simulateescapeandabsorption) ------
+            state0 = begin_traversal(grid, pos, direction)
+            carry0 = dict(
+                tau=jnp.zeros(n, jnp.float32),
+                Lsca=jnp.zeros(n, jnp.float32),
+                labs=labs if labs is not None else jnp.zeros((1,), jnp.float32),
+            )
+
+            def seg(carry, cell, ds_len, _t):
+                ksca, kext = ds.ksca_kext(cell, ell)
+                dtau = kext * ds_len
+                albedo = jnp.where(kext > 0, ksca / jnp.maximum(kext, 1e-37), 0.0)
+                Lint = jnp.where(alive, L, 0.0) * jnp.exp(-carry["tau"]) \
+                    * (-jnp.expm1(-dtau))
+                new = dict(carry)
+                new["Lsca"] = carry["Lsca"] + albedo * Lint
+                if labs is not None:
+                    idx = jnp.where(cell >= 0, cell * nlambda + ell, -1)
+                    new["labs"] = carry["labs"].at[idx].add(
+                        (1.0 - albedo) * Lint, mode="drop")
+                new["tau"] = carry["tau"] + dtau
+                return new, jnp.ones(n, bool)
+
+            carry, _ = traversal.sweep(grid, pos, direction, seg, carry0,
+                                       state0=state0)
+            taupath = carry["tau"]
+            if labs is not None:
+                labs = carry["labs"]
+            L = jnp.where(alive, carry["Lsca"], L)
+
+            # -- termination (ref: dostellaremissionchunk :289) ------------
+            alive = alive & (L > 0) & jnp.logical_not(
+                (L <= Lthreshold) & (nscatt >= options.min_scatt_events))
+            alive = alive & (taupath > 0)
+
+            # -- propagate (ref: simulatepropagation) ----------------------
+            xi = options.scatt_bias
+            u1 = rng.uniform_open(jax.random.fold_in(k1, 0), (n,))
+            u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
+            tau_exp = rng.expon_cutoff(u2, taupath)
+            if xi == 0.0:
+                tau = tau_exp
+                weight = jnp.ones(n, jnp.float32)
+            else:
+                tau_uni = u2 * taupath
+                tau = jnp.where(u1 < xi, tau_uni, tau_exp)
+                p = -jnp.exp(-tau) / jnp.expm1(-jnp.maximum(taupath, 1e-30))
+                q = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
+                weight = p / jnp.maximum(q, 1e-37)
+            L = jnp.where(alive, L * weight, L)
+
+            kapparho = ds.kapparho_ext_fn(ell)
+            s, cell_at = traversal.propagate_to_tau(
+                grid, kapparho, pos, direction, tau, state0=begin_traversal(
+                    grid, pos, direction))
+            new_pos = pos + s[:, None] * direction
+            pos = jnp.where(alive[:, None], new_pos, pos)
+
+            # -- scattering peel-off (ref: peeloffscattering) --------------
+            tags2 = {"nscatt": nscatt + 1}
+            for i, peel in enumerate(peels):
+                cosalpha = jnp.sum(direction * instruments[i].kobs_dev, axis=-1)
+                w = ds.phase_value(cell_at, ell, cosalpha)
+                contribution = jnp.where(alive, L * w, 0.0)
+                ins_tallies[i] = peel(ins_tallies[i], pos, ell, contribution,
+                                      tags2)
+
+            # -- scatter (ref: simulatescattering) -------------------------
+            g = ds.sample_scatter_g(jax.random.fold_in(k2, 0), cell_at, ell)
+            u = rng.uniform_open(jax.random.fold_in(k2, 1), (n,))
+            f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u)
+            cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(
+                jnp.abs(g) < 1e-6, 1.0, g))
+            costheta = jnp.where(jnp.abs(g) < 1e-6, 2.0 * u - 1.0,
+                                 jnp.clip(cos_hg, -1.0, 1.0))
+            new_dir = rng.direction_about_axis(k3, direction, costheta)
+            direction = jnp.where(alive[:, None], new_dir, direction)
+            nscatt = jnp.where(alive, nscatt + 1, nscatt)
+
+            return it + 1, pos, direction, L, nscatt, alive, labs, ins_tallies
+
+        def cycle_cond(state):
+            it = state[0]
+            alive = state[5]
+            return (it < options.max_scatt_events) & jnp.any(alive)
+
+        init = (jnp.int32(0), pos, direction, L, jnp.zeros(n, jnp.int32),
+                alive, labs, tallies["instruments"])
+        _, _, _, _, _, _, labs, ins_tallies = jax.lax.while_loop(
+            cycle_cond, cycle_body, init)
+
+        out = dict(tallies)
+        out["instruments"] = ins_tallies
+        if labs is not None:
+            out["labs"] = labs
+        return out
+
+    return run_batch

@@ -1,0 +1,134 @@
+"""Simulation drivers.
+
+ref: SKIRTcore/Simulation.cpp:18-74 (setupAndRun), MonteCarloSimulation.cpp
+(runstellaremission, chunk policy :71-104), OligoMonteCarloSimulation.cpp
+(stellar emission then write).
+
+TPU re-design: the (wavelength x chunk) task grid of the reference becomes
+a sequence of jit-compiled launch batches with the wavelength index as a
+per-packet attribute; tallies accumulate on-device in float32 within a
+batch and on the host in float64 across batches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import rng
+from ..log import Log
+from ..units import Units
+from .lifecycle import LifecycleOptions, make_lifecycle
+
+
+class OligoSimulation:
+    """Oligochromatic Monte Carlo simulation: stellar emission only.
+
+    ref: SKIRTcore/OligoMonteCarloSimulation.cpp:69-74.
+    """
+
+    def __init__(self, *, stellar_system, instruments, dust_system=None,
+                 packets: float = 1e6, seed: int = rng.DEFAULT_SEED,
+                 options: LifecycleOptions | None = None,
+                 batch_size: int = 1 << 17, log: Log | None = None,
+                 units: Units | None = None, out_dir: str = ".",
+                 prefix: str = "skirt_tpu"):
+        self.stellar_system = stellar_system
+        self.instruments = list(instruments)
+        self.dust_system = dust_system
+        self.packets = int(packets)
+        self.seed = seed
+        self.options = options or LifecycleOptions()
+        self.batch_size = int(batch_size)
+        self.log = log or Log()
+        self.units = units or Units()
+        self.out_dir = out_dir
+        self.prefix = prefix
+
+        self.wavelength_grid = stellar_system.wavelength_grid
+        self.nlambda = self.wavelength_grid.nlambda
+        grid = dust_system.grid if dust_system is not None else None
+        self.grid = grid
+
+        self._run_batch = None
+        if grid is not None or True:
+            self._run_batch = jax.jit(make_lifecycle(
+                grid, dust_system, stellar_system, self.instruments,
+                self.options, self.nlambda), donate_argnums=(3,))
+
+    # ------------------------------------------------------------------
+
+    def _batches(self):
+        """Yield (key_tag, ell, L0) per launch batch.
+
+        Every wavelength receives `packets` photon packets (ref:
+        dostellaremissionchunk: L = luminosity(ell)/Npp).
+        """
+        nl = self.nlambda
+        per_batch = max(self.batch_size // nl, 1)
+        Lv = self.stellar_system.Lv
+        nbatches = int(np.ceil(self.packets / per_batch))
+        ell_np = np.tile(np.arange(nl, dtype=np.int32), per_batch)
+        launched = 0
+        for b in range(nbatches):
+            count = min(per_batch, self.packets - launched)
+            if count < per_batch:
+                ell_np = np.tile(np.arange(nl, dtype=np.int32), count)
+            ell = jnp.asarray(ell_np)
+            L0 = jnp.asarray((Lv[ell_np] / self.packets).astype(np.float32))
+            yield b, ell, L0
+            launched += count
+
+    def run(self):
+        """Run the stellar-emission phase and write results."""
+        key = rng.root_key(self.seed)
+        with self.log.timer("the stellar emission phase"):
+            acc = self._run_phase(key, phase_tag=0)
+        self.write(acc)
+        return acc
+
+    def _run_phase(self, key, phase_tag: int):
+        tallies = {"instruments": [ins.zero_tallies() for ins in self.instruments]}
+        if self.options.store_absorption and self.dust_system is not None:
+            tallies["labs"] = jnp.zeros(
+                (self.grid.ncells * self.nlambda,), jnp.float32)
+
+        # host-side float64 accumulators
+        acc = {"instruments": [
+            {k: np.zeros(v.shape, np.float64) for k, v in t.items()}
+            for t in tallies["instruments"]]}
+        if "labs" in tallies:
+            acc["labs"] = np.zeros(tallies["labs"].shape, np.float64)
+
+        t0 = time.perf_counter()
+        total = 0
+        for b, ell, L0 in self._batches():
+            bkey = rng.event_key(key, phase_tag, b)
+            tallies = self._run_batch(bkey, ell, L0, tallies)
+            total += ell.shape[0]
+            # drain to host in float64 and reset device tallies to preserve
+            # precision across many batches
+            for i, t in enumerate(tallies["instruments"]):
+                for k, v in t.items():
+                    acc["instruments"][i][k] += np.asarray(v, np.float64)
+            if "labs" in tallies:
+                acc["labs"] += np.asarray(tallies["labs"], np.float64)
+            tallies = {"instruments": [ins.zero_tallies() for ins in self.instruments]}
+            if "labs" in acc:
+                tallies["labs"] = jnp.zeros(
+                    (self.grid.ncells * self.nlambda,), jnp.float32)
+            dt = time.perf_counter() - t0
+            self.log.info(f"Launched {total:,} photon packages "
+                          f"({total / max(dt, 1e-9):,.0f} pps)")
+        return acc
+
+    def write(self, acc):
+        os.makedirs(self.out_dir, exist_ok=True)
+        for ins, a in zip(self.instruments, acc["instruments"]):
+            ins.write(a, self.wavelength_grid, self.units, self.out_dir,
+                      self.prefix)
+        self.log.success("Wrote instrument outputs to " + self.out_dir)

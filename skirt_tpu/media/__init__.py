@@ -1,0 +1,27 @@
+"""Dust media: optical property mixes, spatial dust systems, emissivity."""
+
+from .mix import (
+    DustMix,
+    SimpleOligoDustMix,
+    MeanDustMixFromFile,
+    MeanZubkoDustMix,
+    TrustMeanDustMix,
+    DraineLiDustMix,
+    InterstellarDustMix,
+    ElectronDustMix,
+    Benchmark1DDustMix,
+)
+from .dust_system import (
+    DustComponent,
+    DustSystem,
+    DustMassNormalization,
+    OpticalDepthNormalization,
+)
+
+__all__ = [
+    "DustMix", "SimpleOligoDustMix", "MeanDustMixFromFile",
+    "MeanZubkoDustMix", "TrustMeanDustMix", "DraineLiDustMix",
+    "InterstellarDustMix", "ElectronDustMix", "Benchmark1DDustMix",
+    "DustComponent", "DustSystem", "DustMassNormalization",
+    "OpticalDepthNormalization",
+]

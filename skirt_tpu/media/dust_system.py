@@ -1,0 +1,225 @@
+"""Dust system: discretized density field over a grid + optical properties.
+
+ref: SKIRTcore/DustSystem.cpp:63-192 (per-cell volume + density sampling,
+MPI assemble), DustComp/CompDustDistribution, and the normalization family
+(SKIRTcore/*DustCompNormalization.*).
+
+Setup (host, float64): each component's geometry density is MC-averaged
+over each cell (default 100 samples/cell as in the reference, DustSystem.cpp:41)
+or evaluated at cell centers; normalizations convert unit-mass geometry
+density to physical kg/m^3.  The result is frozen into float32 device
+arrays rho (Ncomp, Ncells); the engine computes kappa*rho per packet with
+two gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry.base import Geometry
+from .mix import DustMix
+
+
+@dataclass
+class DustMassNormalization:
+    """Total dust mass in kg (ref: DustMassDustCompNormalization)."""
+    mass: float
+
+    def mass_for(self, geometry: Geometry, mix: DustMix) -> float:
+        return float(self.mass)
+
+
+@dataclass
+class OpticalDepthNormalization:
+    """Normalize to an optical depth along a coordinate axis.
+
+    axis: 'x' | 'y' | 'z' (full-axis optical depth, ref: X/Y/ZDustComp
+    Normalization) or 'radial' (half-axis, ref: RadialDustCompNormalization).
+    wavelength: reference wavelength [m]; tau: target optical depth.
+    """
+    axis: str
+    wavelength: float
+    tau: float
+
+    def mass_for(self, geometry: Geometry, mix: DustMix) -> float:
+        ell = mix.wavelength_grid.nearest(self.wavelength)
+        if ell < 0:
+            raise ValueError("normalization wavelength outside the grid")
+        kappa = float(mix.kappaext64[ell])
+        if self.axis == "x":
+            sigma = geometry.sigma_x()
+        elif self.axis == "y":
+            sigma = geometry.sigma_y()
+        elif self.axis == "z":
+            sigma = geometry.sigma_z()
+        elif self.axis == "radial":
+            sigma = 0.5 * geometry.sigma_x()
+        else:
+            raise ValueError(f"unknown axis '{self.axis}'")
+        if sigma <= 0 or kappa <= 0:
+            raise ValueError("cannot normalize: zero surface density or opacity")
+        return self.tau / (sigma * kappa)
+
+
+@dataclass
+class DustComponent:
+    """geometry (unit total mass) + mix + normalization.
+
+    ref: SKIRTcore/DustComp.cpp.
+    """
+    geometry: Geometry
+    mix: DustMix
+    normalization: DustMassNormalization | OpticalDepthNormalization
+
+    def mass(self) -> float:
+        return self.normalization.mass_for(self.geometry, self.mix)
+
+
+class DustSystem:
+    """Density field of one or more dust components over a spatial grid.
+
+    ref: SKIRTcore/DustSystem.cpp (OligoDustSystem/PanDustSystem split is
+    handled by the simulation drivers; the density machinery is shared).
+    """
+
+    def __init__(self, grid, components, samples_per_cell: int = 100,
+                 seed: int = 8672):
+        if not components:
+            raise ValueError("need at least one dust component")
+        self.grid = grid
+        self.components = list(components)
+        self.ncomp = len(self.components)
+        wg = self.components[0].mix.wavelength_grid
+        for c in self.components:
+            if c.mix.wavelength_grid is not wg:
+                raise ValueError("all mixes must share the wavelength grid")
+        self.wavelength_grid = wg
+
+        # --- discretize densities (host, float64) -------------------------
+        ncells = grid.ncells
+        self.volumes = grid.cell_volumes()             # (Ncells,)
+        rho = np.zeros((self.ncomp, ncells))
+        rng_np = np.random.default_rng(seed)
+        cells = np.arange(ncells)
+        for h, comp in enumerate(self.components):
+            m = comp.mass()
+            if samples_per_cell <= 1:
+                pos = grid.cell_centers()
+                rho[h] = m * np.asarray(comp.geometry.density(pos))
+            else:
+                acc = np.zeros(ncells)
+                for _ in range(samples_per_cell):
+                    pos = grid.random_positions_in_cells(rng_np, cells)
+                    acc += np.asarray(comp.geometry.density(pos))
+                rho[h] = m * acc / samples_per_cell
+        self.rho64 = rho                               # (Ncomp, Ncells) kg/m^3
+        self.masses = np.array([c.mass() for c in self.components])
+
+        # device arrays
+        self.rho = jnp.asarray(rho, jnp.float32)
+        self.kappaext = jnp.stack([c.mix.kappaext for c in self.components])
+        self.kappasca = jnp.stack([c.mix.kappasca for c in self.components])
+        self.kappaabs = jnp.stack([c.mix.kappaabs for c in self.components])
+        self.g = jnp.stack([c.mix.g for c in self.components])
+
+    # -- diagnostics (host) -----------------------------------------------
+
+    def gridded_mass(self) -> float:
+        """Total dust mass as represented on the grid (convergence check).
+
+        ref: DustSystem.cpp:195-316 writeConvergence.
+        """
+        return float((self.rho64.sum(axis=0) * self.volumes).sum())
+
+    def expected_mass(self) -> float:
+        return float(self.masses.sum())
+
+    def gridded_optical_depth(self, axis: str, ell: int, n: int = 10000) -> float:
+        """Optical depth through the gridded medium along a coordinate axis."""
+        from ..engine import traversal
+        unit = {"x": [1.0, 0, 0], "y": [0, 1.0, 0], "z": [0, 0, 1.0]}[axis]
+        box = self.grid.bounding_box()
+        span = max(box[3] - box[0], box[4] - box[1], box[5] - box[2])
+        pos = jnp.asarray([[(-2.0 * span) * unit[i] for i in range(3)]], jnp.float32)
+        d = jnp.asarray([unit], jnp.float32)
+        s0, state = self.grid.enter(pos, d)
+        kr = self.kapparho_ext_fn(jnp.asarray([ell]))
+        tau = traversal.optical_depth(self.grid, kr, pos, d, state0=state)
+        return float(tau[0])
+
+    # -- device-side property accessors -----------------------------------
+
+    def kapparho_ext_fn(self, ell):
+        """Returns a function cell -> sum_h kappaext_h(ell) * rho_h(cell)."""
+        def fn(cell):
+            safe = jnp.clip(cell, 0)
+            kr = 0.0
+            for h in range(self.ncomp):
+                kr = kr + self.kappaext[h, ell] * self.rho[h, safe]
+            return jnp.where(cell >= 0, kr, 0.0)
+        return fn
+
+    def ksca_kext(self, cell, ell):
+        """Per-packet (kappasca*rho, kappaext*rho) summed over components."""
+        safe = jnp.clip(cell, 0)
+        ksca = 0.0
+        kext = 0.0
+        for h in range(self.ncomp):
+            rho_h = self.rho[h, safe]
+            ksca = ksca + self.kappasca[h, ell] * rho_h
+            kext = kext + self.kappaext[h, ell] * rho_h
+        valid = cell >= 0
+        return jnp.where(valid, ksca, 0.0), jnp.where(valid, kext, 0.0)
+
+    def local_albedo(self, cell, ell):
+        """Scattering albedo of the local dust mixture.
+
+        ref: MonteCarloSimulation.cpp:497-515 ('difficult case'):
+        albedo = sum_h ksca_h rho_h / sum_h kext_h rho_h.
+        """
+        ksca, kext = self.ksca_kext(cell, ell)
+        return jnp.where(kext > 0, ksca / jnp.maximum(kext, 1e-30), 0.0)
+
+    def _component_weights(self, cell, ell):
+        """Per-component scattering weights kappasca_h * rho_h (list of arrays)."""
+        safe = jnp.clip(cell, 0)
+        return [self.kappasca[h, ell] * self.rho[h, safe]
+                for h in range(self.ncomp)]
+
+    def phase_value(self, cell, ell, cosalpha):
+        """Density-weighted phase-function value of the local mixture.
+
+        ref: MonteCarloSimulation.cpp:319-363 peeloffscattering — each
+        component h is weighted by kappasca_h * rho_h.
+        """
+        if self.ncomp == 1:
+            return self.components[0].mix.phase_function(ell, cosalpha)
+        wv = self._component_weights(cell, ell)
+        total = sum(wv)
+        val = 0.0
+        for h, w in enumerate(wv):
+            val = val + w * self.components[h].mix.phase_function(ell, cosalpha)
+        return jnp.where(total > 0, val / jnp.maximum(total, 1e-30), 0.0)
+
+    def sample_scatter_g(self, key, cell, ell):
+        """Asymmetry parameter of a randomly selected local component.
+
+        ref: DustSystem::randomMixForPosition (DustSystem.cpp:879) +
+        MonteCarloSimulation::simulatescattering — component h selected with
+        probability ∝ kappasca_h * rho_h.
+        """
+        if self.ncomp == 1:
+            return self.g[0, ell]
+        import jax
+        wv = self._component_weights(cell, ell)
+        total = sum(wv)
+        u = jax.random.uniform(key, ell.shape) * jnp.maximum(total, 1e-30)
+        g = self.g[0, ell]
+        acc = wv[0]
+        for h in range(1, self.ncomp):
+            g = jnp.where(u > acc, self.g[h, ell], g)
+            acc = acc + wv[h]
+        return g

@@ -1,0 +1,193 @@
+"""Stellar systems: components with geometry + SED + normalization, and the
+batched launch kernel.
+
+ref: SKIRTcore/StellarSystem.cpp:48-158 (per-wavelength luminosity CDF,
+biased component selection with weight compensation),
+GeometricStellarComp.cpp (launch = geometry position + direction),
+OligoStellarComp.cpp (luminosities in solar monochromatic units),
+StellarCompNormalization family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import rng
+from ..geometry.base import Geometry
+from ..wavelengths import WavelengthGrid
+from .sed import SED, load_sun_sed
+
+
+@dataclass
+class BolometricLuminosityNormalization:
+    """Total luminosity in W (ref: BolLuminosityStellarCompNormalization)."""
+    luminosity: float
+
+    def luminosities_for(self, sed: SED) -> np.ndarray:
+        return self.luminosity * sed.fractions
+
+
+@dataclass
+class SpectralLuminosityNormalization:
+    """Monochromatic luminosity L_lambda [W/m] at a given wavelength.
+
+    ref: SpectralLuminosityStellarCompNormalization.
+    """
+    wavelength: float
+    luminosity_lambda: float
+
+    def luminosities_for(self, sed: SED) -> np.ndarray:
+        wg = sed.wavelength_grid
+        ell = wg.nearest(self.wavelength)
+        if ell < 0:
+            raise ValueError("normalization wavelength outside the grid")
+        # L_lambda at ell implied by a unit-luminosity SED
+        llambda_unit = sed.fractions[ell] / wg.dlambdav[ell]
+        if llambda_unit <= 0:
+            raise ValueError("SED has no luminosity at the normalization wavelength")
+        return (self.luminosity_lambda / llambda_unit) * sed.fractions
+
+
+class StellarComponent:
+    """Geometry + SED + normalization (ref: PanStellarComp)."""
+
+    def __init__(self, geometry: Geometry, sed: SED, normalization):
+        self.geometry = geometry
+        self.sed = sed
+        self.luminosities = np.asarray(normalization.luminosities_for(sed))
+
+    @property
+    def wavelength_grid(self) -> WavelengthGrid:
+        return self.sed.wavelength_grid
+
+
+class OligoStellarComponent(StellarComponent):
+    """Component for oligochromatic runs: per-wavelength luminosities given
+    as multiples of the solar monochromatic luminosity at that wavelength.
+
+    ref: SKIRTcore/OligoStellarComp.cpp setupSelfBefore — L_ell =
+    input_ell * Lsun_lambda(lambda_ell) * dlambda_ell.
+    """
+
+    def __init__(self, geometry: Geometry, wavelength_grid: WavelengthGrid,
+                 luminosities_solar, data_dir: str | None = None):
+        lam_sun, L_sun = load_sun_sed(data_dir)
+        lv = wavelength_grid.lambdav
+        if np.any(lv < lam_sun[0]) or np.any(lv > lam_sun[-1]):
+            raise ValueError("the sun does not emit at a simulation wavelength")
+        Lsun_at = np.interp(lv, lam_sun, L_sun)
+        Lv = np.asarray(luminosities_solar, dtype=np.float64) * Lsun_at \
+            * wavelength_grid.dlambdav
+        self.geometry = geometry
+        self.sed = None
+        self._wg = wavelength_grid
+        self.luminosities = Lv
+
+    @property
+    def wavelength_grid(self) -> WavelengthGrid:
+        return self._wg
+
+
+class LuminosityStellarComponent(StellarComponent):
+    """Component with explicitly given per-bin luminosities [W].
+
+    Convenience for tests and oligochromatic setups that bypass the solar
+    normalization of OligoStellarComponent.
+    """
+
+    def __init__(self, geometry: Geometry, wavelength_grid: WavelengthGrid,
+                 luminosities_w):
+        self.geometry = geometry
+        self.sed = None
+        self._wg = wavelength_grid
+        self.luminosities = np.asarray(luminosities_w, dtype=np.float64)
+
+    @property
+    def wavelength_grid(self) -> WavelengthGrid:
+        return self._wg
+
+
+class StellarSystem:
+    """All stellar components + the batched launch kernel.
+
+    ref: SKIRTcore/StellarSystem.cpp.  Biased component selection: with
+    probability `emission_bias` the component is drawn uniformly, otherwise
+    from the per-wavelength luminosity distribution; the packet luminosity
+    carries the compensating weight (StellarSystem.cpp:116-158).
+    """
+
+    def __init__(self, components, emission_bias: float = 0.5):
+        if not components:
+            raise ValueError("need at least one stellar component")
+        self.components = list(components)
+        self.ncomp = len(self.components)
+        self.emission_bias = float(emission_bias)
+        self.wavelength_grid = self.components[0].wavelength_grid
+
+        # per-wavelength total luminosity and component CDF
+        Lvv = np.stack([c.luminosities for c in self.components])  # (Ncomp, Nl)
+        self.Lvv = Lvv
+        self.Lv = Lvv.sum(axis=0)                                  # (Nl,)
+        self.Ltot = float(self.Lv.sum())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cdf = np.cumsum(Lvv, axis=0) / np.where(self.Lv > 0, self.Lv, 1.0)
+        self.comp_cdf = jnp.asarray(
+            np.concatenate([np.zeros((1, self.Lv.size)), cdf], axis=0).T,
+            jnp.float32)                                           # (Nl, Ncomp+1)
+        self.Lvv_dev = jnp.asarray(Lvv, jnp.float32)
+        self.Lv_dev = jnp.asarray(self.Lv, jnp.float32)
+
+    def luminosity(self, ell: int) -> float:
+        return float(self.Lv[ell])
+
+    def launch(self, key, ell, L):
+        """Launch a batch: returns (positions, directions, luminosities, comp).
+
+        ell: (N,) wavelength indices; L: (N,) base luminosities (already
+        Lv[ell]/Npp).  Weight compensation follows StellarSystem.cpp:116-158.
+        """
+        n = ell.shape[0]
+        if self.ncomp == 1:
+            kpos, kdir = jax.random.split(key)
+            comp = jnp.zeros(n, dtype=jnp.int32)
+            pos = self.components[0].geometry.generate_position(kpos, n)
+            d = self.components[0].geometry.generate_direction(kdir, ell, pos)
+            return pos, d, L, comp
+
+        ksel, kpos, kdir = jax.random.split(key, 3)
+        X = rng.uniform_open(ksel, (n,))
+        xi = self.emission_bias
+        # uniform branch
+        h_uni = jnp.clip((self.ncomp * X / xi).astype(jnp.int32), 0, self.ncomp - 1)
+        # luminosity branch: CDF per wavelength
+        Xl = (X - xi) / (1.0 - xi)
+        cdf_rows = self.comp_cdf[ell]                    # (N, Ncomp+1)
+        h_lum = jnp.clip(
+            jnp.sum((cdf_rows[:, 1:-1] <= Xl[:, None]).astype(jnp.int32), axis=1),
+            0, self.ncomp - 1)
+        h = jnp.where(X < xi, h_uni, h_lum)
+
+        # compensating weight: 1 / (1 - xi + xi * Lmean / Lh)
+        Lh = self.Lvv_dev[h, ell]
+        Lmean = self.Lv_dev[ell] / self.ncomp
+        weight = 1.0 / (1.0 - xi + xi * Lmean / jnp.maximum(Lh, 1e-37))
+        weight = jnp.where(Lh > 0, weight, 0.0)
+
+        # sample every component's geometry, select per packet
+        pos = self.components[0].geometry.generate_position(
+            jax.random.fold_in(kpos, 0), n)
+        d = self.components[0].geometry.generate_direction(
+            jax.random.fold_in(kdir, 0), ell, pos)
+        for i in range(1, self.ncomp):
+            pos_i = self.components[i].geometry.generate_position(
+                jax.random.fold_in(kpos, i), n)
+            d_i = self.components[i].geometry.generate_direction(
+                jax.random.fold_in(kdir, i), ell, pos_i)
+            sel = (h == i)[:, None]
+            pos = jnp.where(sel, pos_i, pos)
+            d = jnp.where(sel, d_i, d)
+        return pos, d, L * weight, h
