@@ -1,0 +1,54 @@
+"""Benchmark: photon packets/sec/chip on the flagship dusty-disc config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no in-repo throughput numbers (BASELINE.md); the
+vs_baseline ratio is computed against a fixed reference estimate of
+2.0e5 packets/s for SKIRT-class C++ code on a contemporary CPU core x 8
+threads = 1.6e6 packets/s per node, so vs_baseline = value / 1.6e6.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build
+
+    packets = 1 << 17
+    run_batch, zero_tallies, ell, L0 = _build(nlambda=4, ncells=32,
+                                              packets=packets)
+
+    key = jax.random.key(4357)
+
+    fn = jax.jit(lambda k, e, l: run_batch(k, e, l, zero_tallies()))
+
+    # warm up / compile
+    out = fn(key, ell, L0)
+    jax.block_until_ready(out)
+
+    # timed runs
+    nrep = 5
+    t0 = time.perf_counter()
+    for i in range(nrep):
+        out = fn(jax.random.fold_in(key, i), ell, L0)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pps = packets * nrep / dt
+    baseline = 1.6e6
+    print(json.dumps({
+        "metric": "photon_packets_per_second_per_chip",
+        "value": round(pps, 1),
+        "unit": "packets/s",
+        "vs_baseline": round(pps / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
