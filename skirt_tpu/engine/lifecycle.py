@@ -67,7 +67,9 @@ def make_peel_off(grid, dust_system, instrument):
 
 
 def make_lifecycle(grid, dust_system, stellar_system, instruments,
-                   options: LifecycleOptions, nlambda: int):
+                   options: LifecycleOptions, nlambda: int,
+                   launch_fn=None, emission_peeloff: bool = True,
+                   scattering_peeloff: bool = True, is_dust_emission=False):
     """Build the jittable per-batch lifecycle function.
 
     Returns run_batch(key, ell, L0, tallies) -> tallies where
@@ -75,24 +77,34 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     - L0:  (N,) float32 launch luminosity per packet [W] (Lv[ell]/Npp),
     - tallies: dict with "instruments" (list of per-instrument dicts) and
       optionally "labs" (flat (Ncells*Nlambda,) absorption tally).
+
+    launch_fn(key, ell, L0) -> (pos, dir, L) overrides the stellar launch
+    (used by the dust-emission phases, ref: dodustemissionchunk).  Setting
+    emission_peeloff/scattering_peeloff=False reproduces the reference's
+    self-absorption cycles (dodustselfabsorptionchunk: absorb only).
     """
     ds = dust_system
     peels = [make_peel_off(grid, ds, ins) for ins in instruments]
 
-    def run_batch(key, ell, L0, tallies):
+    def run_batch(key, ell, L0, tallies, launch_ctx=None):
         n = ell.shape[0]
         k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
 
         # --- launch (ref: StellarSystem::launch) --------------------------
-        pos, direction, L, _comp = stellar_system.launch(k_launch, ell, L0)
+        if launch_fn is not None:
+            pos, direction, L = launch_fn(k_launch, ell, L0, launch_ctx)
+        else:
+            pos, direction, L, _comp = stellar_system.launch(k_launch, ell, L0)
         alive = L > 0
 
         # --- emission peel-off (ref: peeloffemission) ---------------------
-        tags = {"nscatt": jnp.zeros(n, jnp.int32)}
-        for i, peel in enumerate(peels):
-            contribution = jnp.where(alive, L, 0.0)
-            tallies["instruments"][i] = peel(
-                tallies["instruments"][i], pos, ell, contribution, tags)
+        dust_flags = jnp.full(n, bool(is_dust_emission))
+        tags = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
+        if emission_peeloff:
+            for i, peel in enumerate(peels):
+                contribution = jnp.where(alive, L, 0.0)
+                tallies["instruments"][i] = peel(
+                    tallies["instruments"][i], pos, ell, contribution, tags)
 
         if ds is None:
             return tallies
@@ -164,13 +176,15 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             pos = jnp.where(alive[:, None], new_pos, pos)
 
             # -- scattering peel-off (ref: peeloffscattering) --------------
-            tags2 = {"nscatt": nscatt + 1}
-            for i, peel in enumerate(peels):
-                cosalpha = jnp.sum(direction * instruments[i].kobs_dev, axis=-1)
-                w = ds.phase_value(cell_at, ell, cosalpha)
-                contribution = jnp.where(alive, L * w, 0.0)
-                ins_tallies[i] = peel(ins_tallies[i], pos, ell, contribution,
-                                      tags2)
+            if scattering_peeloff:
+                tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
+                for i, peel in enumerate(peels):
+                    cosalpha = jnp.sum(direction * instruments[i].kobs_dev,
+                                       axis=-1)
+                    w = ds.phase_value(cell_at, ell, cosalpha)
+                    contribution = jnp.where(alive, L * w, 0.0)
+                    ins_tallies[i] = peel(ins_tallies[i], pos, ell,
+                                          contribution, tags2)
 
             # -- scatter (ref: simulatescattering) -------------------------
             g = ds.sample_scatter_g(jax.random.fold_in(k2, 0), cell_at, ell)

@@ -1,0 +1,261 @@
+"""Panchromatic simulation with the thermal dust re-emission loop.
+
+ref: SKIRTcore/PanMonteCarloSimulation.cpp — runSelf (:92-102), the
+3-stage self-absorption convergence loop (:106-183, stage packet factors
+1/10, 1/3, 1; eps_max 1.0/0.7/0.5%), dodustselfabsorptionchunk (:187-238),
+rundustemission + dodustemissionchunk (:242-342, cell-selection bias xi
+with weight compensation); PanDustSystem.cpp — Labs stellar/dust split
+tables, rebootLabsdust, calculatedustemission.
+
+TPU re-design: the host drives the convergence loop; each cycle computes
+per-cell equilibrium emission spectra in one batched device pass
+(media.emissivity), builds per-wavelength cell CDFs as a (Nlambda, Ncells)
+cumulative-sum matrix, and runs jit-compiled dust-emission launch batches
+arranged in per-wavelength blocks so cell sampling is a shared-row
+binary search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import rng
+from ..media.emissivity import GreyBodyEmissivity
+from .lifecycle import make_lifecycle
+from .simulation import OligoSimulation
+
+STAGE_FACTORS = (1.0 / 10.0, 1.0 / 3.0, 1.0)     # ref: :114-117
+STAGE_EPSMAX = (0.010, 0.007, 0.005)
+STAGE_NAMES = ("first-stage", "second-stage", "last-stage")
+MAX_CYCLES = 100
+
+
+def make_dust_launch(grid, nlambda: int):
+    """Launch kernel for dust-emission packets.
+
+    ref: dodustemissionchunk — cell m sampled with bias xi between uniform
+    and luminosity-weighted distributions, position uniform in cell,
+    isotropic direction, weight compensation 1/(1-xi+xi*Lmean/Lv[m]).
+
+    Packets must arrive in per-wavelength blocks: ell = repeat(arange(nl), P).
+    launch_ctx = {"cdf": (nl, Ncells+1), "Lv": (nl, Ncells),
+                  "Ltot": (nl,), "xi": scalar}
+    """
+    ncells = grid.ncells
+
+    def launch(key, ell, L0, ctx):
+        n = ell.shape[0]
+        per = n // nlambda
+        k1, k2, k3 = jax.random.split(key, 3)
+        X = rng.uniform_open(k1, (n,))
+        xi = ctx["xi"]
+
+        # uniform branch
+        m_uni = jnp.clip((ncells * X / jnp.maximum(xi, 1e-9)).astype(jnp.int32),
+                         0, ncells - 1)
+        # luminosity branch: shared-row binary search per wavelength block
+        Xl = ((X - xi) / (1.0 - xi)).reshape(nlambda, per)
+
+        def row_search(cdf_row, x_row):
+            i = jnp.searchsorted(cdf_row, x_row, side="right") - 1
+            return jnp.clip(i, 0, ncells - 1)
+
+        m_lum = jax.vmap(row_search)(ctx["cdf"], Xl).reshape(n).astype(jnp.int32)
+        m = jnp.where(X < xi, m_uni, m_lum)
+
+        # weight compensation (ref: :316-318)
+        Lv_m = ctx["Lv"].reshape(-1)[ell * ncells + m]
+        Lmean = ctx["Ltot"][ell] / ncells
+        weight = 1.0 / (1.0 - xi + xi * Lmean / jnp.maximum(Lv_m, 1e-37))
+        weight = jnp.where(Lv_m > 0, weight, 0.0)
+
+        pos = grid.random_position_in_cell_dev(k2, m)
+        direction = rng.isotropic_direction(k3, (n,))
+        return pos, direction, L0 * weight
+
+    return launch
+
+
+class PanSimulation(OligoSimulation):
+    """Stellar emission + dust self-absorption + dust emission.
+
+    ref: PanMonteCarloSimulation::runSelf.
+    """
+
+    def __init__(self, *, self_absorption: bool = True,
+                 emission_boost: float = 1.0, emission_bias: float = 0.5,
+                 **kw):
+        kw.setdefault("options", None)
+        super().__init__(**kw)
+        if self.dust_system is None:
+            raise ValueError("a panchromatic simulation needs a dust system")
+        # absorption tallies are required for the dust loop
+        from .lifecycle import LifecycleOptions
+        if not self.options.store_absorption:
+            self.options = LifecycleOptions(
+                **{**self.options.__dict__, "store_absorption": True})
+            self._run_batch = jax.jit(make_lifecycle(
+                self.grid, self.dust_system, self.stellar_system,
+                self.instruments, self.options, self.nlambda),
+                donate_argnums=(3,))
+        self.self_absorption = bool(self_absorption)
+        self.emission_boost = float(emission_boost)
+        self.emission_bias = float(emission_bias)
+
+        if self.dust_system.ncomp != 1:
+            raise NotImplementedError(
+                "grey-body emission currently supports one dust component")
+        self.emissivity = GreyBodyEmissivity(self.dust_system.components[0].mix)
+
+        # dust-emission lifecycle variants
+        launch = make_dust_launch(self.grid, self.nlambda)
+        self._run_dust_absorb = jax.jit(make_lifecycle(
+            self.grid, self.dust_system, None, self.instruments, self.options,
+            self.nlambda, launch_fn=launch, emission_peeloff=False,
+            scattering_peeloff=False, is_dust_emission=True),
+            donate_argnums=(3,))
+        from .lifecycle import LifecycleOptions as _LO
+        final_opts = _LO(**{**self.options.__dict__, "store_absorption": False})
+        self._run_dust_emit = jax.jit(make_lifecycle(
+            self.grid, self.dust_system, None, self.instruments, final_opts,
+            self.nlambda, launch_fn=launch, emission_peeloff=True,
+            scattering_peeloff=True, is_dust_emission=True),
+            donate_argnums=(3,))
+
+        # per-cell 1/(4 pi V rho) for the absorbed-power-per-mass conversion
+        rho = self.dust_system.rho64.sum(axis=0)
+        V = self.dust_system.volumes
+        with np.errstate(divide="ignore"):
+            inv = 1.0 / (4.0 * np.pi * V * rho)
+        self._inv4pivrho = jnp.asarray(
+            np.where(np.isfinite(inv), inv, 0.0), jnp.float32)
+
+    # ------------------------------------------------------------------
+
+    def emission_context(self, labs_bol_dev):
+        """Per-cycle emission data: spectra fractions, CDFs, totals.
+
+        labs_bol_dev: (Ncells,) bolometric absorbed luminosity [W].
+        Returns launch_ctx plus Lv for diagnostics.
+        """
+        absorbed_per_mass = labs_bol_dev * self._inv4pivrho
+        frac = self.emissivity.emissivity_fractions(absorbed_per_mass)
+        # per-wavelength per-cell luminosities: (nl, Ncells)
+        Lv = (labs_bol_dev[:, None] * frac).T
+        Ltot = jnp.sum(Lv, axis=1)
+        cum = jnp.cumsum(Lv, axis=1)
+        denom = jnp.maximum(Ltot[:, None], 1e-37)
+        cdf = jnp.concatenate(
+            [jnp.zeros((self.nlambda, 1), jnp.float32), cum / denom], axis=1)
+        return {"cdf": cdf, "Lv": Lv, "Ltot": Ltot,
+                "xi": jnp.float32(self.emission_bias)}
+
+    def _dust_batches(self, packets, Ltot_np):
+        nl = self.nlambda
+        per_batch = max(self.batch_size // nl, 1)
+        nbatches = int(np.ceil(packets / per_batch))
+        launched = 0
+        for b in range(nbatches):
+            count = min(per_batch, packets - launched)
+            ell_np = np.repeat(np.arange(nl, dtype=np.int32), count)
+            L0 = (Ltot_np[ell_np] / packets).astype(np.float32)
+            yield b, jnp.asarray(ell_np), jnp.asarray(L0), count
+            launched += count
+
+    def _run_dust_phase(self, key, run_fn, packets, ctx, tallies_template,
+                        phase_tag):
+        """One dust-emission pass; returns accumulated tallies (float64)."""
+        acc = None
+        Ltot_np = np.asarray(ctx["Ltot"], np.float64)
+        for b, ell, L0, _count in self._dust_batches(packets, Ltot_np):
+            bkey = rng.event_key(key, phase_tag, b)
+            tallies = tallies_template()
+            tallies = run_fn(bkey, ell, L0, tallies, ctx)
+            host = jax.tree.map(lambda x: np.asarray(x, np.float64), tallies)
+            if acc is None:
+                acc = host
+            else:
+                acc = jax.tree.map(lambda a, b_: a + b_, acc, host)
+        return acc
+
+    # ------------------------------------------------------------------
+
+    def run(self):
+        key = rng.root_key(self.seed)
+        ds = self.dust_system
+        ncl = self.grid.ncells
+
+        with self.log.timer("the stellar emission phase"):
+            acc = self._run_phase(key, phase_tag=0)
+        labs_stellar = acc["labs"].reshape(ncl, self.nlambda)
+
+        labs_dust = np.zeros_like(labs_stellar)
+
+        def zero_with_labs():
+            return {"instruments": [ins.zero_tallies() for ins in self.instruments],
+                    "labs": jnp.zeros((ncl * self.nlambda,), jnp.float32)}
+
+        if self.self_absorption:
+            with self.log.timer("the dust self-absorption phase"):
+                prev_tot = 0.0
+                for stage in range(3):
+                    converged = False
+                    for cycle in range(1, MAX_CYCLES + 1):
+                        labs_bol = jnp.asarray(
+                            (labs_stellar + labs_dust).sum(axis=1), jnp.float32)
+                        ctx = self.emission_context(labs_bol)
+                        packets = max(int(self.packets * STAGE_FACTORS[stage]), 1)
+                        out = self._run_dust_phase(
+                            key, self._run_dust_absorb, packets, ctx,
+                            zero_with_labs, phase_tag=100 + stage * 10 + cycle)
+                        labs_dust = out["labs"].reshape(ncl, self.nlambda)
+                        tot = float(labs_dust.sum())
+                        eps = abs(tot - prev_tot) / max(tot, 1e-300)
+                        prev_tot = tot
+                        self.log.info(
+                            f"{STAGE_NAMES[stage]} cycle {cycle}: absorbed "
+                            f"dust luminosity {tot:.4e} W (delta {eps*100:.2f}%)")
+                        if (stage < 2 or cycle > 1) and eps < STAGE_EPSMAX[stage]:
+                            converged = True
+                            break
+                    if not converged:
+                        self.log.error(
+                            f"no convergence after {MAX_CYCLES} "
+                            f"{STAGE_NAMES[stage]} cycles")
+
+        with self.log.timer("the dust emission phase"):
+            labs_bol = jnp.asarray(
+                (labs_stellar + labs_dust).sum(axis=1), jnp.float32)
+            ctx = self.emission_context(labs_bol)
+
+            def zero_plain():
+                return {"instruments": [ins.zero_tallies()
+                                        for ins in self.instruments]}
+
+            packets = max(int(self.packets * self.emission_boost), 1)
+            demit = self._run_dust_phase(key, self._run_dust_emit, packets,
+                                         ctx, zero_plain, phase_tag=500)
+
+        # combine stellar-phase and dust-phase instrument tallies
+        for i in range(len(self.instruments)):
+            for k in acc["instruments"][i]:
+                acc["instruments"][i][k] = (acc["instruments"][i][k]
+                                            + demit["instruments"][i][k])
+        acc["labs_stellar"] = labs_stellar
+        acc["labs_dust"] = labs_dust
+        self.write(acc)
+        return acc
+
+    # -- diagnostics -------------------------------------------------------
+
+    def cell_temperatures(self, acc) -> np.ndarray:
+        """Equilibrium dust temperature per cell (0 where no dust/ISRF).
+
+        ref: PanDustSystem.cpp:615-707 temperature outputs.
+        """
+        labs_bol = jnp.asarray(
+            (acc["labs_stellar"] + acc["labs_dust"]).sum(axis=1), jnp.float32)
+        T = self.emissivity.equilibrium_T(labs_bol * self._inv4pivrho)
+        return np.asarray(jnp.where(labs_bol > 0, T, 0.0))

@@ -91,6 +91,21 @@ class CartesianGrid:
         ix = cells // (self.ny * self.nz)
         return ix, iy, iz
 
+    def random_position_in_cell_dev(self, key, cells):
+        """Device-side uniform positions inside given cells (N,) -> (N, 3).
+
+        ref: DustGrid::randomPositionInCell (used by the dust-emission
+        launch, PanMonteCarloSimulation.cpp:303).
+        """
+        iz = cells % self.nz
+        iy = (cells // self.nz) % self.ny
+        ix = cells // (self.ny * self.nz)
+        u = jax.random.uniform(key, (cells.shape[0], 3), dtype=jnp.float32)
+        x = self.xb[ix] + u[:, 0] * (self.xb[ix + 1] - self.xb[ix])
+        y = self.yb[iy] + u[:, 1] * (self.yb[iy + 1] - self.yb[iy])
+        z = self.zb[iz] + u[:, 2] * (self.zb[iz + 1] - self.zb[iz])
+        return jnp.stack([x, y, z], axis=-1)
+
     # -- device-side protocol ---------------------------------------------
 
     def flatten_index(self, ix, iy, iz):

@@ -79,6 +79,17 @@ class Cylinder2DGrid:
         z = self.zb64[iz] + u[:, 2] * (self.zb64[iz + 1] - self.zb64[iz])
         return np.stack([R * np.cos(phi), R * np.sin(phi), z], axis=-1)
 
+    def random_position_in_cell_dev(self, key, cells):
+        """Device-side uniform positions inside annular cells (SI meters)."""
+        ir = cells // self.nz
+        iz = cells % self.nz
+        u = jax.random.uniform(key, (cells.shape[0], 3), dtype=jnp.float32)
+        r2 = self.rb2[ir] + u[:, 0] * (self.rb2[ir + 1] - self.rb2[ir])
+        R = jnp.sqrt(r2) * self.scale
+        phi = 2.0 * jnp.pi * u[:, 1]
+        z = (self.zb[iz] + u[:, 2] * (self.zb[iz + 1] - self.zb[iz])) * self.scale
+        return jnp.stack([R * jnp.cos(phi), R * jnp.sin(phi), z], axis=-1)
+
     # -- device-side protocol ---------------------------------------------
 
     def cell_of(self, state: CylinderState):

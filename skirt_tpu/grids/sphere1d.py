@@ -62,6 +62,17 @@ class Sphere1DGrid:
         return np.stack([r * st * np.cos(phi), r * st * np.sin(phi), r * ct],
                         axis=-1)
 
+    def random_position_in_cell_dev(self, key, cells):
+        """Device-side uniform positions inside radial shells (SI meters)."""
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, (cells.shape[0],), dtype=jnp.float32)
+        rb3 = self.rb * self.rb * self.rb
+        r3 = rb3[cells] + u * (rb3[cells + 1] - rb3[cells])
+        r = jnp.cbrt(r3) * self.scale
+        from .. import rng as _rng
+        d = _rng.isotropic_direction(k2, (cells.shape[0],))
+        return r[:, None] * d
+
     # -- device-side -------------------------------------------------------
 
     def cell_of(self, state: SphereState):

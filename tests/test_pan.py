@@ -1,0 +1,132 @@
+"""Panchromatic dust-emission loop tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu import rng
+from skirt_tpu.constants import K_BOLTZMANN, C_LIGHT, H_PLANCK
+from skirt_tpu.engine.lifecycle import LifecycleOptions
+from skirt_tpu.engine.pan import PanSimulation
+from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+from skirt_tpu.grids import CartesianGrid
+from skirt_tpu.instruments import SEDInstrument
+from skirt_tpu.log import SilentLog
+from skirt_tpu.media import (DustComponent, DustMassNormalization, DustSystem,
+                             SimpleOligoDustMix)
+from skirt_tpu.media.emissivity import GreyBodyEmissivity
+from skirt_tpu.sources.sed import BlackBodySED
+from skirt_tpu.sources.stellar import (BolometricLuminosityNormalization,
+                                       StellarComponent, StellarSystem)
+from skirt_tpu.wavelengths import LogWavelengthGrid
+
+SIGMA_SB = 5.670374419e-8
+
+
+class TestGreyBodyEmissivity:
+    def test_equilibrium_temperature_grey_dust(self):
+        # grey opacity kappa: planckabs(T) = kappa sigma T^4 / pi
+        wg = LogWavelengthGrid(0.05e-6, 3000e-6, 200)
+        kappa = 10.0
+        mix = SimpleOligoDustMix.__new__(SimpleOligoDustMix)  # bypass oligo check
+        from skirt_tpu.media.mix import DustMix
+        mix = DustMix(wg, np.full(200, kappa), np.zeros(200), np.zeros(200))
+        em = GreyBodyEmissivity(mix)
+        for T_true in [20.0, 50.0, 200.0, 1000.0]:
+            target = kappa * SIGMA_SB * T_true ** 4 / np.pi
+            T = float(em.equilibrium_T(jnp.asarray([target], jnp.float32))[0])
+            assert T == pytest.approx(T_true, rel=0.02), T_true
+
+    def test_emission_spectrum_peak_wien(self):
+        wg = LogWavelengthGrid(0.5e-6, 3000e-6, 300)
+        from skirt_tpu.media.mix import DustMix
+        mix = DustMix(wg, np.full(300, 5.0), np.zeros(300), np.zeros(300))
+        em = GreyBodyEmissivity(mix)
+        T_true = 40.0
+        target = 5.0 * SIGMA_SB * T_true ** 4 / np.pi
+        frac = np.asarray(em.emissivity_fractions(
+            jnp.asarray([target], jnp.float32))[0])
+        assert frac.sum() == pytest.approx(1.0, rel=1e-4)
+        lam_peak = wg.lambdav[np.argmax(frac / wg.dlambdav)]
+        # Wien: lambda_max = 2.898e-3 / T
+        assert lam_peak == pytest.approx(2.898e-3 / T_true, rel=0.1)
+
+
+def build_pan_sim(tau=2.0, packets=2000, nlambda=24, self_absorption=False):
+    wg = LogWavelengthGrid(0.1e-6, 1000e-6, nlambda)
+    star = StellarComponent(PointGeometry(), BlackBodySED(wg, 6000.0),
+                            BolometricLuminosityNormalization(100.0))
+    ss = StellarSystem([star])
+
+    half, n = 1.0, 8
+    b = np.linspace(-half, half, n + 1)
+    grid = CartesianGrid(b, b, b)
+    R = 0.9 * half
+    # realistic-shaped opacity: opaque in UV/optical, nearly transparent in
+    # the IR (otherwise dust re-absorbs its own emission and, without the
+    # self-absorption loop, that energy is legitimately lost)
+    kappa = np.where(wg.lambdav < 1e-6, 3.0, 0.003)
+    from skirt_tpu.media.mix import DustMix
+    mix = DustMix(wg, kappa, np.zeros(nlambda), np.zeros(nlambda))  # albedo 0
+    volume = 4.0 / 3.0 * np.pi * R ** 3
+    mass = tau / (3.0 * R) * volume  # kappa_UV * rho * R = tau
+    comp = DustComponent(UniformSphereGeometry(R), mix,
+                         DustMassNormalization(mass))
+    dsys = DustSystem(grid, [comp], samples_per_cell=8)
+    ins = SEDInstrument("sed", 1e4, nlambda, inclination=0.7, azimuth=0.3)
+    return PanSimulation(stellar_system=ss, instruments=[ins],
+                         dust_system=dsys, packets=packets,
+                         self_absorption=self_absorption, log=SilentLog(),
+                         batch_size=1 << 14,
+                         options=LifecycleOptions(store_absorption=True))
+
+
+class TestPanSimulation:
+    def test_energy_conservation_with_reemission(self):
+        # spherically symmetric pure-absorption cloud: everything absorbed is
+        # re-emitted in the IR; total observed flux = L by symmetry
+        sim = build_pan_sim(tau=2.0, packets=2000)
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        total = F.sum()
+        assert total == pytest.approx(100.0, rel=0.05)
+        # absorbed stellar energy is re-emitted at long wavelengths
+        lam = sim.wavelength_grid.lambdav
+        ir = lam > 1e-6
+        frac_ir = F[ir].sum() / total
+        direct_escape = np.exp(-2.0 * 0.9)  # tau through sphere radius
+        assert frac_ir > 0.3  # significant reprocessing at tau=2
+        # temperatures are sensible (warm dust near star, cooler outside)
+        T = sim.cell_temperatures(acc)
+        assert T.max() > 20.0 and T.max() < 2000.0
+
+    def test_self_absorption_converges_grey_dust(self):
+        # grey dust (same kappa at all wavelengths) re-absorbs its own
+        # emission; only the converged self-absorption loop restores energy
+        # conservation (ref: rundustselfabsorption)
+        wg = LogWavelengthGrid(0.1e-6, 1000e-6, 24)
+        star = StellarComponent(PointGeometry(), BlackBodySED(wg, 6000.0),
+                                BolometricLuminosityNormalization(100.0))
+        ss = StellarSystem([star])
+        half, n = 1.0, 8
+        b = np.linspace(-half, half, n + 1)
+        grid = CartesianGrid(b, b, b)
+        R = 0.9 * half
+        from skirt_tpu.media.mix import DustMix
+        mix = DustMix(wg, np.full(24, 3.0), np.zeros(24), np.zeros(24))
+        volume = 4.0 / 3.0 * np.pi * R ** 3
+        mass = 2.0 / (3.0 * R) * volume
+        comp = DustComponent(UniformSphereGeometry(R), mix,
+                             DustMassNormalization(mass))
+        dsys = DustSystem(grid, [comp], samples_per_cell=8)
+        ins = SEDInstrument("sed", 1e4, 24, inclination=0.7, azimuth=0.3)
+        sim = PanSimulation(stellar_system=ss, instruments=[ins],
+                            dust_system=dsys, packets=2000,
+                            self_absorption=True, log=SilentLog(),
+                            batch_size=1 << 14,
+                            options=LifecycleOptions(store_absorption=True))
+        acc = sim.run()
+        total = acc["instruments"][0]["Ftot"].sum()
+        assert total == pytest.approx(100.0, rel=0.10)
+        # with self-absorption some dust emission is re-absorbed
+        assert acc["labs_dust"].sum() > 0.0
