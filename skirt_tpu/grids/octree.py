@@ -1,0 +1,248 @@
+"""Adaptive octree dust grid.
+
+ref: SKIRTcore/TreeDustGrid.cpp:50-233 (BFS subdivision with
+maxMassFraction / maxOpticalDepth / maxDensDispFraction criteria, density
+estimated by uniform MC sampling per node), OctTreeDustGrid.cpp, leaf-id ↔
+cell-number tables (:112-123), and the traversal walks (:390-560, Saftly
+et al. 2013).
+
+TPU re-design: construction is host-side NumPy (setup-time, as in the
+reference); the tree is frozen into flat arrays (child base index + box
+extents + leaf cell ids).  Traversal is a lockstep walk: exit the current
+leaf box (Cartesian slab arithmetic), nudge past the wall, and re-descend
+from the root with a bounded fori loop of octant comparisons — the
+re-descend variant is branch-arithmetic (gathers + compares), the best fit
+for SIMD lanes (no neighbor lists, no pointer chasing).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class OctreeState(NamedTuple):
+    node: jnp.ndarray    # current leaf node index (-1 outside)
+    t: jnp.ndarray       # ray parameter [m]
+
+
+_BIG = jnp.float32(3.4e38)
+
+
+class OctreeGrid:
+    """Octree over a cubic/rectangular domain, adaptively refined on a
+    dust density field."""
+
+    dimension = 3
+
+    def __init__(self, extent, density_fn=None, *, min_level: int = 2,
+                 max_level: int = 6, max_mass_fraction: float = 1e-6,
+                 samples_per_node: int = 100, seed: int = 9157,
+                 max_dens_disp_fraction: float = 0.0):
+        """extent: (xmin, ymin, zmin, xmax, ymax, zmax) in meters.
+
+        density_fn(pos: (n,3) float64) -> density (host callable); nodes
+        with mass fraction above max_mass_fraction subdivide until
+        max_level.  ref defaults: minLevel 2, maxLevel 6
+        (TreeDustGrid.hpp:37,43), 100 samples/node (:166).
+        """
+        self.extent = np.asarray(extent, dtype=np.float64)
+        lo = self.extent[:3]
+        hi = self.extent[3:]
+        if np.any(hi <= lo):
+            raise ValueError("invalid extent")
+
+        rng_np = np.random.default_rng(seed)
+
+        # --- BFS subdivision (host) --------------------------------------
+        boxes_lo = [lo.copy()]
+        boxes_hi = [hi.copy()]
+        levels = [0]
+        children = [-1]  # child base index per node (-1 = leaf for now)
+        parents = [-1]
+
+        def node_mass(los, his):
+            """MC mass estimate for a batch of boxes: mean rho * volume.
+
+            ref: TreeDustGrid.cpp:190-229 (N-sample density estimate).
+            """
+            n = los.shape[0]
+            s = samples_per_node
+            u = rng_np.uniform(size=(n, s, 3))
+            pos = los[:, None, :] + u * (his - los)[:, None, :]
+            rho = np.asarray(density_fn(pos.reshape(-1, 3))).reshape(n, s)
+            vol = np.prod(his - los, axis=1)
+            return rho.mean(axis=1) * vol, rho
+
+        # The total mass is estimated from the stratified min-level frontier
+        # (a single root-box MC estimate badly misses compact structures).
+        total_mass = None
+
+        frontier = [0]
+        while frontier:
+            los = np.array([boxes_lo[i] for i in frontier])
+            his = np.array([boxes_hi[i] for i in frontier])
+            lvls = np.array([levels[i] for i in frontier])
+            if density_fn is not None and total_mass is None \
+                    and lvls.min() >= min_level:
+                masses, _ = node_mass(los, his)
+                total_mass = float(masses.sum())
+                if total_mass <= 0:
+                    total_mass = None
+            if density_fn is not None and total_mass:
+                masses, rhos = node_mass(los, his)
+                mass_frac = masses / total_mass
+                disp_ok = np.zeros(len(frontier), dtype=bool)
+                if max_dens_disp_fraction > 0:
+                    mean = rhos.mean(axis=1)
+                    disp = np.where(mean > 0, rhos.std(axis=1) / np.maximum(mean, 1e-300), 0.0)
+                    disp_ok = disp > max_dens_disp_fraction
+                needs = (lvls < min_level) | (
+                    (lvls < max_level) & ((mass_frac > max_mass_fraction) | disp_ok))
+            else:
+                needs = lvls < min_level
+            next_frontier = []
+            for idx, parent in enumerate(frontier):
+                if not needs[idx]:
+                    continue
+                base = len(boxes_lo)
+                children[parent] = base
+                plo, phi = boxes_lo[parent], boxes_hi[parent]
+                mid = 0.5 * (plo + phi)
+                for octant in range(8):
+                    clo = np.where([octant & 1, octant & 2, octant & 4], mid, plo)
+                    chi = np.where([octant & 1, octant & 2, octant & 4], phi, mid)
+                    boxes_lo.append(clo.astype(np.float64))
+                    boxes_hi.append(chi.astype(np.float64))
+                    levels.append(levels[parent] + 1)
+                    children.append(-1)
+                    parents.append(parent)
+                    next_frontier.append(base + octant)
+            frontier = next_frontier
+
+        self.nnodes = len(boxes_lo)
+        self.lo64 = np.array(boxes_lo)
+        self.hi64 = np.array(boxes_hi)
+        self.child64 = np.array(children, dtype=np.int64)
+        self.levels = np.array(levels)
+        self.max_depth = int(self.levels.max())
+
+        # leaf numbering (ref: TreeDustGrid.cpp:112-123)
+        leaf_mask = self.child64 < 0
+        self.leaf_nodes = np.nonzero(leaf_mask)[0]
+        self.ncells = int(self.leaf_nodes.size)
+        cellnum = np.full(self.nnodes, -1, dtype=np.int64)
+        cellnum[self.leaf_nodes] = np.arange(self.ncells)
+        self.cellnum64 = cellnum
+
+        # device arrays
+        self.lo = jnp.asarray(self.lo64, jnp.float32)
+        self.hi = jnp.asarray(self.hi64, jnp.float32)
+        self.mid = jnp.asarray(0.5 * (self.lo64 + self.hi64), jnp.float32)
+        self.child = jnp.asarray(self.child64, jnp.int32)
+        self.cellnum = jnp.asarray(cellnum, jnp.int32)
+        self.node_of_cell = jnp.asarray(self.leaf_nodes, jnp.int32)
+        # traversal bound: crossing the domain can visit many leaves
+        self.max_steps = 4 * (1 << self.max_depth) + 8
+
+    # -- host metadata -----------------------------------------------------
+
+    def bounding_box(self):
+        return tuple(self.extent)
+
+    def cell_volumes(self) -> np.ndarray:
+        d = self.hi64[self.leaf_nodes] - self.lo64[self.leaf_nodes]
+        return np.prod(d, axis=1)
+
+    def cell_centers(self) -> np.ndarray:
+        return 0.5 * (self.lo64[self.leaf_nodes] + self.hi64[self.leaf_nodes])
+
+    def random_positions_in_cells(self, rng_np: np.random.Generator,
+                                  cells: np.ndarray) -> np.ndarray:
+        nodes = self.leaf_nodes[cells]
+        u = rng_np.uniform(size=(cells.size, 3))
+        return self.lo64[nodes] + u * (self.hi64[nodes] - self.lo64[nodes])
+
+    # -- device-side -------------------------------------------------------
+
+    def random_position_in_cell_dev(self, key, cells):
+        nodes = self.node_of_cell[cells]
+        u = jax.random.uniform(key, (cells.shape[0], 3), dtype=jnp.float32)
+        return self.lo[nodes] + u * (self.hi[nodes] - self.lo[nodes])
+
+    def descend(self, pos):
+        """Leaf node containing pos (-1 outside the root box)."""
+        root_lo = self.lo[0]
+        root_hi = self.hi[0]
+        inside = jnp.all((pos >= root_lo) & (pos <= root_hi), axis=-1)
+        node0 = jnp.where(inside, 0, -1)
+
+        def body(_i, node):
+            safe = jnp.maximum(node, 0)
+            child0 = self.child[safe]
+            is_inner = (node >= 0) & (child0 >= 0)
+            mid = self.mid[safe]
+            octant = ((pos[..., 0] > mid[..., 0]).astype(jnp.int32)
+                      + 2 * (pos[..., 1] > mid[..., 1]).astype(jnp.int32)
+                      + 4 * (pos[..., 2] > mid[..., 2]).astype(jnp.int32))
+            return jnp.where(is_inner, child0 + octant, node)
+
+        return jax.lax.fori_loop(0, self.max_depth + 1, body, node0)
+
+    def cell_of(self, state: OctreeState):
+        safe = jnp.maximum(state.node, 0)
+        return jnp.where(state.node >= 0, self.cellnum[safe], -1)
+
+    def start(self, pos) -> OctreeState:
+        node = self.descend(pos)
+        return OctreeState(node, jnp.zeros(pos.shape[:-1], jnp.float32))
+
+    def locate(self, pos):
+        return self.cell_of(self.start(pos))
+
+    def enter(self, pos, direction):
+        root_lo = self.lo[0]
+        root_hi = self.hi[0]
+        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        t1 = (root_lo - pos) * inv
+        t2 = (root_hi - pos) * inv
+        tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        par_out = jnp.any((jnp.abs(direction) <= 1e-30)
+                          & ((pos < root_lo) | (pos > root_hi)), axis=-1)
+        hit = (tnear <= tfar) & (tfar > 0) & jnp.logical_not(par_out)
+        s0 = jnp.where(hit, jnp.maximum(tnear, 0.0), _BIG)
+        span = jnp.max(root_hi - root_lo)
+        entry = pos + (s0 + 1e-5 * span)[..., None] * direction
+        node = self.descend(entry)
+        node = jnp.where(hit, node, -1)
+        return s0, OctreeState(node, jnp.where(hit, s0, _BIG))
+
+    def step(self, state: OctreeState, origin, direction):
+        node, t = state
+        inside = node >= 0
+        safe = jnp.maximum(node, 0)
+        blo = self.lo[safe]
+        bhi = self.hi[safe]
+
+        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        t1 = (blo - origin) * inv
+        t2 = (bhi - origin) * inv
+        t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        t_exit = jnp.maximum(t_exit, t)
+        ds = jnp.maximum(t_exit - t, 0.0)
+
+        # nudge past the wall relative to the local box size, then re-descend
+        span = jnp.min(bhi - blo, axis=-1)
+        eps = 1e-4 * span
+        probe = origin + (t_exit + eps)[..., None] * direction
+        nxt = self.descend(probe)
+
+        new_state = OctreeState(
+            jnp.where(inside, nxt, node),
+            jnp.where(inside, t_exit, t),
+        )
+        return jnp.where(inside, ds, 0.0), new_state

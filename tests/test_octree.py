@@ -1,0 +1,104 @@
+"""Octree grid construction and traversal tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu.engine import traversal
+from skirt_tpu.grids import CartesianGrid
+from skirt_tpu.grids.octree import OctreeGrid
+
+
+EXTENT = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+
+
+def random_rays(n, seed=0):
+    rs = np.random.default_rng(seed)
+    pos = rs.uniform(-0.9, 0.9, size=(n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(pos), jnp.asarray(d.astype(np.float32))
+
+
+class TestConstruction:
+    def test_uniform_min_level(self):
+        g = OctreeGrid(EXTENT, None, min_level=2, max_level=2)
+        assert g.ncells == 64  # 4x4x4 leaves
+        np.testing.assert_allclose(g.cell_volumes(), (0.5) ** 3)
+        assert g.max_depth == 2
+
+    def test_refinement_follows_density(self):
+        # a compact Gaussian blob at (0.5, 0.5, 0.5) should drive deep
+        # refinement only near the blob
+        def rho(pos):
+            r2 = np.sum((pos - np.array([0.5, 0.5, 0.5])) ** 2, axis=-1)
+            return np.exp(-r2 / (2 * 0.05 ** 2))
+
+        g = OctreeGrid(EXTENT, rho, min_level=2, max_level=6,
+                       max_mass_fraction=1e-3, samples_per_node=64)
+        assert g.max_depth == 6
+        vols = g.cell_volumes()
+        centers = g.cell_centers()
+        near = np.linalg.norm(centers - [0.5, 0.5, 0.5], axis=1) < 0.2
+        assert vols[near].min() < vols[~near].min()
+        # the deepest cells concentrate at the blob
+        deepest = vols <= vols.min() * 1.01
+        assert near[deepest].mean() > 0.8
+
+
+class TestTraversal:
+    def test_chord_sums(self):
+        g = OctreeGrid(EXTENT, None, min_level=3, max_level=3)
+        pos, d = random_rays(300)
+
+        def seg(carry, cell, ds, t):
+            return carry + ds, jnp.ones_like(carry, dtype=bool)
+
+        total, _ = traversal.sweep(g, pos, d, seg, jnp.zeros(pos.shape[0]))
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        with np.errstate(divide="ignore"):
+            t2 = np.where(np.abs(dd) > 1e-12, (np.sign(dd) - p) / dd, np.inf)
+        expected = np.min(t2, axis=1)
+        np.testing.assert_allclose(np.asarray(total), expected, rtol=3e-3,
+                                   atol=2e-3)
+
+    def test_optical_depth_matches_cartesian(self):
+        # same density field on an octree (uniform depth 3 = 8^3) and a
+        # Cartesian 8^3 grid must give identical optical depths
+        n = 8
+        b = np.linspace(-1, 1, n + 1)
+        cart = CartesianGrid(b, b, b)
+        octg = OctreeGrid(EXTENT, None, min_level=3, max_level=3)
+        assert octg.ncells == cart.ncells
+
+        # density varying by cell: rho = f(center)
+        def rho_at(centers):
+            return (1.0 + np.abs(centers[:, 0]) + 2 * np.abs(centers[:, 1])
+                    + 0.5 * centers[:, 2] ** 2)
+
+        rho_cart = jnp.asarray(rho_at(cart.cell_centers()).astype(np.float32))
+        rho_oct = jnp.asarray(rho_at(octg.cell_centers()).astype(np.float32))
+
+        pos, d = random_rays(300, seed=2)
+        kr_c = lambda cell: jnp.where(cell >= 0, rho_cart[jnp.clip(cell, 0)], 0.0)
+        kr_o = lambda cell: jnp.where(cell >= 0, rho_oct[jnp.clip(cell, 0)], 0.0)
+        tau_c = np.asarray(traversal.optical_depth(cart, kr_c, pos, d))
+        tau_o = np.asarray(traversal.optical_depth(octg, kr_o, pos, d))
+        np.testing.assert_allclose(tau_o, tau_c, rtol=5e-3, atol=2e-3)
+
+    def test_enter_from_outside(self):
+        g = OctreeGrid(EXTENT, None, min_level=2, max_level=2)
+        pos = jnp.asarray([[-5.0, 0.1, 0.1]], jnp.float32)
+        d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        s0, state = g.enter(pos, d)
+        assert float(s0[0]) == pytest.approx(4.0, rel=1e-5)
+        assert int(g.cell_of(state)[0]) >= 0
+
+    def test_propagate_to_tau(self):
+        g = OctreeGrid(EXTENT, None, min_level=2, max_level=2)
+        kapparho = lambda cell: jnp.where(cell >= 0, 2.0, 0.0)
+        pos = jnp.asarray([[-0.9, 0.01, 0.01]], jnp.float32)
+        d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        s, cell = traversal.propagate_to_tau(g, kapparho, pos, d,
+                                             jnp.asarray([1.0], jnp.float32))
+        assert float(s[0]) == pytest.approx(0.5, rel=1e-3)
