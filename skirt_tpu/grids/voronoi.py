@@ -1,0 +1,290 @@
+"""Unstructured Voronoi dust grid.
+
+ref: SKIRTcore/VoronoiDustGrid.cpp:37-230 and VoronoiMesh.cpp (Camps et al.
+2013) — Voro++ cell construction with per-cell neighbor lists, block lists
++ kd-trees for point location (:367-393, cellIndex :512-543), and
+nearest-bisector-plane traversal (:749-844).
+
+TPU re-design: construction is host-side (scipy.spatial Voronoi/cKDTree —
+the reference also builds at setup time); neighbor lists are frozen into a
+*padded dense* (Ncells, K) matrix so the traversal step is a fixed-shape
+gather + K-way minimum over bisector-plane crossings — no pointer chasing.
+Cell volumes, bounding boxes and mean densities come from one stratified
+MC pass (the reference samples 100 points/cell for densities too,
+DustSystem.cpp:41).  Intersection math runs in domain-scaled units
+(float32 overflow, see cylinder2d.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial import Voronoi, cKDTree
+
+
+class VoronoiState(NamedTuple):
+    cell: jnp.ndarray    # current cell (site) index, -1 outside
+    t: jnp.ndarray       # ray parameter [m]
+
+
+_BIG = jnp.float32(3.4e38)
+
+
+class VoronoiGrid:
+    dimension = 3
+
+    def __init__(self, sites: np.ndarray, extent, *,
+                 volume_samples: int = 64, seed: int 	= 31337):
+        """sites: (N, 3) generating points [m]; extent: domain box
+        (xmin, ymin, zmin, xmax, ymax, zmax).  volume_samples: MC samples
+        per cell (on average) for volumes/bboxes/densities.
+        """
+        self.extent = np.asarray(extent, dtype=np.float64)
+        lo, hi = self.extent[:3], self.extent[3:]
+        sites = np.asarray(sites, dtype=np.float64)
+        inside = np.all((sites >= lo) & (sites <= hi), axis=1)
+        if not np.all(inside):
+            raise ValueError("all sites must lie inside the domain extent")
+        self.sites64 = sites
+        self.ncells = sites.shape[0]
+        self.scale = float(np.max(hi - lo))
+        self._lo = lo
+        self._hi = hi
+
+        # --- neighbor adjacency from the Delaunay-dual ridges ------------
+        vor = Voronoi(sites)
+        nbr_lists: list[list[int]] = [[] for _ in range(self.ncells)]
+        for a, b in vor.ridge_points:
+            nbr_lists[a].append(int(b))
+            nbr_lists[b].append(int(a))
+        kmax = max(len(v) for v in nbr_lists)
+        nbrs = np.full((self.ncells, kmax), -1, dtype=np.int64)
+        for i, v in enumerate(nbr_lists):
+            nbrs[i, :len(v)] = sorted(set(v))[:kmax]
+        self.kmax = kmax
+        self.nbrs64 = nbrs
+
+        # --- MC volumes / bounding boxes / density hooks -----------------
+        rng_np = np.random.default_rng(seed)
+        self._tree = cKDTree(sites)
+        nsamp = int(volume_samples) * self.ncells
+        pts = rng_np.uniform(lo, hi, size=(nsamp, 3))
+        _, owner = self._tree.query(pts, workers=-1)
+        counts = np.bincount(owner, minlength=self.ncells).astype(np.float64)
+        box_vol = float(np.prod(hi - lo))
+        self.volumes64 = counts / nsamp * box_vol
+        self._mc_pts = pts
+        self._mc_owner = owner
+
+        # cell bounding boxes from the MC samples (padded by the mean
+        # sample spacing) for in-cell position sampling
+        bb_lo = np.tile(sites, 1).copy()
+        bb_hi = np.tile(sites, 1).copy()
+        np.minimum.at(bb_lo, owner, pts)
+        np.maximum.at(bb_hi, owner, pts)
+        pad = (box_vol / nsamp) ** (1.0 / 3.0)
+        bb_lo = np.maximum(bb_lo - pad, lo)
+        bb_hi = np.minimum(bb_hi + pad, hi)
+        self.bb_lo64 = bb_lo
+        self.bb_hi64 = bb_hi
+
+        # --- device arrays (domain-scaled) -------------------------------
+        inv = 1.0 / self.scale
+        self.sites = jnp.asarray(sites * inv, jnp.float32)
+        self.nbrs = jnp.asarray(nbrs, jnp.int32)
+        self.lo = jnp.asarray(lo * inv, jnp.float32)
+        self.hi = jnp.asarray(hi * inv, jnp.float32)
+        self.bb_lo = jnp.asarray(bb_lo * inv, jnp.float32)
+        self.bb_hi = jnp.asarray(bb_hi * inv, jnp.float32)
+        self.max_steps = 8 * int(np.ceil(self.ncells ** (1.0 / 3.0))) + 16
+
+    # -- host metadata -----------------------------------------------------
+
+    def bounding_box(self):
+        return tuple(self.extent)
+
+    def cell_volumes(self) -> np.ndarray:
+        return self.volumes64
+
+    def cell_centers(self) -> np.ndarray:
+        return self.sites64
+
+    def random_positions_in_cells(self, rng_np: np.random.Generator,
+                                  cells: np.ndarray) -> np.ndarray:
+        """Host-side in-cell sampling by nearest-site rejection."""
+        out = np.empty((cells.size, 3))
+        pending = np.arange(cells.size)
+        for _ in range(200):
+            if pending.size == 0:
+                break
+            c = cells[pending]
+            u = rng_np.uniform(size=(pending.size, 3))
+            p = self.bb_lo64[c] + u * (self.bb_hi64[c] - self.bb_lo64[c])
+            _, owner = self._tree.query(p, workers=-1)
+            ok = owner == c
+            out[pending[ok]] = p[ok]
+            pending = pending[~ok]
+        if pending.size:
+            out[pending] = self.sites64[cells[pending]]
+        return out
+
+    def sample_cell_densities(self, density_fn) -> np.ndarray:
+        """Mean density per cell from the construction-time MC samples."""
+        rho = np.asarray(density_fn(self._mc_pts))
+        sums = np.zeros(self.ncells)
+        np.add.at(sums, self._mc_owner, rho)
+        counts = np.bincount(self._mc_owner, minlength=self.ncells)
+        return sums / np.maximum(counts, 1)
+
+    # -- device-side -------------------------------------------------------
+
+    def _scaled(self, pos):
+        return pos * jnp.float32(1.0 / self.scale)
+
+    def nearest_site(self, p_scaled):
+        """Nearest site index via blocked distance scan (vectorized).
+
+        For locate-only use; traversal never calls this per step.
+        """
+        # chunked argmin keeps memory bounded for large batches x sites
+        def dist_chunk(carry, chunk):
+            best_d, best_i, offset = carry
+            d = jnp.sum((p_scaled[:, None, :] - chunk[None, :, :]) ** 2, axis=-1)
+            i = jnp.argmin(d, axis=1)
+            dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+            better = dmin < best_d
+            return (jnp.where(better, dmin, best_d),
+                    jnp.where(better, offset + i.astype(jnp.int32), best_i),
+                    offset + chunk.shape[0]), None
+
+        chunk_size = 128  # bounds the (batch x chunk) distance matrix
+        npad = (-self.ncells) % chunk_size
+        sites = jnp.concatenate(
+            [self.sites, jnp.full((npad, 3), 1e9, jnp.float32)], axis=0)
+        chunks = sites.reshape(-1, chunk_size, 3)
+        n = p_scaled.shape[0]
+        init = (jnp.full((n,), jnp.inf, jnp.float32),
+                jnp.zeros((n,), jnp.int32), jnp.int32(0))
+        (_, best_i, _), _ = jax.lax.scan(dist_chunk, init, chunks)
+        return best_i
+
+    def cell_of(self, state: VoronoiState):
+        return state.cell
+
+    def start(self, pos) -> VoronoiState:
+        p = self._scaled(pos)
+        inside = jnp.all((p >= self.lo) & (p <= self.hi), axis=-1)
+        cell = jnp.where(inside, self.nearest_site(p), -1)
+        return VoronoiState(cell.astype(jnp.int32),
+                            jnp.zeros(pos.shape[:-1], jnp.float32))
+
+    def locate(self, pos):
+        return self.start(pos).cell
+
+    def enter(self, pos, direction):
+        p = self._scaled(pos)
+        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        t1 = (self.lo - p) * inv
+        t2 = (self.hi - p) * inv
+        tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        par_out = jnp.any((jnp.abs(direction) <= 1e-30)
+                          & ((p < self.lo) | (p > self.hi)), axis=-1)
+        hit = (tnear <= tfar) & (tfar > 0) & jnp.logical_not(par_out)
+        s0 = jnp.where(hit, jnp.maximum(tnear, 0.0), _BIG / 1e6)
+        entry = p + (s0 + 1e-6)[..., None] * direction
+        cell = jnp.where(hit, self.nearest_site(entry), -1)
+        s0_m = s0 * self.scale
+        return s0_m, VoronoiState(cell.astype(jnp.int32),
+                                  jnp.where(hit, s0_m, _BIG))
+
+    def step(self, state: VoronoiState, origin, direction):
+        """Nearest-bisector-plane stepping (ref: VoronoiMesh.cpp:749-844).
+
+        Candidate exits: the bisector plane toward each neighbor (crossed
+        when the ray moves toward the neighbor's half-space) and the six
+        domain walls.
+        """
+        o = self._scaled(origin)
+        cell, t_m = state
+        t = t_m * jnp.float32(1.0 / self.scale)
+        inside = cell >= 0
+        safe = jnp.maximum(cell, 0)
+
+        si = self.sites[safe]                       # (N, 3)
+        nb = self.nbrs[safe]                        # (N, K)
+        nb_safe = jnp.maximum(nb, 0)
+        sj = self.sites[nb_safe]                    # (N, K, 3)
+
+        # bisector plane: points x with (x - (si+sj)/2) . (sj - si) = 0
+        nvec = sj - si[:, None, :]
+        mid = 0.5 * (sj + si[:, None, :])
+        denom = jnp.sum(nvec * direction[:, None, :], axis=-1)
+        numer = jnp.sum((mid - o[:, None, :]) * nvec, axis=-1)
+        t_cand = numer / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        valid = (nb >= 0) & (denom > 1e-30) & (t_cand > t[:, None])
+        t_cand = jnp.where(valid, t_cand, _BIG)
+
+        # domain walls
+        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        t1 = (self.lo - o) * inv
+        t2 = (self.hi - o) * inv
+        t_wall = jnp.min(jnp.where(jnp.abs(direction) > 1e-30,
+                                   jnp.maximum(t1, t2), _BIG), axis=-1)
+        t_wall = jnp.maximum(t_wall, t)
+
+        t_nb = jnp.min(t_cand, axis=-1)
+        k_best = jnp.argmin(t_cand, axis=-1)
+        exit_by_wall = t_wall <= t_nb
+        t_exit = jnp.minimum(t_nb, t_wall)
+        ds = jnp.maximum(t_exit - t, 0.0)
+
+        nxt = jnp.where(exit_by_wall, -1,
+                        jnp.take_along_axis(nb, k_best[:, None], axis=1)[:, 0])
+
+        new_state = VoronoiState(
+            jnp.where(inside, nxt.astype(jnp.int32), cell),
+            jnp.where(inside, t_exit * self.scale, t_m),
+        )
+        return jnp.where(inside, ds, 0.0) * self.scale, new_state
+
+    def random_position_in_cell_dev(self, key, cells):
+        """Device-side in-cell sampling: bbox draws + neighbor-distance
+        acceptance, bounded masked resampling."""
+        blo = self.bb_lo[cells]
+        bhi = self.bb_hi[cells]
+        si = self.sites[cells]
+        nb = self.nbrs[cells]
+        nb_safe = jnp.maximum(nb, 0)
+        sj = self.sites[nb_safe]
+
+        def in_cell(p):
+            di = jnp.sum((p - si) ** 2, axis=-1)
+            dj = jnp.sum((p[:, None, :] - sj) ** 2, axis=-1)
+            dj = jnp.where(nb >= 0, dj, jnp.inf)
+            return di <= jnp.min(dj, axis=-1)
+
+        p0 = blo + jax.random.uniform(jax.random.fold_in(key, 0),
+                                      blo.shape, dtype=jnp.float32) * (bhi - blo)
+        ok0 = in_cell(p0)
+
+        def body(state):
+            i, p, ok = state
+            cand = blo + jax.random.uniform(
+                jax.random.fold_in(key, i + 1), blo.shape,
+                dtype=jnp.float32) * (bhi - blo)
+            cok = in_cell(cand)
+            take = jnp.logical_not(ok) & cok
+            return i + 1, jnp.where(take[:, None], cand, p), ok | cok
+
+        def cond(state):
+            i, _, ok = state
+            return (i < 64) & jnp.logical_not(jnp.all(ok))
+
+        _, p, ok = jax.lax.while_loop(cond, body, (jnp.int32(0), p0, ok0))
+        # fallback: the site itself
+        p = jnp.where(ok[:, None], p, si)
+        return p * self.scale

@@ -106,7 +106,10 @@ class DustSystem:
         cells = np.arange(ncells)
         for h, comp in enumerate(self.components):
             m = comp.mass()
-            if samples_per_cell <= 1:
+            if hasattr(grid, "sample_cell_densities"):
+                # unstructured grids provide a one-pass stratified estimate
+                rho[h] = m * grid.sample_cell_densities(comp.geometry.density)
+            elif samples_per_cell <= 1:
                 pos = grid.cell_centers()
                 rho[h] = m * np.asarray(comp.geometry.density(pos))
             else:

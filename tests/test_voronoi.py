@@ -1,0 +1,113 @@
+"""Voronoi grid construction and traversal tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu.engine import traversal
+from skirt_tpu.grids.voronoi import VoronoiGrid
+
+
+EXTENT = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+
+
+def make_grid(n_sites=200, seed=5, volume_samples=256):
+    rs = np.random.default_rng(seed)
+    sites = rs.uniform(-0.98, 0.98, size=(n_sites, 3))
+    return VoronoiGrid(sites, EXTENT, volume_samples=volume_samples)
+
+
+def random_rays(n, seed=0):
+    rs = np.random.default_rng(seed)
+    pos = rs.uniform(-0.8, 0.8, size=(n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(pos), jnp.asarray(d.astype(np.float32))
+
+
+class TestConstruction:
+    def test_volumes_sum_to_box(self):
+        g = make_grid()
+        assert g.cell_volumes().sum() == pytest.approx(8.0, rel=1e-6)
+
+    def test_locate_matches_kdtree(self):
+        g = make_grid()
+        rs = np.random.default_rng(1)
+        pts = rs.uniform(-0.99, 0.99, size=(500, 3))
+        _, expected = g._tree.query(pts)
+        got = np.asarray(g.locate(jnp.asarray(pts, jnp.float32)))
+        assert (got == expected).mean() > 0.995  # float32 ties at boundaries
+
+    def test_locate_outside(self):
+        g = make_grid()
+        got = np.asarray(g.locate(jnp.asarray([[2.0, 0.0, 0.0]], jnp.float32)))
+        assert got[0] == -1
+
+
+class TestTraversal:
+    def test_chord_sums(self):
+        g = make_grid()
+        pos, d = random_rays(200)
+
+        def seg(carry, cell, ds, t):
+            return carry + ds, jnp.ones_like(carry, dtype=bool)
+
+        total, _ = traversal.sweep(g, pos, d, seg, jnp.zeros(pos.shape[0]))
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        with np.errstate(divide="ignore"):
+            t2 = np.where(np.abs(dd) > 1e-12, (np.sign(dd) - p) / dd, np.inf)
+        expected = np.min(t2, axis=1)
+        np.testing.assert_allclose(np.asarray(total), expected, rtol=1e-2,
+                                   atol=5e-3)
+
+    def test_cells_crossed_match_bruteforce(self):
+        # sample points along each ray; the set of nearest sites visited
+        # must match the traversal's cell sequence support
+        g = make_grid(n_sites=100, seed=7)
+        pos, d = random_rays(20, seed=3)
+        visited = jnp.zeros((20, g.ncells))
+
+        def seg(carry, cell, ds, t):
+            upd = jnp.where((cell >= 0) & (ds > 1e-6), 1.0, 0.0)
+            rows = jnp.arange(20)
+            return carry.at[rows, jnp.clip(cell, 0)].add(upd), jnp.ones(20, bool)
+
+        visited, _ = traversal.sweep(g, pos, d, seg, visited)
+        visited = np.asarray(visited) > 0
+
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        with np.errstate(divide="ignore"):
+            t2 = np.where(np.abs(dd) > 1e-12, (np.sign(dd) - p) / dd, np.inf)
+        tmax = np.min(t2, axis=1)
+        agree = 0
+        checks = 0
+        for i in range(20):
+            svals = np.linspace(1e-4, tmax[i] - 1e-4, 500)
+            pts = p[i] + svals[:, None] * dd[i]
+            _, owner = g._tree.query(pts)
+            brute = np.zeros(g.ncells, bool)
+            brute[np.unique(owner)] = True
+            # traversal may miss razor-thin crossings; demand high overlap
+            checks += brute.sum()
+            agree += (brute & visited[i]).sum()
+        assert agree / checks > 0.95
+
+    def test_optical_depth_uniform(self):
+        g = make_grid()
+        pos, d = random_rays(200, seed=4)
+        kr = 1.3
+        kapparho = lambda cell: jnp.where(cell >= 0, jnp.float32(kr), 0.0)
+        tau = np.asarray(traversal.optical_depth(g, kapparho, pos, d))
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        with np.errstate(divide="ignore"):
+            t2 = np.where(np.abs(dd) > 1e-12, (np.sign(dd) - p) / dd, np.inf)
+        expected = kr * np.min(t2, axis=1)
+        np.testing.assert_allclose(tau, expected, rtol=1e-2, atol=5e-3)
+
+    def test_in_cell_sampling(self):
+        import jax
+        g = make_grid(n_sites=64, seed=9)
+        cells = jnp.asarray(np.arange(64, dtype=np.int32))
+        p = np.asarray(g.random_position_in_cell_dev(jax.random.key(0), cells))
+        _, owner = g._tree.query(p)
+        assert (owner == np.arange(64)).mean() > 0.9
