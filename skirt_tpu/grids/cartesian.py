@@ -142,13 +142,14 @@ class CartesianGrid:
         eps = jnp.float32(1e-5)
         lo = jnp.stack([self.xb[0], self.yb[0], self.zb[0]])
         hi = jnp.stack([self.xb[-1], self.yb[-1], self.zb[-1]])
-        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        moving = jnp.abs(direction) > 1e-30
+        inv = jnp.where(moving, 1.0 / direction, 1.0)
         t1 = (lo - pos) * inv
         t2 = (hi - pos) * inv
-        tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        tnear = jnp.max(jnp.where(moving, jnp.minimum(t1, t2), -_BIG), axis=-1)
+        tfar = jnp.min(jnp.where(moving, jnp.maximum(t1, t2), _BIG), axis=-1)
         # parallel rays outside the slab never enter
-        par_outside = jnp.any((jnp.abs(direction) <= 1e-30)
+        par_outside = jnp.any(jnp.logical_not(moving)
                               & ((pos < lo) | (pos > hi)), axis=-1)
         hit = (tnear <= tfar) & (tfar > 0) & jnp.logical_not(par_outside)
         s0 = jnp.where(hit, jnp.maximum(tnear, 0.0), _BIG)

@@ -206,12 +206,13 @@ class OctreeGrid:
     def enter(self, pos, direction):
         root_lo = self.lo[0]
         root_hi = self.hi[0]
-        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        moving = jnp.abs(direction) > 1e-30
+        inv = jnp.where(moving, 1.0 / direction, 1.0)
         t1 = (root_lo - pos) * inv
         t2 = (root_hi - pos) * inv
-        tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        par_out = jnp.any((jnp.abs(direction) <= 1e-30)
+        tnear = jnp.max(jnp.where(moving, jnp.minimum(t1, t2), -_BIG), axis=-1)
+        tfar = jnp.min(jnp.where(moving, jnp.maximum(t1, t2), _BIG), axis=-1)
+        par_out = jnp.any(jnp.logical_not(moving)
                           & ((pos < root_lo) | (pos > root_hi)), axis=-1)
         hit = (tnear <= tfar) & (tfar > 0) & jnp.logical_not(par_out)
         s0 = jnp.where(hit, jnp.maximum(tnear, 0.0), _BIG)
@@ -228,10 +229,15 @@ class OctreeGrid:
         blo = self.lo[safe]
         bhi = self.hi[safe]
 
-        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        # per-axis exit parameter; degenerate axes (|d|~0) never exit --
+        # guard explicitly, as (border - origin) * BIG collapses to 0 when
+        # the origin sits exactly on a border
+        moving = jnp.abs(direction) > 1e-30
+        inv = jnp.where(moving, 1.0 / direction, 1.0)
         t1 = (blo - origin) * inv
         t2 = (bhi - origin) * inv
-        t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        t_axis = jnp.where(moving, jnp.maximum(t1, t2), _BIG)
+        t_exit = jnp.min(t_axis, axis=-1)
         t_exit = jnp.maximum(t_exit, t)
         ds = jnp.maximum(t_exit - t, 0.0)
 

@@ -186,12 +186,13 @@ class VoronoiGrid:
 
     def enter(self, pos, direction):
         p = self._scaled(pos)
-        inv = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+        moving = jnp.abs(direction) > 1e-30
+        inv = jnp.where(moving, 1.0 / direction, 1.0)
         t1 = (self.lo - p) * inv
         t2 = (self.hi - p) * inv
-        tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        par_out = jnp.any((jnp.abs(direction) <= 1e-30)
+        tnear = jnp.max(jnp.where(moving, jnp.minimum(t1, t2), -_BIG), axis=-1)
+        tfar = jnp.min(jnp.where(moving, jnp.maximum(t1, t2), _BIG), axis=-1)
+        par_out = jnp.any(jnp.logical_not(moving)
                           & ((p < self.lo) | (p > self.hi)), axis=-1)
         hit = (tnear <= tfar) & (tfar > 0) & jnp.logical_not(par_out)
         s0 = jnp.where(hit, jnp.maximum(tnear, 0.0), _BIG / 1e6)
