@@ -1,0 +1,103 @@
+"""Fitting engine tests: convolution, chi2 luminosity fit, GA recovery."""
+
+import numpy as np
+import pytest
+
+from skirt_tpu.fit import (FitScheme, GaussianKernel, ParameterRange,
+                           ReferenceImage, SteadyStateGA, convolve)
+
+
+class TestConvolution:
+    def test_delta_kernel_identity(self):
+        frame = np.random.default_rng(0).uniform(size=(16, 16))
+        kernel = np.zeros((3, 3))
+        kernel[1, 1] = 1.0
+        out = convolve(frame, kernel)
+        np.testing.assert_allclose(out, frame, atol=1e-12)
+
+    def test_flux_conserved(self):
+        frame = np.zeros((32, 32))
+        frame[16, 16] = 5.0
+        k = GaussianKernel(3.0)
+        out = convolve(frame, k)
+        assert out.sum() == pytest.approx(5.0, rel=1e-6)
+        assert out[16, 16] < 5.0  # spread out
+
+    def test_gaussian_width(self):
+        frame = np.zeros((64, 64))
+        frame[32, 32] = 1.0
+        out = convolve(frame, GaussianKernel(6.0))
+        # FWHM check: count pixels above half max along the central row
+        row = out[32]
+        width = (row > row.max() / 2).sum()
+        assert width in (5, 6, 7)
+
+
+class TestReferenceImage:
+    def test_luminosity_recovery_two_components(self):
+        rs = np.random.default_rng(1)
+        f1 = rs.uniform(0.5, 1.0, size=(24, 24))
+        f2 = rs.uniform(0.0, 1.0, size=(24, 24))
+        kernel = GaussianKernel(2.0)
+        true = np.array([3.0, 7.0])
+        ref_data = true[0] * convolve(f1, kernel) + true[1] * convolve(f2, kernel)
+        ref = ReferenceImage(ref_data, kernel, [0.1, 0.1], [100.0, 100.0])
+        chi, lums = ref.chi2([f1, f2])
+        np.testing.assert_allclose(lums, true, rtol=1e-3)
+        assert chi < 1e-6
+
+    def test_bounds_respected(self):
+        f1 = np.ones((8, 8))
+        kernel = GaussianKernel(1.5)
+        ref_data = 50.0 * convolve(f1, kernel)
+        ref = ReferenceImage(ref_data, kernel, [0.1], [10.0])
+        chi, lums = ref.chi2([f1])
+        assert lums[0] == pytest.approx(10.0)
+        assert chi > 0
+
+
+class TestGA:
+    def test_minimizes_quadratic(self):
+        ranges = [ParameterRange("a", -5, 5), ParameterRange("b", -5, 5)]
+        ga = SteadyStateGA(ranges, popsize=40, seed=2)
+        pop = ga.initialize()
+        f = lambda g: (g[0] - 1.3) ** 2 + (g[1] + 2.1) ** 2
+        ga.scores = np.array([f(g) for g in pop])
+        for _ in range(60):
+            ch = ga.offspring()
+            ga.incorporate(ch, np.array([f(c) for c in ch]))
+        best, score = ga.best
+        assert score < 1e-2
+        assert best[0] == pytest.approx(1.3, abs=0.1)
+        assert best[1] == pytest.approx(-2.1, abs=0.1)
+
+
+class TestFitScheme:
+    def test_recovers_model_parameter(self):
+        # toy forward model: a Gaussian blob whose width is the parameter;
+        # reference generated at width=4.0 with luminosity 6
+        ny = nx = 32
+        yy, xx = np.mgrid[0:ny, 0:nx]
+
+        def blob(width):
+            g = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / (2 * width ** 2))
+            return g / g.sum()
+
+        kernel = GaussianKernel(2.0)
+        ref_data = 6.0 * convolve(blob(4.0), kernel)
+        ref = ReferenceImage(ref_data, kernel, [0.01], [1000.0])
+
+        def simulate(params):
+            return [[blob(params["width"])]]
+
+        scheme = FitScheme(ranges=[ParameterRange("width", 1.0, 10.0)],
+                           reference_images=[ref], simulate=simulate,
+                           generations=12, popsize=16)
+        best, score = scheme.run()
+        assert best["width"] == pytest.approx(4.0, abs=0.25)
+        # luminosity recovered inside chi2
+        chi, lums = ref.chi2(simulate(best)[0])
+        assert lums[0] == pytest.approx(6.0, rel=0.05)
+        # best-per-generation file written
+        import os
+        assert os.path.exists(os.path.join(scheme.out_dir, "fit_best.dat"))
