@@ -1,0 +1,74 @@
+"""Command-line interface.
+
+ref: SKIRTmain/SkirtCommandLineHandler.cpp:41,368-392 — `skirt [-s N]
+[-e] [-o dir] [-i dir] *.ski`.  Thread/process flags of the reference are
+replaced by the device mesh (all local accelerator devices are used
+automatically); `-e` emulates: forces one packet per wavelength to
+exercise setup/teardown (ref :271-284).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="skirt-tpu",
+        description="TPU-native Monte Carlo dust radiative transfer")
+    parser.add_argument("ski", nargs="+",
+                        help="ski file(s) or patterns to simulate")
+    parser.add_argument("-o", "--output", default=".",
+                        help="output directory")
+    parser.add_argument("-i", "--input", default=".",
+                        help="input directory for data files")
+    parser.add_argument("-s", "--seed", type=int, default=None,
+                        help="override the random seed")
+    parser.add_argument("-p", "--packets", type=float, default=None,
+                        help="override the photon package count")
+    parser.add_argument("-e", "--emulate", action="store_true",
+                        help="emulation mode: 1 packet, no self-absorption")
+    parser.add_argument("-b", "--brief", action="store_true",
+                        help="brief console logging")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .log import Log
+    from .ski import load_ski
+
+    paths = []
+    for pattern in args.ski:
+        expanded = sorted(glob.glob(pattern))
+        if not expanded and os.path.exists(pattern):
+            expanded = [pattern]
+        if not expanded and os.path.exists(pattern + ".ski"):
+            expanded = [pattern + ".ski"]
+        if not expanded:
+            print(f"error: no ski file matches '{pattern}'", file=sys.stderr)
+            return 2
+        paths.extend(expanded)
+
+    log = Log(lowest="warning" if args.brief else "info")
+    for path in paths:
+        prefix = os.path.splitext(os.path.basename(path))[0]
+        log.info(f"Constructing a simulation from ski file '{path}'...")
+        packets = 1.0 if args.emulate else args.packets
+        sim = load_ski(path, out_dir=args.output, prefix=prefix,
+                       packets=packets, seed=args.seed, log=log)
+        if args.emulate and hasattr(sim, "self_absorption"):
+            sim.self_absorption = False
+        with log.timer(f"simulation {prefix}"):
+            sim.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

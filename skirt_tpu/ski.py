@@ -1,0 +1,487 @@
+"""ski-file loader: build simulations from the reference's XML config format.
+
+ref: Discover/XmlHierarchyCreator.hpp:23 (ski XML -> object tree),
+SimulationItemDiscovery + PropertyHandler family (§2.11 of SURVEY.md), and
+the per-class Q_CLASSINFO("Property", ...) metadata declared in every
+SKIRTcore class header.  The XML format is documented in
+doc/Part 1 - User Guide/SKIRT/ski files.txt:11-60: capitalized elements
+are objects, lowercase elements are compound properties with a `type`
+attribute, scalar properties are attributes with unit-tagged values.
+
+This loader maps the reference's class names and property vocabulary onto
+skirt_tpu components, so existing ski files drive the TPU engine directly.
+Unsupported classes raise a clear error naming the ski element.
+"""
+
+from __future__ import annotations
+
+import math
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import geometry as geo
+from . import units as units_mod
+from .engine.lifecycle import LifecycleOptions
+from .engine.pan import PanSimulation
+from .engine.simulation import OligoSimulation
+from .grids import (CartesianGrid, Cylinder2DGrid, LinMesh, LogMesh, PowMesh,
+                    Sphere1DGrid, SymPowMesh)
+from .grids.octree import OctreeGrid
+from .grids.voronoi import VoronoiGrid
+from .instruments import (FrameInstrument, FullInstrument, InstrumentSystem,
+                          SEDInstrument, SimpleInstrument)
+from .media import (DraineLiDustMix, DustComponent, DustMassNormalization,
+                    DustSystem, ElectronDustMix, InterstellarDustMix,
+                    MeanZubkoDustMix, OpticalDepthNormalization,
+                    SimpleOligoDustMix, TrustMeanDustMix)
+from .sources.sed import (BlackBodySED, FileSED, KuruczSED, QuasarSED, SunSED)
+from .sources.stellar import (BolometricLuminosityNormalization,
+                              OligoStellarComponent,
+                              SpectralLuminosityNormalization,
+                              StellarComponent, StellarSystem)
+from .units import Units
+from .wavelengths import (FileWavelengthGrid, LogWavelengthGrid,
+                          NestedLogWavelengthGrid, OligoWavelengthGrid)
+
+# flat unit -> SI factor map (unit names are unambiguous across quantities)
+_UNIT_FACTORS: dict[str, float] = {}
+for _q, _m in units_mod._UNIT_TO_SI.items():
+    for _u, _f in _m.items():
+        if _u in _UNIT_FACTORS and abs(_UNIT_FACTORS[_u] - _f) > 1e-9 * abs(_f):
+            continue
+        _UNIT_FACTORS.setdefault(_u, _f)
+
+
+class SkiParseError(ValueError):
+    pass
+
+
+def parse_scalar(text: str) -> float:
+    """Parse '6.6 kpc' / '1e6' / '88 deg' to SI."""
+    parts = text.split()
+    if len(parts) == 1:
+        return float(parts[0])
+    if len(parts) == 2 and parts[1] in _UNIT_FACTORS:
+        return float(parts[0]) * _UNIT_FACTORS[parts[1]]
+    raise SkiParseError(f"cannot parse quantity '{text}'")
+
+
+def parse_list(text: str) -> list[float]:
+    return [parse_scalar(t.strip()) for t in text.split(",") if t.strip()]
+
+
+def parse_bool(text: str) -> bool:
+    return text.strip().lower() in ("true", "yes", "1")
+
+
+@dataclass
+class Node:
+    """Parsed ski element: class name, scalar attrs, compound children."""
+    name: str
+    attrs: dict
+    children: dict = field(default_factory=dict)  # prop -> list[Node]
+
+    def get(self, key, default=None):
+        return self.attrs.get(key, default)
+
+    def scalar(self, key, default=None):
+        v = self.attrs.get(key)
+        return parse_scalar(v) if v is not None else default
+
+    def boolean(self, key, default=False):
+        v = self.attrs.get(key)
+        return parse_bool(v) if v is not None else default
+
+    def child(self, prop, default=None):
+        lst = self.children.get(prop)
+        return lst[0] if lst else default
+
+
+def _parse_element(elem: ET.Element) -> Node:
+    node = Node(elem.tag, dict(elem.attrib))
+    for sub in elem:
+        # lowercase elements are compound properties
+        if sub.tag[0].islower():
+            node.children[sub.tag] = [_parse_element(obj) for obj in sub]
+        else:
+            node.children.setdefault("_items", []).append(_parse_element(sub))
+    return node
+
+
+def parse_ski(path: str) -> Node:
+    root = ET.parse(path).getroot()
+    if root.tag != "skirt-simulation-hierarchy":
+        raise SkiParseError("not a ski file: missing skirt-simulation-hierarchy")
+    sims = list(root)
+    if len(sims) != 1:
+        raise SkiParseError("expected exactly one simulation element")
+    return _parse_element(sims[0])
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+def build_units(node: Node | None) -> Units:
+    if node is None:
+        return Units()
+    style = {"SIUnits": "SI", "StellarUnits": "stellar",
+             "ExtragalacticUnits": "extragalactic"}.get(node.name)
+    if style is None:
+        raise SkiParseError(f"unknown units system '{node.name}'")
+    flux = node.get("fluxOutputStyle", "Neutral").lower()
+    return Units(style=style, flux_style=flux)
+
+
+def build_wavelength_grid(node: Node):
+    if node.name == "OligoWavelengthGrid":
+        return OligoWavelengthGrid(parse_list(node.attrs["wavelengths"]))
+    if node.name == "LogWavelengthGrid":
+        return LogWavelengthGrid(node.scalar("minWavelength"),
+                                 node.scalar("maxWavelength"),
+                                 int(node.scalar("points")))
+    if node.name == "NestedLogWavelengthGrid":
+        return NestedLogWavelengthGrid(
+            node.scalar("minWavelength"), node.scalar("maxWavelength"),
+            int(node.scalar("points")), node.scalar("minWavelengthSubGrid"),
+            node.scalar("maxWavelengthSubGrid"),
+            int(node.scalar("pointsSubGrid")))
+    if node.name == "FileWavelengthGrid":
+        return FileWavelengthGrid(node.attrs["filename"])
+    raise SkiParseError(f"unsupported wavelength grid '{node.name}'")
+
+
+def build_geometry(node: Node):
+    n = node.name
+    s = node.scalar
+    if n == "PointGeometry":
+        return geo.PointGeometry()
+    if n == "PlummerGeometry":
+        return geo.PlummerGeometry(s("scale"))
+    if n == "GammaGeometry":
+        return geo.GammaGeometry(s("scale"), s("gamma"))
+    if n == "EinastoGeometry":
+        return geo.EinastoGeometry(s("radius"), s("index"))
+    if n == "GaussianGeometry":
+        g = geo.GaussianGeometry(s("dispersion"))
+        q = s("flattening", 1.0)
+        return g if abs(q - 1.0) < 1e-12 else geo.SpheroidalGeometryDecorator(g, q)
+    if n == "ShellGeometry":
+        return geo.ShellGeometry(s("minRadius"), s("maxRadius"), s("expon"))
+    if n == "SersicGeometry":
+        return geo.SersicGeometry(s("radius"), s("index"))
+    if n == "PseudoSersicGeometry":
+        return geo.PseudoSersicGeometry(s("radius"), s("index"))
+    if n == "ExpDiskGeometry":
+        return geo.ExpDiskGeometry(s("radialScale"), s("axialScale"),
+                                   s("radialTrunc", 0.0), s("axialTrunc", 0.0),
+                                   s("innerRadius", 0.0))
+    if n == "BrokenExpDiskGeometry":
+        return geo.BrokenExpDiskGeometry(s("radialScaleInner"),
+                                         s("radialScaleOuter"),
+                                         s("axialScale"), s("breakRadius"),
+                                         s("sharpness", 3.0))
+    if n == "RingGeometry":
+        return geo.RingGeometry(s("radius"), s("width"), s("height"))
+    if n == "TorusGeometry":
+        return geo.TorusGeometry(s("expon"), s("index"), s("openAngle"),
+                                 s("minRadius"), s("maxRadius"))
+    if n == "ConicalShellGeometry":
+        return geo.ConicalShellGeometry(s("expon"), s("index"), s("inAngle"),
+                                        s("outAngle"), s("minRadius"),
+                                        s("maxRadius"))
+    if n == "TTauriDiskGeometry":
+        return geo.TTauriDiskGeometry(s("minRadius"), s("maxRadius"),
+                                      s("radialScale"), s("axialScale"))
+    if n == "UniformCuboidGeometry":
+        return geo.BoxGeometry(s("minX"), s("maxX"), s("minY"), s("maxY"),
+                               s("minZ"), s("maxZ"))
+    if n == "LaserGeometry":
+        return geo.LaserGeometry()
+    # decorators
+    if n == "OffsetGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.OffsetGeometryDecorator(
+            base, [s("offsetX", 0.0), s("offsetY", 0.0), s("offsetZ", 0.0)])
+    if n == "RotateGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.RotateGeometryDecorator(base, s("euleralpha", 0.0),
+                                           s("eulerbeta", 0.0),
+                                           s("eulergamma", 0.0))
+    if n == "SpheroidalGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.SpheroidalGeometryDecorator(base, s("flattening"))
+    if n == "TriaxialGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.TriaxialGeometryDecorator(base, s("yFlattening"),
+                                             s("zFlattening"))
+    if n == "SphericalCavityGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.SphericalCavityDecorator(base, s("radius"))
+    if n == "CylindricalCavityGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.CylindricalCavityDecorator(base, s("radius"))
+    if n == "CropGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.CropGeometryDecorator(base, s("minX"), s("maxX"),
+                                         s("minY"), s("maxY"), s("minZ"),
+                                         s("maxZ"))
+    if n == "CombineGeometryDecorator":
+        g1 = build_geometry(node.child("firstGeometry"))
+        g2 = build_geometry(node.child("secondGeometry"))
+        return geo.CombineGeometryDecorator(
+            [g1, g2], [s("firstWeight", 1.0), s("secondWeight", 1.0)])
+    if n == "ClumpyGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.ClumpyGeometryDecorator(base, s("clumpFraction"),
+                                           int(s("clumpCount")),
+                                           s("clumpRadius"),
+                                           cutoff=node.boolean("cutoff"))
+    if n == "SpiralStructureGeometryDecorator":
+        base = build_geometry(node.child("geometry"))
+        return geo.SpiralStructureDecorator(
+            base, int(s("arms")), s("pitch"), s("radius"), s("phase", 0.0),
+            s("perturbWeight", 1.0), int(s("index", 1)))
+    raise SkiParseError(f"unsupported geometry '{n}'")
+
+
+def build_sed(node: Node, wg):
+    n = node.name
+    if n == "BlackBodySED":
+        return BlackBodySED(wg, node.scalar("temperature"))
+    if n == "SunSED":
+        return SunSED(wg)
+    if n == "FileSED":
+        return FileSED(wg, node.attrs["filename"])
+    if n == "QuasarSED":
+        return QuasarSED(wg)
+    if n == "KuruczSED":
+        return KuruczSED(wg, node.scalar("metallicity"),
+                         node.scalar("temperature"), node.scalar("gravity"))
+    raise SkiParseError(f"unsupported SED '{n}'")
+
+
+def build_mix(node: Node, wg):
+    n = node.name
+    if n == "SimpleOligoDustMix":
+        return SimpleOligoDustMix(wg, parse_list(node.attrs["opacities"]),
+                                  parse_list(node.attrs["albedos"]),
+                                  parse_list(node.attrs["asymmetryParameters"]))
+    if n == "MeanZubkoDustMix":
+        return MeanZubkoDustMix(wg)
+    if n == "TrustMeanDustMix":
+        return TrustMeanDustMix(wg)
+    if n == "DraineLiDustMix":
+        return DraineLiDustMix(wg)
+    if n == "InterstellarDustMix":
+        return InterstellarDustMix(wg)
+    if n == "ElectronDustMix":
+        return ElectronDustMix(wg)
+    raise SkiParseError(f"unsupported dust mix '{n}'")
+
+
+def build_dust_normalization(node: Node):
+    n = node.name
+    s = node.scalar
+    if n == "DustMassDustCompNormalization":
+        return DustMassNormalization(s("dustMass"))
+    axis = {"ZDustCompNormalization": "z",
+            "FaceOnDustCompNormalization": "z",
+            "XDustCompNormalization": "x",
+            "EdgeOnDustCompNormalization": "x",
+            "YDustCompNormalization": "y",
+            "RadialDustCompNormalization": "radial"}.get(n)
+    if axis is not None:
+        return OpticalDepthNormalization(axis, s("wavelength"),
+                                         s("opticalDepth"))
+    raise SkiParseError(f"unsupported dust normalization '{n}'")
+
+
+def _mesh_from(node: Node | None, default_bins: int = 20):
+    if node is None:
+        return LinMesh(default_bins)
+    bins = int(node.scalar("numBins", default_bins))
+    if node.name == "LinMesh":
+        return LinMesh(bins)
+    if node.name == "LogMesh":
+        return LogMesh(bins, node.scalar("centralBinFraction", 1e-3))
+    if node.name in ("PowMesh",):
+        return PowMesh(bins, node.scalar("ratio", 1.0))
+    if node.name in ("SymPowMesh",):
+        return SymPowMesh(bins, node.scalar("ratio", 1.0))
+    raise SkiParseError(f"unsupported mesh '{node.name}'")
+
+
+def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357):
+    n = node.name
+    s = node.scalar
+    if n == "CartesianDustGrid":
+        xb = _mesh_from(node.child("meshX")).scaled(s("minX"), s("maxX"))
+        yb = _mesh_from(node.child("meshY")).scaled(s("minY"), s("maxY"))
+        zb = _mesh_from(node.child("meshZ")).scaled(s("minZ"), s("maxZ"))
+        return CartesianGrid(xb, yb, zb)
+    if n == "Cylinder2DDustGrid":
+        rb = _mesh_from(node.child("meshR")).scaled(0.0, s("maxR"))
+        zb = _mesh_from(node.child("meshZ")).scaled(s("minZ"), s("maxZ"))
+        return Cylinder2DGrid(rb, zb)
+    if n == "Sphere1DDustGrid":
+        rb = _mesh_from(node.child("meshR")).scaled(0.0, s("maxR"))
+        return Sphere1DGrid(rb)
+    if n in ("OctTreeDustGrid", "BinTreeDustGrid"):
+        extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
+                  s("maxZ"))
+        return OctreeGrid(extent, dust_density_fn,
+                          min_level=int(s("minLevel", 2)),
+                          max_level=int(s("maxLevel", 6)),
+                          max_mass_fraction=s("maxMassFraction", 1e-6),
+                          samples_per_node=int(s("sampleCount", 100)))
+    if n == "VoronoiDustGrid":
+        extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
+                  s("maxZ"))
+        npart = int(s("numParticles", 500))
+        rs = np.random.default_rng(rng_seed)
+        lo = np.array(extent[:3])
+        hi = np.array(extent[3:])
+        dist = node.get("distribution", "Uniform")
+        if dist.lower() == "dustdensity" and dust_density_fn is not None:
+            # importance-sample sites from the dust density by rejection
+            sites = []
+            while len(sites) < npart:
+                cand = rs.uniform(lo, hi, size=(npart * 4, 3))
+                rho = np.asarray(dust_density_fn(cand))
+                keep = rs.uniform(0, rho.max() + 1e-300, size=cand.shape[0]) < rho
+                sites.extend(cand[keep][:npart - len(sites)])
+            sites = np.asarray(sites)
+        else:
+            sites = rs.uniform(lo, hi, size=(npart, 3))
+        return VoronoiGrid(sites, extent)
+    raise SkiParseError(f"unsupported dust grid '{n}'")
+
+
+def build_instrument(node: Node, nlambda: int):
+    n = node.name
+    s = node.scalar
+    common = dict(distance=s("distance"), inclination=s("inclination", 0.0),
+                  azimuth=s("azimuth", 0.0),
+                  position_angle=s("positionAngle", 0.0))
+    name = node.get("instrumentName", "instrument")
+    if n == "SEDInstrument":
+        return SEDInstrument(name, nlambda=nlambda, **common)
+    frame = dict(nx=int(s("pixelsX", 64)), ny=int(s("pixelsY", 64)),
+                 fov_x=s("fieldOfViewX", s("extentX", 0.0)),
+                 fov_y=s("fieldOfViewY", s("extentY", 0.0)),
+                 center_x=s("centerX", 0.0), center_y=s("centerY", 0.0))
+    if n == "FrameInstrument":
+        return FrameInstrument(name, nlambda=nlambda, **common, **frame)
+    if n == "SimpleInstrument":
+        return SimpleInstrument(name, nlambda=nlambda, **common, **frame)
+    if n == "FullInstrument":
+        return FullInstrument(name, nlambda=nlambda, **common, **frame,
+                              nscatt_levels=int(s("scatteringLevels", 0)))
+    raise SkiParseError(f"unsupported instrument '{n}'")
+
+
+def build_stellar_component(node: Node, wg):
+    n = node.name
+    if n == "OligoStellarComp":
+        g = build_geometry(node.child("geometry"))
+        return OligoStellarComponent(g, wg,
+                                     parse_list(node.attrs["luminosities"]))
+    if n in ("PanStellarComp", "GeometricStellarComp"):
+        g = build_geometry(node.child("geometry"))
+        sed = build_sed(node.child("sed"), wg)
+        norm_node = node.child("normalization")
+        if norm_node.name == "BolLuminosityStellarCompNormalization":
+            norm = BolometricLuminosityNormalization(
+                norm_node.scalar("luminosity"))
+        elif norm_node.name == "SpectralLuminosityStellarCompNormalization":
+            norm = SpectralLuminosityNormalization(
+                norm_node.scalar("wavelength"), norm_node.scalar("luminosity"))
+        else:
+            raise SkiParseError(
+                f"unsupported stellar normalization '{norm_node.name}'")
+        return StellarComponent(g, sed, norm)
+    raise SkiParseError(f"unsupported stellar component '{n}'")
+
+
+def build_simulation(sim_node: Node, *, out_dir: str = ".",
+                     prefix: str = "skirt_tpu", packets: float | None = None,
+                     log=None, seed: int | None = None, batch_size=1 << 17):
+    """Construct an OligoSimulation / PanSimulation from a parsed ski tree."""
+    is_pan = sim_node.name == "PanMonteCarloSimulation"
+    if sim_node.name not in ("OligoMonteCarloSimulation",
+                             "PanMonteCarloSimulation"):
+        raise SkiParseError(f"unsupported simulation type '{sim_node.name}'")
+
+    units = build_units(sim_node.child("units"))
+    wg = build_wavelength_grid(sim_node.child("wavelengthGrid"))
+
+    random_node = sim_node.child("random")
+    the_seed = seed if seed is not None else \
+        int(random_node.scalar("seed", 4357)) if random_node else 4357
+
+    ss_node = sim_node.child("stellarSystem")
+    comps = [build_stellar_component(c, wg)
+             for c in ss_node.children.get("components", [])]
+    ss = StellarSystem(comps, emission_bias=ss_node.scalar("emissionBias", 0.5))
+
+    # dust system (optional)
+    dsys = None
+    pan_props = {}
+    ds_node = sim_node.child("dustSystem")
+    if ds_node is not None:
+        dist_node = ds_node.child("dustDistribution")
+        comp_nodes = dist_node.children.get("components", []) \
+            if dist_node else []
+        dcomps = []
+        for cn in comp_nodes:
+            g = build_geometry(cn.child("geometry"))
+            mix = build_mix(cn.child("mix"), wg)
+            norm = build_dust_normalization(cn.child("normalization"))
+            dcomps.append(DustComponent(g, mix, norm))
+        if dcomps:
+            def total_density(pos):
+                tot = 0.0
+                for c in dcomps:
+                    tot = tot + c.mass() * np.asarray(c.geometry.density(pos))
+                return tot
+            grid = build_grid(ds_node.child("dustGrid"), total_density,
+                              rng_seed=the_seed)
+            dsys = DustSystem(grid, dcomps,
+                              samples_per_cell=int(
+                                  ds_node.scalar("sampleCount", 100)))
+        if is_pan and ds_node is not None:
+            pan_props = dict(
+                self_absorption=ds_node.boolean("selfAbsorption", True),
+                emission_boost=ds_node.scalar("emissionBoost", 1.0),
+                emission_bias=ds_node.scalar("emissionBias", 0.5),
+            )
+
+    ins_node = sim_node.child("instrumentSystem")
+    instruments = [build_instrument(i, wg.nlambda)
+                   for i in ins_node.children.get("instruments", [])]
+
+    options = LifecycleOptions(
+        min_weight_reduction=sim_node.scalar("minWeightReduction", 1e4),
+        min_scatt_events=int(sim_node.scalar("minScattEvents", 0)),
+        scatt_bias=sim_node.scalar("scattBias", 0.5),
+        store_absorption=is_pan and dsys is not None,
+    )
+
+    npackets = packets if packets is not None else sim_node.scalar("packages", 1e6)
+    kwargs = dict(stellar_system=ss, instruments=instruments, dust_system=dsys,
+                  packets=npackets, seed=the_seed, options=options,
+                  units=units, out_dir=out_dir, prefix=prefix,
+                  batch_size=batch_size)
+    if log is not None:
+        kwargs["log"] = log
+    if is_pan:
+        return PanSimulation(**kwargs, **pan_props)
+    return OligoSimulation(**kwargs)
+
+
+def load_ski(path: str, **kwargs):
+    """Parse a ski file and build the corresponding simulation."""
+    return build_simulation(parse_ski(path), **kwargs)

@@ -81,9 +81,10 @@ def load_sun_sed(data_dir: str | None = None):
     """
     path = os.path.join(data_dir or DATA_DIR, "SED/Sun/SunSED.dat")
     with open(path) as f:
-        f.readline()
-        n = int(f.readline())
-        data = np.loadtxt(f, max_rows=n)
+        lines = [ln for ln in f
+                 if ln.strip() and not ln.lstrip().startswith("#")]
+    n = int(lines[0])
+    data = np.loadtxt(lines[1:1 + n])
     return data[:, 0] * 1e-6, data[:, 1] * 1e6
 
 

@@ -1,0 +1,135 @@
+"""ski-file loading and CLI tests (the reference's config format)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from skirt_tpu.ski import load_ski, parse_ski, parse_scalar, SkiParseError
+
+
+OLIGO_SKI = """<?xml version="1.0" encoding="UTF-8"?>
+<!--SKIRT radiative transfer simulations-->
+<skirt-simulation-hierarchy type="MonteCarloSimulation" format="6.1">
+  <OligoMonteCarloSimulation packages="2000" minWeightReduction="1e4" scattBias="0.5">
+    <units type="Units">
+      <ExtragalacticUnits fluxOutputStyle="Frequency"/>
+    </units>
+    <wavelengthGrid type="OligoWavelengthGrid">
+      <OligoWavelengthGrid wavelengths="0.55 micron, 1 micron"/>
+    </wavelengthGrid>
+    <stellarSystem type="StellarSystem">
+      <StellarSystem emissionBias="0.5">
+        <components type="StellarComp">
+          <OligoStellarComp luminosities="1e7, 5e6">
+            <geometry type="Geometry">
+              <ExpDiskGeometry radialScale="4400 pc" axialScale="500 pc"/>
+            </geometry>
+          </OligoStellarComp>
+        </components>
+      </StellarSystem>
+    </stellarSystem>
+    <dustSystem type="OligoDustSystem">
+      <OligoDustSystem sampleCount="10">
+        <dustDistribution type="DustDistribution">
+          <CompDustDistribution>
+            <components type="DustComp">
+              <DustComp>
+                <geometry type="Geometry">
+                  <ExpDiskGeometry radialScale="6600 pc" axialScale="250 pc"/>
+                </geometry>
+                <mix type="DustMix">
+                  <SimpleOligoDustMix opacities="2600 m2/kg, 1000 m2/kg" albedos="0.6, 0.5" asymmetryParameters="0.5, 0.4"/>
+                </mix>
+                <normalization type="DustCompNormalization">
+                  <ZDustCompNormalization wavelength="0.55 micron" opticalDepth="1.0"/>
+                </normalization>
+              </DustComp>
+            </components>
+          </CompDustDistribution>
+        </dustDistribution>
+        <dustGrid type="DustGrid">
+          <CartesianDustGrid minX="-15000 pc" maxX="15000 pc" minY="-15000 pc" maxY="15000 pc" minZ="-2000 pc" maxZ="2000 pc">
+            <meshX type="Mesh"><LinMesh numBins="16"/></meshX>
+            <meshY type="Mesh"><LinMesh numBins="16"/></meshY>
+            <meshZ type="Mesh"><SymPowMesh numBins="8" ratio="4"/></meshZ>
+          </CartesianDustGrid>
+        </dustGrid>
+      </OligoDustSystem>
+    </dustSystem>
+    <instrumentSystem type="InstrumentSystem">
+      <InstrumentSystem>
+        <instruments type="Instrument">
+          <SimpleInstrument instrumentName="i88" distance="10 Mpc" inclination="88 deg" azimuth="0 deg" positionAngle="0 deg" fieldOfViewX="30000 pc" pixelsX="16" fieldOfViewY="30000 pc" pixelsY="16"/>
+          <SEDInstrument instrumentName="sed0" distance="10 Mpc" inclination="0 deg"/>
+        </instruments>
+      </InstrumentSystem>
+    </instrumentSystem>
+  </OligoMonteCarloSimulation>
+</skirt-simulation-hierarchy>
+"""
+
+
+class TestParsing:
+    def test_parse_scalar_units(self):
+        from skirt_tpu.constants import PC, MPC
+        assert parse_scalar("4400 pc") == pytest.approx(4400 * PC)
+        assert parse_scalar("10 Mpc") == pytest.approx(10 * MPC)
+        assert parse_scalar("88 deg") == pytest.approx(np.deg2rad(88))
+        assert parse_scalar("1e6") == 1e6
+
+    def test_parse_tree(self, tmp_path):
+        p = tmp_path / "model.ski"
+        p.write_text(OLIGO_SKI)
+        node = parse_ski(str(p))
+        assert node.name == "OligoMonteCarloSimulation"
+        assert node.scalar("packages") == 2000
+        wg = node.child("wavelengthGrid")
+        assert wg.name == "OligoWavelengthGrid"
+
+    def test_unknown_class_raises(self, tmp_path):
+        bad = OLIGO_SKI.replace("ExpDiskGeometry", "WeirdGeometry")
+        p = tmp_path / "bad.ski"
+        p.write_text(bad)
+        with pytest.raises(SkiParseError, match="WeirdGeometry"):
+            load_ski(str(p))
+
+
+class TestEndToEnd:
+    def test_load_and_run(self, tmp_path):
+        from skirt_tpu.log import SilentLog
+        p = tmp_path / "disc.ski"
+        p.write_text(OLIGO_SKI)
+        sim = load_ski(str(p), out_dir=str(tmp_path), log=SilentLog(),
+                       batch_size=1 << 13)
+        assert sim.nlambda == 2
+        assert sim.dust_system is not None
+        assert len(sim.instruments) == 2
+        # units style from the ski file
+        assert sim.units.flux_style == "frequency"
+        acc = sim.run()
+        # outputs written with ski-derived names
+        assert os.path.exists(tmp_path / "skirt_tpu_i88_total.fits")
+        assert os.path.exists(tmp_path / "skirt_tpu_sed0_sed.dat")
+        F = acc["instruments"][1]["Ftot"]
+        assert np.all(np.isfinite(F)) and F.sum() > 0
+
+
+class TestCli:
+    def test_cli_emulate(self, tmp_path):
+        p = tmp_path / "cli.ski"
+        p.write_text(OLIGO_SKI)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        code = subprocess.run(
+            [sys.executable, "-m", "skirt_tpu.cli", "--cpu", "-e", "-b",
+             "-o", str(tmp_path), str(p)],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert code.returncode == 0, code.stderr
+        assert os.path.exists(tmp_path / "cli_i88_total.fits")
+
+    def test_cli_missing_file(self):
+        from skirt_tpu.cli import main
+        assert main(["/nonexistent/file.ski", "--cpu"]) == 2
