@@ -51,11 +51,14 @@ def make_peel_off(grid, dust_system, instrument):
     extinction along the observer direction and detecting."""
 
     def peel(tallies, pos, ell, contribution, tags):
-        kobs = jnp.broadcast_to(instrument.kobs_dev, pos.shape)
+        kobs = instrument.observer_direction(pos)
+        max_s = instrument.observer_distance(pos) \
+            if hasattr(instrument, "observer_distance") else None
         if dust_system is not None:
             state0 = begin_traversal(grid, pos, kobs)
             kapparho = dust_system.kapparho_ext_fn(ell)
-            tau = traversal.optical_depth(grid, kapparho, pos, kobs, state0=state0)
+            tau = traversal.optical_depth(grid, kapparho, pos, kobs,
+                                          state0=state0, max_s=max_s)
         else:
             tau = jnp.zeros(contribution.shape, contribution.dtype)
         extincted = contribution * jnp.exp(-tau)
@@ -179,8 +182,9 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             if scattering_peeloff:
                 tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
                 for i, peel in enumerate(peels):
-                    cosalpha = jnp.sum(direction * instruments[i].kobs_dev,
-                                       axis=-1)
+                    cosalpha = jnp.sum(
+                        direction * instruments[i].observer_direction(pos),
+                        axis=-1)
                     w = ds.phase_value(cell_at, ell, cosalpha)
                     contribution = jnp.where(alive, L * w, 0.0)
                     ins_tallies[i] = peel(ins_tallies[i], pos, ell,

@@ -86,7 +86,10 @@ class PanSimulation(OligoSimulation):
 
     def __init__(self, *, self_absorption: bool = True,
                  emission_boost: float = 1.0, emission_bias: float = 0.5,
+                 write_temperature: bool = False, write_isrf: bool = False,
                  **kw):
+        self.write_temperature = write_temperature
+        self.write_isrf = write_isrf
         kw.setdefault("options", None)
         super().__init__(**kw)
         if self.dust_system is None:
@@ -246,6 +249,12 @@ class PanSimulation(OligoSimulation):
         acc["labs_stellar"] = labs_stellar
         acc["labs_dust"] = labs_dust
         self.write(acc)
+        from ..media import outputs as ds_out
+        if self.write_temperature:
+            ds_out.write_temperature_cuts(self, acc, self.units, self.out_dir,
+                                          self.prefix)
+        if self.write_isrf:
+            ds_out.write_isrf(self, acc, self.units, self.out_dir, self.prefix)
         return acc
 
     # -- diagnostics -------------------------------------------------------

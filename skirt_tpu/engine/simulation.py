@@ -36,7 +36,8 @@ class OligoSimulation:
                  options: LifecycleOptions | None = None,
                  batch_size: int = 1 << 17, log: Log | None = None,
                  units: Units | None = None, out_dir: str = ".",
-                 prefix: str = "skirt_tpu"):
+                 prefix: str = "skirt_tpu", write_convergence: bool = False,
+                 write_density: bool = False):
         self.stellar_system = stellar_system
         self.instruments = list(instruments)
         self.dust_system = dust_system
@@ -48,6 +49,8 @@ class OligoSimulation:
         self.units = units or Units()
         self.out_dir = out_dir
         self.prefix = prefix
+        self.write_convergence = write_convergence
+        self.write_density = write_density
 
         self.wavelength_grid = stellar_system.wavelength_grid
         self.nlambda = self.wavelength_grid.nlambda
@@ -131,4 +134,12 @@ class OligoSimulation:
         for ins, a in zip(self.instruments, acc["instruments"]):
             ins.write(a, self.wavelength_grid, self.units, self.out_dir,
                       self.prefix)
+        if self.dust_system is not None:
+            from ..media import outputs as ds_out
+            if self.write_convergence:
+                ds_out.write_convergence(self.dust_system, self.units,
+                                         self.out_dir, self.prefix, self.log)
+            if self.write_density:
+                ds_out.write_density_cuts(self.dust_system, self.units,
+                                          self.out_dir, self.prefix)
         self.log.success("Wrote instrument outputs to " + self.out_dir)

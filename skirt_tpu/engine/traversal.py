@@ -52,14 +52,23 @@ def sweep(grid, origin, direction, seg_fn, carry0, state0=None,
     return carry, state
 
 
-def optical_depth(grid, kapparho_of_cell, origin, direction, state0=None):
+def optical_depth(grid, kapparho_of_cell, origin, direction, state0=None,
+                  max_s=None):
     """Total optical depth from origin to the domain boundary.
 
     kapparho_of_cell(cell) -> extinction coefficient [1/m] per packet
-    (must return 0 for cell == -1).
+    (must return 0 for cell == -1).  With max_s (per-packet path-length
+    limit, e.g. the distance to a perspective camera) accumulation stops
+    at that distance (ref: DustGridPath::opticalDepth(kapparho, d)).
     """
-    def seg(tau, cell, ds, _t):
-        return tau + kapparho_of_cell(cell) * ds, jnp.ones_like(tau, dtype=bool)
+    def seg(tau, cell, ds, t_exit):
+        if max_s is not None:
+            seg_start = t_exit - ds
+            ds = jnp.clip(jnp.minimum(t_exit, max_s) - seg_start, 0.0, ds)
+            cont = t_exit < max_s
+        else:
+            cont = jnp.ones_like(tau, dtype=bool)
+        return tau + kapparho_of_cell(cell) * ds, cont
 
     tau0 = jnp.zeros(origin.shape[:-1], dtype=origin.dtype)
     tau, _ = sweep(grid, origin, direction, seg, tau0, state0=state0)

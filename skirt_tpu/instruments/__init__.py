@@ -8,8 +8,11 @@ from .instruments import (
     FullInstrument,
     InstrumentSystem,
 )
+from .perspective import PerspectiveInstrument
+from .multiframe import InstrumentFrame, MultiFrameInstrument
 
 __all__ = [
     "DistantInstrument", "SEDInstrument", "FrameInstrument",
     "SimpleInstrument", "FullInstrument", "InstrumentSystem",
+    "PerspectiveInstrument", "InstrumentFrame", "MultiFrameInstrument",
 ]

@@ -54,6 +54,13 @@ class DistantInstrument:
 
     # -- device-side -------------------------------------------------------
 
+    def observer_direction(self, pos):
+        """Unit direction toward the observer from each position.
+
+        Constant for distant instruments (ref: DistantInstrument::bfkobs).
+        """
+        return jnp.broadcast_to(self.kobs_dev, pos.shape)
+
     def project(self, pos):
         """Model position -> detector-plane (xp, yp).
 

@@ -457,6 +457,8 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                 self_absorption=ds_node.boolean("selfAbsorption", True),
                 emission_boost=ds_node.scalar("emissionBoost", 1.0),
                 emission_bias=ds_node.scalar("emissionBias", 0.5),
+                write_temperature=ds_node.boolean("writeTemperature"),
+                write_isrf=ds_node.boolean("writeISRF"),
             )
 
     ins_node = sim_node.child("instrumentSystem")
@@ -475,6 +477,9 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                   packets=npackets, seed=the_seed, options=options,
                   units=units, out_dir=out_dir, prefix=prefix,
                   batch_size=batch_size)
+    if ds_node is not None:
+        kwargs["write_convergence"] = ds_node.boolean("writeConvergence")
+        kwargs["write_density"] = ds_node.boolean("writeDensity")
     if log is not None:
         kwargs["log"] = log
     if is_pan:
