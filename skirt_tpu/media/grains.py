@@ -1,0 +1,381 @@
+"""Grain compositions, size distributions, and the multi-grain dust mix.
+
+ref: SKIRTcore/GrainComposition family (16 classes; Draine graphite /
+silicate / PAH loaders via loadOpticalGrid, Debye-model enthalpies from
+Draine & Li 2001, bulk densities), GrainSizeDistribution family (8
+classes: power-law/MRN, log-normal, Zubko functional forms), and
+MultiGrainDustMix.hpp:25-104 (populations = composition x size
+distribution x Nbins; size-integrated cross sections; enthalpy support
+for transient heating).
+
+Data: dat/GrainComposition/Draine/*.dat — per-radius blocks of
+(wavelength [micron], Q_abs, Q_sca, g), wavelengths descending
+(format decoded from the file header and DraineGraphiteGrainComposition.cpp).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import DATA_DIR
+from ..constants import K_BOLTZMANN, M_PROTON
+from ..numerics import resample_loglog
+from ..wavelengths import WavelengthGrid
+from .mix import DustMix
+
+
+# ---------------------------------------------------------------------------
+# Debye-model enthalpies (Draine & Li 2001 eqs. 9-11)
+# ---------------------------------------------------------------------------
+
+def _debye(n: int, x) -> np.ndarray:
+    """Debye function D_n(x) = n/x^n int_0^x t^n/(e^t-1) dt."""
+    scalar = np.isscalar(x) or np.ndim(x) == 0
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    out = np.empty_like(x)
+    for i, xi in enumerate(x):
+        if xi <= 0:
+            out[i] = 1.0
+            continue
+        t = np.linspace(1e-8, xi, 2000)
+        out[i] = n / xi ** n * np.trapezoid(t ** n / np.expm1(t), t)
+    return out[0] if scalar else out
+
+
+def _fn(n: int, x: np.ndarray) -> np.ndarray:
+    """f_n(x) of Draine & Li (2001) eq. 10: f_n(x) = x D_n(1/x).
+
+    Note: the reference divides by n^2 (DraineGraphiteGrainComposition.cpp
+    fn()), which breaks the Dulong-Petit limit — DL01's heat capacity
+    per atom must approach 3k at high T; we keep the physical form.
+    """
+    return _debye(n, 1.0 / np.asarray(x)) * np.asarray(x)
+
+
+def graphite_enthalpy(T):
+    """J/kg (ref: DraineGraphiteGrainComposition::enthalpyfunction)."""
+    T = np.maximum(np.asarray(T, dtype=np.float64), 1e-3)
+    TD1, TD2 = 863.0, 2504.0
+    h = K_BOLTZMANN * (TD1 * _fn(2, T / TD1) + 2.0 * TD2 * _fn(2, T / TD2))
+    return h / (12.015 * M_PROTON)
+
+
+def silicate_enthalpy(T):
+    """J/kg (ref: DraineSilicateGrainComposition::enthalpyfunction)."""
+    T = np.maximum(np.asarray(T, dtype=np.float64), 1e-3)
+    TD1, TD2 = 500.0, 1500.0
+    h = K_BOLTZMANN * (2.0 * TD1 * _fn(2, T / TD1) + TD2 * _fn(3, T / TD2))
+    msil = (24.3050 + 55.845 + 28.0855 + 15.9994 * 4) / 7.0
+    return h / (msil * M_PROTON)
+
+
+# ---------------------------------------------------------------------------
+# optical data loader
+# ---------------------------------------------------------------------------
+
+def load_draine_optical(path: str):
+    """Read a Draine-format optical grid.
+
+    Returns (a [m], lam [m], Qabs[a, lam], Qsca[a, lam], g[a, lam]) with
+    both axes ascending.
+    """
+    with open(path) as f:
+        lines = [ln for ln in f
+                 if ln.strip() and not ln.lstrip().startswith("#")]
+    i = 0
+    nrad = int(lines[i].split()[0]); i += 1
+    nwav = int(lines[i].split()[0]); i += 1
+    av = np.empty(nrad)
+    Qabs = np.empty((nrad, nwav))
+    Qsca = np.empty((nrad, nwav))
+    g = np.empty((nrad, nwav))
+    lam = None
+    for r in range(nrad):
+        av[r] = float(lines[i].split()[0]) * 1e-6; i += 1
+        block = np.array([[float(x) for x in lines[i + k].split()[:4]]
+                          for k in range(nwav)])
+        i += nwav
+        order = np.argsort(block[:, 0])
+        block = block[order]
+        if lam is None:
+            lam = block[:, 0] * 1e-6
+        Qabs[r] = block[:, 1]
+        Qsca[r] = block[:, 2]
+        g[r] = block[:, 3]
+    order = np.argsort(av)
+    return av[order], lam, Qabs[order], Qsca[order], g[order]
+
+
+# ---------------------------------------------------------------------------
+# grain compositions
+# ---------------------------------------------------------------------------
+
+class GrainComposition:
+    """Optical + calorimetric properties of a grain material."""
+
+    name = "generic"
+
+    def __init__(self, optical_file: str, enthalpy_fn, bulk_density: float,
+                 data_dir: str | None = None):
+        path = os.path.join(data_dir or DATA_DIR, optical_file)
+        self.a, self.lam, self.Qabs, self.Qsca, self.g = \
+            load_draine_optical(path)
+        self.enthalpy = enthalpy_fn           # J/kg as function of T
+        self.bulk_density = float(bulk_density)
+
+    def section_abs(self, lam_target, a_target):
+        """sigma_abs(lam, a) = Q_abs * pi a^2 [m^2] on target grids."""
+        return self._section(self.Qabs, lam_target, a_target)
+
+    def section_sca(self, lam_target, a_target):
+        return self._section(self.Qsca, lam_target, a_target)
+
+    def asymmpar(self, lam_target, a_target):
+        out = np.empty((len(a_target), len(lam_target)))
+        for j, at in enumerate(a_target):
+            i = np.clip(np.searchsorted(self.a, at) - 1, 0, len(self.a) - 2)
+            t = np.clip((np.log(at) - np.log(self.a[i]))
+                        / (np.log(self.a[i + 1]) - np.log(self.a[i])), 0, 1)
+            row = (1 - t) * self.g[i] + t * self.g[i + 1]
+            out[j] = np.interp(np.log(lam_target), np.log(self.lam), row)
+        return out
+
+    def _section(self, Q, lam_target, a_target):
+        out = np.empty((len(a_target), len(lam_target)))
+        for j, at in enumerate(a_target):
+            i = np.clip(np.searchsorted(self.a, at) - 1, 0, len(self.a) - 2)
+            t = np.clip((np.log(at) - np.log(self.a[i]))
+                        / (np.log(self.a[i + 1]) - np.log(self.a[i])), 0, 1)
+            # interpolate log Q between adjacent radii, then over wavelength
+            with np.errstate(divide="ignore"):
+                logQ = (1 - t) * np.log(np.maximum(Q[i], 1e-300)) \
+                    + t * np.log(np.maximum(Q[i + 1], 1e-300))
+            Qrow = np.exp(np.interp(np.log(lam_target), np.log(self.lam), logQ))
+            out[j] = Qrow * np.pi * at * at
+        return out
+
+
+class DraineGraphiteGrainComposition(GrainComposition):
+    name = "Draine_Graphite"
+
+    def __init__(self, data_dir=None):
+        super().__init__("GrainComposition/Draine/Gra_81.dat",
+                         graphite_enthalpy, 2.24e3, data_dir)
+
+
+class DraineSilicateGrainComposition(GrainComposition):
+    name = "Draine_Silicate"
+
+    def __init__(self, data_dir=None):
+        super().__init__("GrainComposition/Draine/suvSil_81.dat",
+                         silicate_enthalpy, 3.0e3, data_dir)
+
+
+class DraineNeutralPAHGrainComposition(GrainComposition):
+    name = "Draine_Neutral_PAH"
+
+    def __init__(self, data_dir=None):
+        super().__init__("GrainComposition/Draine/PAHneu_30.dat",
+                         graphite_enthalpy, 2.24e3, data_dir)
+
+
+class DraineIonizedPAHGrainComposition(GrainComposition):
+    name = "Draine_Ionized_PAH"
+
+    def __init__(self, data_dir=None):
+        super().__init__("GrainComposition/Draine/PAHion_30.dat",
+                         graphite_enthalpy, 2.24e3, data_dir)
+
+
+# ---------------------------------------------------------------------------
+# size distributions
+# ---------------------------------------------------------------------------
+
+class GrainSizeDistribution:
+    """dn/da ∝ f(a) on [amin, amax]; `factor` C scales the proportionality.
+
+    ref: SKIRTcore/GrainSizeDistribution.hpp (the value is dn_per_H/da).
+    """
+
+    def __init__(self, amin: float, amax: float, factor: float = 1.0):
+        self.amin = float(amin)
+        self.amax = float(amax)
+        self.factor = float(factor)
+
+    def dnda(self, a):
+        raise NotImplementedError
+
+
+class PowerLawGrainSizeDistribution(GrainSizeDistribution):
+    """MRN: dn/da ∝ a^-gamma (default 3.5).
+
+    ref: PowerLawGrainSizeDistribution.cpp.
+    """
+
+    def __init__(self, amin=5e-9, amax=250e-9, gamma=3.5, factor=1.0):
+        super().__init__(amin, amax, factor)
+        self.gamma = float(gamma)
+
+    def dnda(self, a):
+        a = np.asarray(a, dtype=np.float64)
+        return np.where((a >= self.amin) & (a <= self.amax),
+                        self.factor * a ** (-self.gamma), 0.0)
+
+
+class LogNormalGrainSizeDistribution(GrainSizeDistribution):
+    """dn/da ∝ (1/a) exp(-ln^2(a/a0)/2w^2) (ref: LogNormalGrainSize...cpp)."""
+
+    def __init__(self, amin, amax, a0, width, factor=1.0):
+        super().__init__(amin, amax, factor)
+        self.a0 = float(a0)
+        self.width = float(width)
+
+    def dnda(self, a):
+        a = np.asarray(a, dtype=np.float64)
+        x = np.log(np.maximum(a, 1e-300) / self.a0)
+        val = self.factor / a * np.exp(-0.5 * (x / self.width) ** 2)
+        return np.where((a >= self.amin) & (a <= self.amax), val, 0.0)
+
+
+class ModifiedPowerLawGrainSizeDistribution(GrainSizeDistribution):
+    """Power law with curvature and exponential decay terms.
+
+    ref: ModifiedPowerLawGrainSizeDistribution.cpp (Zubko-style):
+    dn/da ∝ a^-alpha * [1 + |zeta| (a/au)^eta]^sign(zeta)
+            * exp(-(a/at)^gamma) for a > at else 1.
+    """
+
+    def __init__(self, amin, amax, alpha=3.5, turnoff=0.1e-6,
+                 scale_exp=1.0, zeta=0.0, eta=1.0, au=0.1e-6, factor=1.0):
+        super().__init__(amin, amax, factor)
+        self.alpha = float(alpha)
+        self.at = float(turnoff)
+        self.gamma_exp = float(scale_exp)
+        self.zeta = float(zeta)
+        self.eta = float(eta)
+        self.au = float(au)
+
+    def dnda(self, a):
+        a = np.asarray(a, dtype=np.float64)
+        base = a ** (-self.alpha)
+        curve = (1.0 + abs(self.zeta) * (a / self.au) ** self.eta) \
+            ** np.sign(self.zeta)
+        decay = np.where(a > self.at,
+                         np.exp(-((a - self.at) / self.at) ** self.gamma_exp),
+                         1.0)
+        val = self.factor * base * curve * decay
+        return np.where((a >= self.amin) & (a <= self.amax), val, 0.0)
+
+
+class SingleGrainSizeDistribution(GrainSizeDistribution):
+    """Delta-function at size ac, represented as a narrow bin.
+
+    ref: SingleGrainSizeDistribution.cpp.
+    """
+
+    def __init__(self, ac: float, factor=1.0):
+        eps = 1e-3
+        super().__init__(ac * (1 - eps), ac * (1 + eps), factor)
+        self.ac = float(ac)
+
+    def dnda(self, a):
+        a = np.asarray(a, dtype=np.float64)
+        width = self.amax - self.amin
+        return np.where((a >= self.amin) & (a <= self.amax),
+                        self.factor / width, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# multi-grain dust mix
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GrainPopulation:
+    """One size bin of one composition: integrated optical properties."""
+    composition: GrainComposition
+    amin: float
+    amax: float
+    mu: float                # dust mass per H [kg]
+    sigmaabs: np.ndarray     # (Nlambda,) m^2 per H
+    sigmasca: np.ndarray
+    gsca: np.ndarray         # scattering-weighted asymmetry
+    mean_mass: np.ndarray    # mean grain mass in the bin [kg]
+    mean_section_abs: np.ndarray  # per-grain sigma_abs [m^2] (Nlambda,)
+
+
+class MultiGrainDustMix(DustMix):
+    """Dust mix built from (composition, size distribution, Nbins) entries.
+
+    ref: SKIRTcore/MultiGrainDustMix.hpp:25-104 / .cpp — per size bin:
+    sigma_X(lambda) = int_bin sigma_X(lambda, a) dn/da da;
+    mu = int_bin (4 pi/3) a^3 rho_bulk dn/da da.
+    """
+
+    def __init__(self, wavelength_grid: WavelengthGrid, entries,
+                 quadrature_points: int = 128):
+        self.populations: list[GrainPopulation] = []
+        lam = wavelength_grid.lambdav
+        for composition, sized, nbins in entries:
+            edges = np.logspace(np.log10(sized.amin), np.log10(sized.amax),
+                                nbins + 1)
+            for b in range(nbins):
+                alo, ahi = edges[b], edges[b + 1]
+                av = np.logspace(np.log10(alo), np.log10(ahi),
+                                 quadrature_points)
+                w = sized.dnda(av)
+                sab = composition.section_abs(lam, av)   # (Na, Nl)
+                ssc = composition.section_sca(lam, av)
+                gv = composition.asymmpar(lam, av)
+                sigabs = np.trapezoid(sab * w[:, None], av, axis=0)
+                sigsca = np.trapezoid(ssc * w[:, None], av, axis=0)
+                gnum = np.trapezoid(gv * ssc * w[:, None], av, axis=0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    gsca = np.where(sigsca > 0, gnum / np.maximum(sigsca, 1e-300),
+                                    0.0)
+                grain_mass = 4.0 / 3.0 * np.pi * av ** 3 * composition.bulk_density
+                mu = np.trapezoid(grain_mass * w, av)
+                number = np.trapezoid(w, av)
+                mean_mass = mu / max(number, 1e-300)
+                mean_sec = sigabs / max(number, 1e-300)
+                self.populations.append(GrainPopulation(
+                    composition, alo, ahi, mu, sigabs, sigsca, gsca,
+                    mean_mass, mean_sec))
+
+        mu_tot = sum(p.mu for p in self.populations)
+        ksca_tot = sum(p.sigmasca for p in self.populations) / mu_tot
+        kabs_tot = sum(p.sigmaabs for p in self.populations) / mu_tot
+        gnum = sum(p.gsca * p.sigmasca for p in self.populations)
+        gden = sum(p.sigmasca for p in self.populations)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g_tot = np.where(gden > 0, gnum / np.maximum(gden, 1e-300), 0.0)
+        super().__init__(wavelength_grid, kabs_tot, ksca_tot, g_tot)
+        self.mu = mu_tot
+
+    @property
+    def npop(self) -> int:
+        return len(self.populations)
+
+
+class MRNDustMix(MultiGrainDustMix):
+    """Classic MRN graphite + silicate mix.
+
+    ref: SKIRTcore/MRNDustMix.cpp — a^-3.5 on 5-250 nm with Weingartner &
+    Draine (2001) normalizations Cg = 10^-25.13 cm^2.5/H, Cs = 10^-25.11.
+    """
+
+    def __init__(self, wavelength_grid, graphite_bins=5, silicate_bins=5,
+                 data_dir=None):
+        gra = DraineGraphiteGrainComposition(data_dir)
+        sil = DraineSilicateGrainComposition(data_dir)
+        amin, amax = 5e-9, 250e-9
+        Cg = 10 ** (-25.13) * 1e-5  # cm^2.5 -> m^2.5
+        Cs = 10 ** (-25.11) * 1e-5
+        super().__init__(wavelength_grid, [
+            (gra, PowerLawGrainSizeDistribution(amin, amax, 3.5, Cg),
+             graphite_bins),
+            (sil, PowerLawGrainSizeDistribution(amin, amax, 3.5, Cs),
+             silicate_bins),
+        ])

@@ -1,0 +1,127 @@
+"""Multi-grain dust mix and transient heating tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu.media.grains import (DraineGraphiteGrainComposition,
+                                    DraineSilicateGrainComposition,
+                                    MRNDustMix, MultiGrainDustMix,
+                                    PowerLawGrainSizeDistribution,
+                                    SingleGrainSizeDistribution,
+                                    graphite_enthalpy, silicate_enthalpy)
+from skirt_tpu.media.emissivity import GreyBodyEmissivity
+from skirt_tpu.media.transient import TransientEmissivity
+from skirt_tpu.wavelengths import LogWavelengthGrid
+
+SIGMA_SB = 5.670374419e-8
+
+
+@pytest.fixture(scope="module")
+def wg():
+    return LogWavelengthGrid(0.08e-6, 1200e-6, 80)
+
+
+@pytest.fixture(scope="module")
+def graphite():
+    return DraineGraphiteGrainComposition()
+
+
+class TestCompositions:
+    def test_draine_grid_loaded(self, graphite):
+        assert graphite.a.size == 81
+        assert graphite.lam.size == 241
+        assert np.all(np.diff(graphite.a) > 0)
+        assert np.all(np.diff(graphite.lam) > 0)
+        # Q_abs ~ O(1) in the optical for ~0.1 micron grains
+        sec = graphite.section_abs([0.55e-6], [0.1e-6])
+        Q = sec[0, 0] / (np.pi * (0.1e-6) ** 2)
+        assert 0.1 < Q < 5.0
+
+    def test_enthalpy_monotonic(self):
+        T = np.linspace(5, 2000, 50)
+        for fn in (graphite_enthalpy, silicate_enthalpy):
+            h = fn(T)
+            assert np.all(np.diff(h) > 0)
+        # Dulong-Petit limit: c -> 3k/m at high T; enthalpy slope approaches it
+        from skirt_tpu.constants import K_BOLTZMANN, M_PROTON
+        h1, h2 = graphite_enthalpy([4000.0, 4100.0])
+        slope = (h2 - h1) / 100.0
+        assert slope == pytest.approx(3 * K_BOLTZMANN / (12.015 * M_PROTON),
+                                      rel=0.1)
+
+
+class TestMRN:
+    def test_physical_values(self, wg):
+        mix = MRNDustMix(wg, 3, 3)
+        assert mix.npop == 6
+        # dust mass per H within the literature range
+        assert 1.0e-29 < mix.mu < 2.0e-29
+        iv = wg.nearest(0.55e-6)
+        assert 2000 < mix.kappaext64[iv] < 6000
+        assert 0.4 < mix.albedo64[iv] < 0.7
+        assert 0.3 < mix.g64[iv] < 0.6
+        # extinction falls toward the IR
+        ir = wg.nearest(10e-6)
+        assert mix.kappaext64[ir] < 0.2 * mix.kappaext64[iv]
+
+
+class TestTransient:
+    def test_large_grain_matches_equilibrium(self, wg, graphite):
+        # a single large (0.2 micron) graphite grain in a strong field is in
+        # LTE: the transient spectrum must match the grey-body solution
+        mix = MultiGrainDustMix(wg, [
+            (graphite, SingleGrainSizeDistribution(0.2e-6), 1)])
+        trans = TransientEmissivity(mix, NT=192)
+        grey = GreyBodyEmissivity(mix)
+
+        # blackbody-ish radiation field scaled to heat the grain to ~40 K
+        from skirt_tpu.sources.sed import PlanckFunction
+        J = np.asarray(PlanckFunction(5000.0)(wg.lambdav)) * 3e-13
+        absorbed = float(np.sum(mix.kappaabs64 * J * wg.dlambdav))
+        Teq = float(grey.equilibrium_T(jnp.asarray([absorbed]))[0])
+        assert 20 < Teq < 300
+
+        frac_t = np.asarray(trans.fractions_from_J(
+            jnp.asarray(J[None, :], jnp.float32))[0])
+        frac_g = np.asarray(grey.emissivity_fractions(
+            jnp.asarray([absorbed], jnp.float32))[0])
+        # spectra agree where there is meaningful emission
+        sel = frac_g > 1e-4
+        assert sel.sum() > 5
+        ratio = frac_t[sel] / frac_g[sel]
+        assert np.all(ratio > 0.5) and np.all(ratio < 2.0)
+
+    def test_small_grain_shows_stochastic_excess(self, wg, graphite):
+        # a tiny (1 nm) grain in a weak field spikes to high temperatures:
+        # emission at short wavelengths is far above the equilibrium value
+        mix = MultiGrainDustMix(wg, [
+            (graphite, SingleGrainSizeDistribution(1e-9), 1)])
+        trans = TransientEmissivity(mix, NT=192)
+        grey = GreyBodyEmissivity(mix)
+
+        from skirt_tpu.sources.sed import PlanckFunction
+        J = np.asarray(PlanckFunction(5000.0)(wg.lambdav)) * 1e-14
+        absorbed = float(np.sum(mix.kappaabs64 * J * wg.dlambdav))
+        Teq = float(grey.equilibrium_T(jnp.asarray([absorbed]))[0])
+
+        frac_t = np.asarray(trans.fractions_from_J(
+            jnp.asarray(J[None, :], jnp.float32))[0])
+        frac_g = np.asarray(grey.emissivity_fractions(
+            jnp.asarray([absorbed], jnp.float32))[0])
+        # stochastic heating moves a significant emission fraction to
+        # wavelengths well shortward of the equilibrium peak
+        short = wg.lambdav < 2.898e-3 / Teq / 3.0
+        assert frac_t[short].sum() > 10 * max(frac_g[short].sum(), 1e-12)
+
+    def test_probabilities_normalized(self, wg, graphite):
+        mix = MultiGrainDustMix(wg, [
+            (graphite, PowerLawGrainSizeDistribution(5e-9, 250e-9, 3.5), 3)])
+        trans = TransientEmissivity(mix, NT=96)
+        from skirt_tpu.sources.sed import PlanckFunction
+        J = np.asarray(PlanckFunction(8000.0)(wg.lambdav)) * 1e-13
+        Jb = jnp.asarray(np.tile(J, (4, 1)), jnp.float32)
+        for tab in trans.pops:
+            P = np.asarray(trans._probabilities(tab, Jb))
+            np.testing.assert_allclose(P.sum(axis=1), 1.0, rtol=1e-5)
+            assert np.all(P >= 0)
