@@ -87,9 +87,10 @@ class PanSimulation(OligoSimulation):
     def __init__(self, *, self_absorption: bool = True,
                  emission_boost: float = 1.0, emission_bias: float = 0.5,
                  write_temperature: bool = False, write_isrf: bool = False,
-                 **kw):
+                 emissivity: str = "greybody", **kw):
         self.write_temperature = write_temperature
         self.write_isrf = write_isrf
+        self.emissivity_kind = emissivity
         kw.setdefault("options", None)
         super().__init__(**kw)
         if self.dust_system is None:
@@ -109,8 +110,13 @@ class PanSimulation(OligoSimulation):
 
         if self.dust_system.ncomp != 1:
             raise NotImplementedError(
-                "grey-body emission currently supports one dust component")
-        self.emissivity = GreyBodyEmissivity(self.dust_system.components[0].mix)
+                "dust emission currently supports one dust component")
+        mix = self.dust_system.components[0].mix
+        self.emissivity = GreyBodyEmissivity(mix)
+        self.transient = None
+        if self.emissivity_kind == "transient":
+            from ..media.transient import TransientEmissivity
+            self.transient = TransientEmissivity(mix)
 
         # dust-emission lifecycle variants
         launch = make_dust_launch(self.grid, self.nlambda)
@@ -137,14 +143,19 @@ class PanSimulation(OligoSimulation):
 
     # ------------------------------------------------------------------
 
-    def emission_context(self, labs_bol_dev):
+    def emission_context(self, labs_bol_dev, labs_full=None):
         """Per-cycle emission data: spectra fractions, CDFs, totals.
 
-        labs_bol_dev: (Ncells,) bolometric absorbed luminosity [W].
-        Returns launch_ctx plus Lv for diagnostics.
+        labs_bol_dev: (Ncells,) bolometric absorbed luminosity [W];
+        labs_full: optional (Ncells, Nl) per-wavelength absorption (needed
+        for the transient/stochastic emissivity, which depends on the full
+        radiation-field spectrum, not just the absorbed power).
         """
-        absorbed_per_mass = labs_bol_dev * self._inv4pivrho
-        frac = self.emissivity.emissivity_fractions(absorbed_per_mass)
+        if self.transient is not None and labs_full is not None:
+            frac = self._transient_fractions(labs_full)
+        else:
+            absorbed_per_mass = labs_bol_dev * self._inv4pivrho
+            frac = self.emissivity.emissivity_fractions(absorbed_per_mass)
         # per-wavelength per-cell luminosities: (nl, Ncells)
         Lv = (labs_bol_dev[:, None] * frac).T
         Ltot = jnp.sum(Lv, axis=1)
@@ -154,6 +165,31 @@ class PanSimulation(OligoSimulation):
             [jnp.zeros((self.nlambda, 1), jnp.float32), cum / denom], axis=1)
         return {"cdf": cdf, "Lv": Lv, "Ltot": Ltot,
                 "xi": jnp.float32(self.emission_bias)}
+
+    def _transient_fractions(self, labs_full):
+        """Per-cell emission fractions from the stochastic-heating solver.
+
+        labs_full: (Ncells, Nl) host array; chunked to bound the transition
+        -matrix memory (chunk x NT x NT).
+        """
+        mix = self.dust_system.components[0].mix
+        kabs = np.asarray(mix.kappaabs64)
+        dlam = self.wavelength_grid.dlambdav
+        inv = np.asarray(self._inv4pivrho)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            J = labs_full * inv[:, None] / (kabs[None, :] * dlam[None, :])
+        J = np.where(np.isfinite(J), J, 0.0).astype(np.float32)
+        out = np.empty_like(J)
+        chunk = self.transient.chunk
+        fractions = jax.jit(self.transient.fractions_from_J)
+        for i in range(0, J.shape[0], chunk):
+            block = J[i:i + chunk]
+            pad = chunk - block.shape[0]
+            if pad:
+                block = np.pad(block, ((0, pad), (0, 0)))
+            res = np.asarray(fractions(jnp.asarray(block)))
+            out[i:i + chunk] = res[:chunk - pad if pad else chunk]
+        return jnp.asarray(out)
 
     def _dust_batches(self, packets, Ltot_np):
         nl = self.nlambda
@@ -206,9 +242,10 @@ class PanSimulation(OligoSimulation):
                 for stage in range(3):
                     converged = False
                     for cycle in range(1, MAX_CYCLES + 1):
-                        labs_bol = jnp.asarray(
-                            (labs_stellar + labs_dust).sum(axis=1), jnp.float32)
-                        ctx = self.emission_context(labs_bol)
+                        labs_full = labs_stellar + labs_dust
+                        labs_bol = jnp.asarray(labs_full.sum(axis=1),
+                                               jnp.float32)
+                        ctx = self.emission_context(labs_bol, labs_full)
                         packets = max(int(self.packets * STAGE_FACTORS[stage]), 1)
                         out = self._run_dust_phase(
                             key, self._run_dust_absorb, packets, ctx,
@@ -229,9 +266,9 @@ class PanSimulation(OligoSimulation):
                             f"{STAGE_NAMES[stage]} cycles")
 
         with self.log.timer("the dust emission phase"):
-            labs_bol = jnp.asarray(
-                (labs_stellar + labs_dust).sum(axis=1), jnp.float32)
-            ctx = self.emission_context(labs_bol)
+            labs_full = labs_stellar + labs_dust
+            labs_bol = jnp.asarray(labs_full.sum(axis=1), jnp.float32)
+            ctx = self.emission_context(labs_bol, labs_full)
 
             def zero_plain():
                 return {"instruments": [ins.zero_tallies()
