@@ -3,7 +3,7 @@
 ref: SKIRTcore/MonteCarloSimulation.cpp — dostellaremissionchunk (:265-301),
 peeloffemission (:305-315), peeloffscattering (:319-363),
 simulateescapeandabsorption (:438-515), simulatepropagation (:519-537),
-simulatescattering (:541-549).
+simulatescattering (:541-549); polarization per DustMix.cpp:537-671.
 
 TPU re-design: instead of a scalar per-photon loop, a whole batch of
 packets advances in lockstep through launch -> [traverse+absorb ->
@@ -47,8 +47,8 @@ def begin_traversal(grid, pos, direction):
 
 
 def make_peel_off(grid, dust_system, instrument):
-    """Returns fn(tallies, key?, pos, ell, contribution, tags) applying
-    extinction along the observer direction and detecting."""
+    """Returns fn(tallies, pos, ell, contribution, tags) applying extinction
+    along the observer direction and detecting."""
 
     def peel(tallies, pos, ell, contribution, tags):
         kobs = instrument.observer_direction(pos)
@@ -72,22 +72,28 @@ def make_peel_off(grid, dust_system, instrument):
 def make_lifecycle(grid, dust_system, stellar_system, instruments,
                    options: LifecycleOptions, nlambda: int,
                    launch_fn=None, emission_peeloff: bool = True,
-                   scattering_peeloff: bool = True, is_dust_emission=False):
+                   scattering_peeloff: bool = True, is_dust_emission=False,
+                   mueller=None):
     """Build the jittable per-batch lifecycle function.
 
-    Returns run_batch(key, ell, L0, tallies) -> tallies where
+    Returns run_batch(key, ell, L0, tallies[, launch_ctx]) -> tallies where
     - ell: (N,) int32 wavelength bin per packet,
     - L0:  (N,) float32 launch luminosity per packet [W] (Lv[ell]/Npp),
     - tallies: dict with "instruments" (list of per-instrument dicts) and
       optionally "labs" (flat (Ncells*Nlambda,) absorption tally).
 
-    launch_fn(key, ell, L0) -> (pos, dir, L) overrides the stellar launch
-    (used by the dust-emission phases, ref: dodustemissionchunk).  Setting
+    launch_fn(key, ell, L0, ctx) -> (pos, dir, L) overrides the stellar
+    launch (used by the dust-emission phases, ref: dodustemissionchunk).
     emission_peeloff/scattering_peeloff=False reproduces the reference's
     self-absorption cycles (dodustselfabsorptionchunk: absorb only).
+    mueller: a media.polarization.MuellerTables enables polarized
+    scattering (ref: DustMix polarization branch); packets then carry
+    normalized Stokes ratios and a reference normal.
     """
     ds = dust_system
     peels = [make_peel_off(grid, ds, ins) for ins in instruments]
+    if mueller is not None:
+        from ..media import polarization as pol
 
     def run_batch(key, ell, L0, tallies, launch_ctx=None):
         n = ell.shape[0]
@@ -115,23 +121,34 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         Lthreshold = L0 / options.min_weight_reduction
         labs = tallies.get("labs")
 
-        def cycle_body(state):
-            it, pos, direction, L, nscatt, alive, labs, ins_tallies = state
+        state = dict(
+            it=jnp.int32(0), pos=pos, dir=direction, L=L,
+            nscatt=jnp.zeros(n, jnp.int32), alive=alive,
+            labs=labs if labs is not None else jnp.zeros((1,), jnp.float32),
+            ins=tallies["instruments"],
+        )
+        if mueller is not None:
+            state.update(q=jnp.zeros(n), u=jnp.zeros(n), v=jnp.zeros(n),
+                         normal=jnp.zeros((n, 3)))
+
+        def cycle_body(st):
+            it = st["it"]
+            pos, direction, L = st["pos"], st["dir"], st["L"]
+            nscatt, alive = st["nscatt"], st["alive"]
+            labs_c, ins_tallies = st["labs"], st["ins"]
             kit = rng.event_key(k_cycle, it)
             k1, k2, k3 = jax.random.split(kit, 3)
 
             # -- traverse + absorb (ref: simulateescapeandabsorption) ------
             state0 = begin_traversal(grid, pos, direction)
-            carry0 = dict(
-                tau=jnp.zeros(n, jnp.float32),
-                Lsca=jnp.zeros(n, jnp.float32),
-                labs=labs if labs is not None else jnp.zeros((1,), jnp.float32),
-            )
+            carry0 = dict(tau=jnp.zeros(n, jnp.float32),
+                          Lsca=jnp.zeros(n, jnp.float32), labs=labs_c)
 
             def seg(carry, cell, ds_len, _t):
                 ksca, kext = ds.ksca_kext(cell, ell)
                 dtau = kext * ds_len
-                albedo = jnp.where(kext > 0, ksca / jnp.maximum(kext, 1e-37), 0.0)
+                albedo = jnp.where(kext > 0,
+                                   ksca / jnp.maximum(kext, 1e-37), 0.0)
                 Lint = jnp.where(alive, L, 0.0) * jnp.exp(-carry["tau"]) \
                     * (-jnp.expm1(-dtau))
                 new = dict(carry)
@@ -146,8 +163,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             carry, _ = traversal.sweep(grid, pos, direction, seg, carry0,
                                        state0=state0)
             taupath = carry["tau"]
-            if labs is not None:
-                labs = carry["labs"]
+            labs_c = carry["labs"]
             L = jnp.where(alive, carry["Lsca"], L)
 
             # -- termination (ref: dostellaremissionchunk :289) ------------
@@ -167,8 +183,8 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                 tau_uni = u2 * taupath
                 tau = jnp.where(u1 < xi, tau_uni, tau_exp)
                 p = -jnp.exp(-tau) / jnp.expm1(-jnp.maximum(taupath, 1e-30))
-                q = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
-                weight = p / jnp.maximum(q, 1e-37)
+                qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
+                weight = p / jnp.maximum(qq, 1e-37)
             L = jnp.where(alive, L * weight, L)
 
             kapparho = ds.kapparho_ext_fn(ell)
@@ -182,42 +198,101 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             if scattering_peeloff:
                 tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
                 for i, peel in enumerate(peels):
-                    cosalpha = jnp.sum(
-                        direction * instruments[i].observer_direction(pos),
-                        axis=-1)
-                    w = ds.phase_value(cell_at, ell, cosalpha)
+                    kobs = instruments[i].observer_direction(pos)
+                    cosalpha = jnp.sum(direction * kobs, axis=-1)
+                    if mueller is None:
+                        w = ds.phase_value(cell_at, ell, cosalpha)
+                        tg = tags2
+                    else:
+                        # polarized peel-off (ref: peeloffscattering +
+                        # scatteringPeelOffPolarization)
+                        theta = jnp.arccos(jnp.clip(cosalpha, -1.0, 1.0))
+                        phi = pol.angle_between_planes(st["normal"],
+                                                       direction, kobs)
+                        S11, S12, S33, S34 = mueller.lookup(ell, theta)
+                        pdeg = jnp.sqrt(st["q"] ** 2 + st["u"] ** 2)
+                        pang = 0.5 * jnp.arctan2(st["u"], st["q"])
+                        w = mueller.pfnorm[ell] * (
+                            S11 + pdeg * S12 * jnp.cos(2.0 * (phi - pang)))
+                        qr, ur = pol.rotate_stokes(st["q"], st["u"], phi)
+                        _, q2, u2_, v2 = pol.apply_mueller(
+                            qr, ur, st["v"], S11, S12, S33, S34)
+                        # rotate into the instrument frame (ref: angle
+                        # BetweenScatteringAndInstrumentReference)
+                        nrm = jnp.cross(direction, kobs)
+                        nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+                        nrm = jnp.where(nn > 1e-20, nrm / jnp.maximum(nn, 1e-30),
+                                        st["normal"])
+                        ky = jnp.broadcast_to(
+                            jnp.asarray(instruments[i].ky, jnp.float32),
+                            pos.shape) if hasattr(instruments[i], "ky") else nrm
+                        cosal = jnp.sum(nrm * ky, axis=-1)
+                        sinal = jnp.sum(jnp.cross(nrm, ky) * kobs, axis=-1)
+                        alpha = jnp.arctan2(sinal, cosal)
+                        q3, u3 = pol.rotate_stokes(q2, u2_, alpha)
+                        tg = dict(tags2, stokes=(q3, u3, v2))
                     contribution = jnp.where(alive, L * w, 0.0)
                     ins_tallies[i] = peel(ins_tallies[i], pos, ell,
-                                          contribution, tags2)
+                                          contribution, tg)
 
             # -- scatter (ref: simulatescattering) -------------------------
-            g = ds.sample_scatter_g(jax.random.fold_in(k2, 0), cell_at, ell)
-            u = rng.uniform_open(jax.random.fold_in(k2, 1), (n,))
-            f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u)
-            cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(
-                jnp.abs(g) < 1e-6, 1.0, g))
-            costheta = jnp.where(jnp.abs(g) < 1e-6, 2.0 * u - 1.0,
-                                 jnp.clip(cos_hg, -1.0, 1.0))
-            new_dir = rng.direction_about_axis(k3, direction, costheta)
+            if mueller is None:
+                g = ds.sample_scatter_g(jax.random.fold_in(k2, 0), cell_at, ell)
+                u = rng.uniform_open(jax.random.fold_in(k2, 1), (n,))
+                f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u)
+                cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(
+                    jnp.abs(g) < 1e-6, 1.0, g))
+                costheta = jnp.where(jnp.abs(g) < 1e-6, 2.0 * u - 1.0,
+                                     jnp.clip(cos_hg, -1.0, 1.0))
+                new_dir = rng.direction_about_axis(k3, direction, costheta)
+            else:
+                # ref: DustMix::scatteringDirectionAndPolarization
+                theta = mueller.sample_theta(jax.random.fold_in(k2, 0), ell)
+                pdeg = jnp.sqrt(st["q"] ** 2 + st["u"] ** 2)
+                pang = 0.5 * jnp.arctan2(st["u"], st["q"])
+                # unpolarized packets need a well-defined reference normal
+                have_n = jnp.linalg.norm(st["normal"], axis=-1) > 1e-6
+                default_n = rng.isotropic_direction(
+                    jax.random.fold_in(k2, 2), (n,))
+                default_n = default_n - direction * jnp.sum(
+                    default_n * direction, axis=-1, keepdims=True)
+                default_n = default_n / jnp.maximum(
+                    jnp.linalg.norm(default_n, axis=-1, keepdims=True), 1e-30)
+                normal = jnp.where(have_n[:, None], st["normal"], default_n)
+                phi = mueller.sample_phi(jax.random.fold_in(k2, 1), ell,
+                                         theta, pdeg, pang)
+                qr, ur = pol.rotate_stokes(st["q"], st["u"], phi)
+                normal = pol.rotate_normal(normal, direction, phi)
+                S11, S12, S33, S34 = mueller.lookup(ell, theta)
+                _, q2, u2_, v2 = pol.apply_mueller(qr, ur, st["v"],
+                                                   S11, S12, S33, S34)
+                newdir = (direction * jnp.cos(theta)[:, None]
+                          + jnp.cross(normal, direction)
+                          * jnp.sin(theta)[:, None])
+                new_dir = newdir / jnp.maximum(
+                    jnp.linalg.norm(newdir, axis=-1, keepdims=True), 1e-30)
+                st["q"] = jnp.where(alive, q2, st["q"])
+                st["u"] = jnp.where(alive, u2_, st["u"])
+                st["v"] = jnp.where(alive, v2, st["v"])
+                st["normal"] = jnp.where(alive[:, None], normal, st["normal"])
+
             direction = jnp.where(alive[:, None], new_dir, direction)
             nscatt = jnp.where(alive, nscatt + 1, nscatt)
 
-            return it + 1, pos, direction, L, nscatt, alive, labs, ins_tallies
+            out = dict(st)
+            out.update(it=it + 1, pos=pos, dir=direction, L=L, nscatt=nscatt,
+                       alive=alive, labs=labs_c, ins=ins_tallies)
+            return out
 
-        def cycle_cond(state):
-            it = state[0]
-            alive = state[5]
-            return (it < options.max_scatt_events) & jnp.any(alive)
+        def cycle_cond(st):
+            return (st["it"] < options.max_scatt_events) & jnp.any(st["alive"])
 
-        init = (jnp.int32(0), pos, direction, L, jnp.zeros(n, jnp.int32),
-                alive, labs, tallies["instruments"])
-        _, _, _, _, _, _, labs, ins_tallies = jax.lax.while_loop(
-            cycle_cond, cycle_body, init)
+        final = jax.lax.while_loop(cycle_cond, cycle_body, state)
 
         out = dict(tallies)
-        out["instruments"] = ins_tallies
+        out["instruments"] = final["ins"]
         if labs is not None:
-            out["labs"] = labs
+            out["labs"] = final["labs"]
         return out
 
     return run_batch

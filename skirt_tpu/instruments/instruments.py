@@ -179,9 +179,11 @@ class FullInstrument(SimpleInstrument):
     per-packet provenance: nscatt (0 = direct) and is_dust (dust emission).
     """
 
-    def __init__(self, *args, nscatt_levels: int = 0, **kw):
+    def __init__(self, *args, nscatt_levels: int = 0,
+                 polarization: bool = False, **kw):
         super().__init__(*args, **kw)
         self.nscatt_levels = int(nscatt_levels)
+        self.polarization = bool(polarization)
 
     def zero_tallies(self):
         t = super().zero_tallies()
@@ -193,6 +195,13 @@ class FullInstrument(SimpleInstrument):
         if self.nscatt_levels > 0:
             t["fscatlev"] = jnp.zeros((self.nscatt_levels, npix), jnp.float32)
             t["Fscatlev"] = jnp.zeros((self.nscatt_levels, self.nlambda), jnp.float32)
+        if self.polarization:
+            # Stokes Q/U/V frames + SEDs (ref: FullInstrument.cpp
+            # polarization arrays)
+            for key in ("fQ", "fU", "fV"):
+                t[key] = jnp.zeros((npix,), jnp.float32)
+            for key in ("FQ", "FU", "FV"):
+                t[key] = jnp.zeros((self.nlambda,), jnp.float32)
         return t
 
     def detect(self, tallies, pos, ell, contribution, tags=None):
@@ -233,6 +242,13 @@ class FullInstrument(SimpleInstrument):
                              lev * self.nlambda + ell, -1)
             t["Fscatlev"] = t["Fscatlev"].reshape(-1).at[Fidx].add(
                 contribution, mode="drop").reshape(self.nscatt_levels, -1)
+        if self.polarization and tags.get("stokes") is not None:
+            q, u, v = tags["stokes"]
+            for key_f, key_F, ratio in (("fQ", "FQ", q), ("fU", "FU", u),
+                                        ("fV", "FV", v)):
+                val = contribution * ratio
+                t[key_f] = t[key_f].at[idx].add(val, mode="drop")
+                t[key_F] = t[key_F].at[ell].add(val, mode="drop")
         return t
 
     def write(self, accumulated, wavelength_grid, units: Units, out_dir: str,
@@ -245,6 +261,13 @@ class FullInstrument(SimpleInstrument):
                 "direct": accumulated["Fdirstel"] + accumulated["Fdirdust"],
                 "scattered": accumulated["Fscastel"] + accumulated["Fscadust"],
                 "transparent": accumulated["Ftra"]}
+        if self.polarization:
+            for name, key in (("stokesQ", "fQ"), ("stokesU", "fU"),
+                              ("stokesV", "fV")):
+                frames[name] = accumulated[key]
+            for name, key in (("stokesQ", "FQ"), ("stokesU", "FU"),
+                              ("stokesV", "FV")):
+                seds[name] = accumulated[key]
         _write_cube(self, frames, wavelength_grid, units, out_dir, prefix)
         _write_sed(self, seds, wavelength_grid, units, out_dir, prefix)
 

@@ -1,0 +1,167 @@
+"""Polarization: Stokes-vector algebra and Mueller-matrix scattering.
+
+ref: SKIRTcore/StokesVector.cpp (I,Q,U,V + reference normal, applyMueller,
+rotateStokes), DustMix.cpp:537-671 (polarized scattering: theta from the
+per-wavelength S11 CDF, phi from 1 + p (S12/S11) cos 2(phi - gamma),
+Stokes rotation into the scattering plane, Mueller application, peel-off
+polarization), ElectronDustMix.cpp (Thomson Mueller matrix).
+
+Conventions: the packet luminosity L carries the intensity; q, u, v are
+the normalized Stokes ratios Q/I, U/I, V/I; `normal` is the unit normal
+of the current reference plane (zero vector = unpolarized reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import rng
+
+
+# ---------------------------------------------------------------------------
+# Stokes algebra (device side)
+# ---------------------------------------------------------------------------
+
+def rotate_stokes(q, u, phi):
+    """Rotate the reference frame by phi about the propagation direction.
+
+    ref: StokesVector::rotateStokes — Q' = Q cos2phi + U sin2phi,
+    U' = -Q sin2phi + U cos2phi.
+    """
+    c = jnp.cos(2.0 * phi)
+    s = jnp.sin(2.0 * phi)
+    return q * c + u * s, -q * s + u * c
+
+
+def apply_mueller(q, u, v, S11, S12, S33, S34):
+    """Apply a (block-diagonal) Mueller matrix to normalized Stokes ratios.
+
+    Returns (intensity_factor, q', u', v') where intensity_factor is the
+    multiplicative change of I (ref: StokesVector::applyMueller).
+    """
+    I2 = S11 + S12 * q
+    Q2 = S12 + S11 * q
+    U2 = S33 * u + S34 * v
+    V2 = -S34 * u + S33 * v
+    safe = jnp.maximum(I2, 1e-37)
+    return I2, Q2 / safe, U2 / safe, V2 / safe
+
+
+def rotate_normal(normal, direction, phi):
+    """Rotate the reference normal about the propagation direction by phi."""
+    k = direction
+    cosphi = jnp.cos(phi)[..., None]
+    sinphi = jnp.sin(phi)[..., None]
+    kxn = jnp.cross(k, normal)
+    kdotn = jnp.sum(k * normal, axis=-1, keepdims=True)
+    return normal * cosphi + kxn * sinphi + k * kdotn * (1.0 - cosphi)
+
+
+def angle_between_planes(np_normal, kc, kn):
+    """Angle phi between the previous scattering plane (normal np_normal)
+    and the plane spanned by (kc, kn).
+
+    ref: DustMix.cpp angleBetweenScatteringPlanes.
+    """
+    nc = jnp.cross(kc, kn)
+    norm = jnp.linalg.norm(nc, axis=-1, keepdims=True)
+    nc = nc / jnp.maximum(norm, 1e-30)
+    cosphi = jnp.sum(np_normal * nc, axis=-1)
+    sinphi = jnp.sum(jnp.cross(np_normal, nc) * kc, axis=-1)
+    phi = jnp.arctan2(sinphi, cosphi)
+    degenerate = norm[..., 0] < 1e-20
+    return jnp.where(degenerate, 0.0, phi)
+
+
+# ---------------------------------------------------------------------------
+# Mueller tables
+# ---------------------------------------------------------------------------
+
+class MuellerTables:
+    """Tabulated S11, S12, S33, S34 over (wavelength, theta) + samplers.
+
+    ref: DustMix polarization tables (_S11vv.., theta-CDF sampling).
+    """
+
+    def __init__(self, thetav: np.ndarray, S11, S12, S33, S34):
+        self.thetav64 = np.asarray(thetav, dtype=np.float64)
+        self.ntheta = self.thetav64.size
+        S11 = np.asarray(S11, dtype=np.float64)
+        self.S11 = jnp.asarray(S11, jnp.float32)
+        self.S12 = jnp.asarray(S12, jnp.float32)
+        self.S33 = jnp.asarray(S33, jnp.float32)
+        self.S34 = jnp.asarray(S34, jnp.float32)
+        self.thetav = jnp.asarray(self.thetav64, jnp.float32)
+
+        # per-wavelength theta CDF ~ S11 sin(theta) (ref: DustMix.cpp:716)
+        w = S11 * np.sin(self.thetav64)[None, :]
+        cdf = np.concatenate([np.zeros((S11.shape[0], 1)),
+                              np.cumsum(0.5 * (w[:, 1:] + w[:, :-1])
+                                        * np.diff(self.thetav64), axis=1)],
+                             axis=1)
+        total = cdf[:, -1:]
+        self.theta_cdf = jnp.asarray(cdf / np.maximum(total, 1e-300),
+                                     jnp.float32)
+        # phase function normalization: mean of S11 over solid angle = 1/N
+        # (ref: _pfnormv) — N = 2 / int S11 sin dtheta
+        self.pfnorm = jnp.asarray(
+            2.0 / np.maximum(total[:, 0], 1e-300), jnp.float32)
+
+    def theta_index(self, theta):
+        """ref: DustMix.cpp indexForTheta."""
+        dt = np.pi / (self.ntheta - 1)
+        t = jnp.round(theta / dt).astype(jnp.int32)
+        return jnp.clip(t, 0, self.ntheta - 1)
+
+    def sample_theta(self, key, ell):
+        """Sample theta from the S11 sin(theta) distribution per packet."""
+        u = rng.uniform_open(key, ell.shape)
+        rows = self.theta_cdf[ell]                    # (N, ntheta)
+        i = jnp.clip(jnp.sum((rows <= u[:, None]).astype(jnp.int32), axis=1) - 1,
+                     0, self.ntheta - 2)
+        c0 = jnp.take_along_axis(rows, i[:, None], axis=1)[:, 0]
+        c1 = jnp.take_along_axis(rows, (i + 1)[:, None], axis=1)[:, 0]
+        t = (u - c0) / jnp.maximum(c1 - c0, 1e-30)
+        return self.thetav[i] + t * (self.thetav[i + 1] - self.thetav[i])
+
+    def sample_phi(self, key, ell, theta, pol_degree, pol_angle):
+        """Sample phi from 1 + p (S12/S11) cos(2(phi - gamma)) by Newton
+        inversion of the analytic CDF (ref: DustMix::samplePhi).
+        """
+        t = self.theta_index(theta)
+        S11 = self.S11[ell, t]
+        S12 = self.S12[ell, t]
+        ratio = jnp.where(S11 > 0, S12 / jnp.maximum(S11, 1e-30), 0.0)
+        a = pol_degree * ratio
+        u = rng.uniform_open(key, ell.shape)
+        target = 2.0 * jnp.pi * u
+
+        phi = target  # initial guess (uniform)
+        for _ in range(6):
+            f = phi + 0.5 * a * (jnp.sin(2.0 * (phi - pol_angle))
+                                 + jnp.sin(2.0 * pol_angle)) - target
+            fp = 1.0 + a * jnp.cos(2.0 * (phi - pol_angle))
+            phi = phi - f / jnp.maximum(jnp.abs(fp), 0.2) * jnp.sign(fp)
+        return jnp.mod(phi, 2.0 * jnp.pi)
+
+    def lookup(self, ell, theta):
+        t = self.theta_index(theta)
+        return (self.S11[ell, t], self.S12[ell, t],
+                self.S33[ell, t], self.S34[ell, t])
+
+
+def thomson_mueller(nlambda: int, ntheta: int = 181) -> MuellerTables:
+    """Thomson scattering Mueller matrix (wavelength independent).
+
+    ref: ElectronDustMix.cpp — S11 = (cos^2+1)/2, S12 = (cos^2-1)/2,
+    S33 = cos, S34 = 0.
+    """
+    theta = np.linspace(0.0, np.pi, ntheta)
+    c = np.cos(theta)
+    S11 = np.tile(0.5 * (c * c + 1.0), (nlambda, 1))
+    S12 = np.tile(0.5 * (c * c - 1.0), (nlambda, 1))
+    S33 = np.tile(c, (nlambda, 1))
+    S34 = np.zeros((nlambda, ntheta))
+    return MuellerTables(theta, S11, S12, S33, S34)

@@ -1,0 +1,110 @@
+"""Polarization tests: Stokes algebra and Thomson-scattering physics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu import rng
+from skirt_tpu.engine.lifecycle import LifecycleOptions, make_lifecycle
+from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+from skirt_tpu.grids import CartesianGrid
+from skirt_tpu.instruments import FullInstrument
+from skirt_tpu.media import (DustComponent, DustMassNormalization, DustSystem,
+                             ElectronDustMix)
+from skirt_tpu.media.polarization import (MuellerTables, angle_between_planes,
+                                          apply_mueller, rotate_stokes,
+                                          thomson_mueller)
+from skirt_tpu.sources.stellar import LuminosityStellarComponent, StellarSystem
+from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+
+class TestStokesAlgebra:
+    def test_rotation_preserves_polarization_degree(self):
+        q = jnp.asarray([0.3])
+        u = jnp.asarray([0.4])
+        q2, u2 = rotate_stokes(q, u, jnp.asarray([0.7]))
+        assert float((q2**2 + u2**2)[0]) == pytest.approx(0.25, rel=1e-6)
+
+    def test_rotation_by_pi_identity(self):
+        # Stokes parameters are frame-ambiguous by pi: rotating by pi maps
+        # (q, u) -> (q, u) since 2*pi period
+        q2, u2 = rotate_stokes(jnp.asarray([0.5]), jnp.asarray([-0.2]),
+                               jnp.asarray([np.pi]))
+        assert float(q2[0]) == pytest.approx(0.5, abs=1e-6)
+        assert float(u2[0]) == pytest.approx(-0.2, abs=1e-6)
+
+    def test_thomson_90deg_fully_polarizes(self):
+        m = thomson_mueller(1)
+        ell = jnp.asarray([0])
+        theta = jnp.asarray([np.pi / 2])
+        S11, S12, S33, S34 = m.lookup(ell, theta)
+        # unpolarized in, 90 deg out: q' = S12/S11 = -1
+        _, q, u, v = apply_mueller(jnp.zeros(1), jnp.zeros(1), jnp.zeros(1),
+                                   S11, S12, S33, S34)
+        assert float(q[0]) == pytest.approx(-1.0, rel=1e-6)
+        assert float(u[0]) == pytest.approx(0.0, abs=1e-6)
+
+    def test_theta_sampling_follows_s11(self):
+        m = thomson_mueller(1)
+        ell = jnp.zeros(200000, jnp.int32)
+        th = np.asarray(m.sample_theta(rng.root_key(0), ell))
+        # Thomson theta pdf ∝ (1+cos^2) sin: E[cos^2] = int c^2(1+c^2)/ (int (1+c^2)) over [-1,1]
+        c = np.cos(th)
+        expected = (2 / 3 + 2 / 5) / (2 + 2 / 3)
+        assert (c ** 2).mean() == pytest.approx(expected, rel=0.02)
+
+    def test_angle_between_planes(self):
+        kc = jnp.asarray([[0.0, 0.0, 1.0]])
+        kn = jnp.asarray([[1.0, 0.0, 0.0]])
+        npl = jnp.asarray([[0.0, 1.0, 0.0]])
+        # plane (kc, kn) has normal kc x kn = +y = npl -> angle 0
+        phi = float(angle_between_planes(npl, kc, kn)[0])
+        assert phi == pytest.approx(0.0, abs=1e-6)
+
+
+class TestThomsonSphere:
+    def test_scattered_light_polarized(self):
+        # central source in an optically thin electron sphere observed
+        # edge-on: single 90-deg Thomson scattering along the LOS-perpendicular
+        # axis produces strong linear polarization in the scattered flux
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg, [1.0])])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        mix = ElectronDustMix(wg)
+        R = 0.9
+        tau = 0.2
+        kappa = float(mix.kappaext64[0])
+        mass = tau / (kappa * R) * (4 / 3 * np.pi * R ** 3)
+        comp = DustComponent(UniformSphereGeometry(R), mix,
+                             DustMassNormalization(mass))
+        dsys = DustSystem(grid, [comp], samples_per_cell=4)
+
+        ins = FullInstrument("pol", 100.0, 1, 9, 9, fov_x=2.2, fov_y=2.2,
+                             inclination=np.pi / 2, polarization=True)
+        mueller = thomson_mueller(1)
+        opts = LifecycleOptions()
+        run = make_lifecycle(grid, dsys, ss, [ins], opts, 1, mueller=mueller)
+
+        n = 20000
+        tallies = {"instruments": [ins.zero_tallies()]}
+        out = jax.jit(run)(rng.root_key(5), jnp.zeros(n, jnp.int32),
+                           jnp.full((n,), 1.0 / n, jnp.float32), tallies)
+        t = out["instruments"][0]
+        F_sca = float(t["Fscastel"][0])
+        assert F_sca > 0.01  # tau 0.2: ~18% scattered (albedo 1)
+        # the *integrated* Q/U cancel by symmetry...
+        pol_int = np.hypot(float(t["FQ"][0]), float(t["FU"][0])) / F_sca
+        assert pol_int < 0.05
+        # ...but individual off-center pixels show the tangential pattern:
+        # pixels on the image axes have opposite-sign Q of significant size
+        fQ = np.asarray(t["fQ"]).reshape(9, 9)
+        fsca = np.asarray(t["fscastel"]).reshape(9, 9)
+        # pixel right of center vs pixel above center (offset 2 of 4)
+        qx = fQ[4, 6] / max(fsca[4, 6], 1e-12)
+        qy = fQ[6, 4] / max(fsca[6, 4], 1e-12)
+        assert abs(qx) > 0.15 and abs(qy) > 0.15
+        assert np.sign(qx) == -np.sign(qy)
+        # energy: total detected ~ L for pure scattering by symmetry
+        assert float(t["Ftot"][0]) == pytest.approx(1.0, rel=0.05)
