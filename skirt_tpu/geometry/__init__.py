@@ -27,6 +27,7 @@ from .axial import (
     TTauriDiskGeometry,
 )
 from .general import PointGeometry, BoxGeometry, LaserGeometry, UniformSphereGeometry
+from .foam import FoamGeometry, ReadFitsGeometry
 from .decorators import (
     OffsetGeometryDecorator,
     RotateGeometryDecorator,
@@ -47,6 +48,7 @@ __all__ = [
     "ExpDiskGeometry", "BrokenExpDiskGeometry", "RingGeometry", "TorusGeometry",
     "ConicalShellGeometry", "TTauriDiskGeometry",
     "PointGeometry", "BoxGeometry", "LaserGeometry", "UniformSphereGeometry",
+    "FoamGeometry", "ReadFitsGeometry",
     "OffsetGeometryDecorator", "RotateGeometryDecorator",
     "SpheroidalGeometryDecorator", "TriaxialGeometryDecorator",
     "SphericalCavityDecorator", "CylindricalCavityDecorator",

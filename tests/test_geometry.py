@@ -219,3 +219,40 @@ class TestDecorators:
         # the histogram should be strongly non-uniform (w=1 full modulation)
         h, _ = np.histogram(phis, bins=36)
         assert h.max() > 2.5 * max(h.min(), 1)
+
+
+class TestFoamAndFits:
+    def test_foam_samples_arbitrary_density(self):
+        # a density with two unequal blobs, no analytic sampler
+        def rho(pos):
+            pos = np.atleast_2d(pos)
+            d1 = np.sum((pos - [0.5, 0, 0]) ** 2, axis=-1)
+            d2 = np.sum((pos + [0.5, 0, 0]) ** 2, axis=-1)
+            return 3 * np.exp(-d1 / 0.02) + np.exp(-d2 / 0.02)
+
+        from skirt_tpu.geometry import FoamGeometry
+        g = FoamGeometry(rho, (-1, -1, -1, 1, 1, 1), max_level=6,
+                         cells_target=3000)
+        s = np.asarray(g.generate_position(rng.root_key(8), 50000))
+        right = (s[:, 0] > 0).mean()
+        assert right == pytest.approx(0.75, abs=0.02)
+        # density normalization
+        assert mc_total_mass(g, 1.0, n=400000) == pytest.approx(1.0, rel=0.05)
+
+    def test_read_fits_geometry(self, tmp_path):
+        from skirt_tpu.io.fits import write_fits
+        from skirt_tpu.geometry import ReadFitsGeometry
+        img = np.zeros((16, 16))
+        img[4, 12] = 3.0   # bright spot at i=12 (x>0), j=4 (y<0)
+        img[8, 8] = 1.0
+        path = str(tmp_path / "gal.fits")
+        write_fits(path, img)
+        g = ReadFitsGeometry(path, pixel_scale=0.1, axial_scale=0.05)
+        s = np.asarray(g.generate_position(rng.root_key(9), 20000))
+        bright = (s[:, 0] > 0.2) & (s[:, 1] < -0.2)
+        assert bright.mean() == pytest.approx(0.75, abs=0.02)
+        # z profile is exponential with scale 0.05
+        assert np.abs(s[:, 2]).mean() == pytest.approx(0.05, rel=0.05)
+        # density consistent with sampling (integrates to 1)
+        assert mc_total_mass(g, 0.9, n=500000, seed=12) == pytest.approx(
+            1.0, rel=0.1)
