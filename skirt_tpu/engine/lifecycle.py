@@ -100,18 +100,27 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
 
         # --- launch (ref: StellarSystem::launch) --------------------------
+        comp = None
         if launch_fn is not None:
             pos, direction, L = launch_fn(k_launch, ell, L0, launch_ctx)
         else:
-            pos, direction, L, _comp = stellar_system.launch(k_launch, ell, L0)
+            pos, direction, L, comp = stellar_system.launch(k_launch, ell, L0)
         alive = L > 0
 
         # --- emission peel-off (ref: peeloffemission) ---------------------
         dust_flags = jnp.full(n, bool(is_dust_emission))
         tags = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
+        anisotropic = (comp is not None and stellar_system is not None
+                       and not stellar_system.is_isotropic)
         if emission_peeloff:
             for i, peel in enumerate(peels):
                 contribution = jnp.where(alive, L, 0.0)
+                if anisotropic:
+                    # ref: launchEmissionPeelOff direction-bias weight
+                    kobs = instruments[i].observer_direction(pos)
+                    contribution = contribution * \
+                        stellar_system.direction_probability(ell, pos, kobs,
+                                                             comp)
                 tallies["instruments"][i] = peel(
                     tallies["instruments"][i], pos, ell, contribution, tags)
 

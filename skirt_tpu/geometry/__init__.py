@@ -28,6 +28,8 @@ from .axial import (
 )
 from .general import PointGeometry, BoxGeometry, LaserGeometry, UniformSphereGeometry
 from .foam import FoamGeometry, ReadFitsGeometry
+from .special import (NetzerAccretionDiskGeometry, SpheBackgroundGeometry,
+                      CubBackgroundGeometry)
 from .decorators import (
     OffsetGeometryDecorator,
     RotateGeometryDecorator,
@@ -48,7 +50,8 @@ __all__ = [
     "ExpDiskGeometry", "BrokenExpDiskGeometry", "RingGeometry", "TorusGeometry",
     "ConicalShellGeometry", "TTauriDiskGeometry",
     "PointGeometry", "BoxGeometry", "LaserGeometry", "UniformSphereGeometry",
-    "FoamGeometry", "ReadFitsGeometry",
+    "FoamGeometry", "ReadFitsGeometry", "NetzerAccretionDiskGeometry",
+    "SpheBackgroundGeometry", "CubBackgroundGeometry",
     "OffsetGeometryDecorator", "RotateGeometryDecorator",
     "SpheroidalGeometryDecorator", "TriaxialGeometryDecorator",
     "SphericalCavityDecorator", "CylindricalCavityDecorator",

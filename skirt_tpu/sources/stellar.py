@@ -144,6 +144,24 @@ class StellarSystem:
     def luminosity(self, ell: int) -> float:
         return float(self.Lv[ell])
 
+    @property
+    def is_isotropic(self) -> bool:
+        return all(c.geometry.is_isotropic for c in self.components)
+
+    def direction_probability(self, ell, pos, direction, comp):
+        """Emission-direction probability relative to isotropic per packet.
+
+        ref: PhotonPackage::launchEmissionPeelOff applies the angular
+        distribution's probabilityForDirection to peel-off luminosities.
+        """
+        out = self.components[0].geometry.direction_probability(
+            ell, pos, direction)
+        for i in range(1, self.ncomp):
+            pi = self.components[i].geometry.direction_probability(
+                ell, pos, direction)
+            out = jnp.where(comp == i, pi, out)
+        return out
+
     def launch(self, key, ell, L):
         """Launch a batch: returns (positions, directions, luminosities, comp).
 

@@ -256,3 +256,37 @@ class TestFoamAndFits:
         # density consistent with sampling (integrates to 1)
         assert mc_total_mass(g, 0.9, n=500000, seed=12) == pytest.approx(
             1.0, rel=0.1)
+
+
+class TestAnisotropic:
+    def test_netzer_direction_distribution(self):
+        from skirt_tpu.geometry import NetzerAccretionDiskGeometry
+        g = NetzerAccretionDiskGeometry()
+        pos = jnp.zeros((100000, 3))
+        d = np.asarray(g.generate_direction(rng.root_key(10), None, pos))
+        ct = d[:, 2]
+        # the Netzer profile is symmetric and peaks along the poles
+        assert abs(ct.mean()) < 0.01
+        frac_polar = (np.abs(ct) > 0.8).mean()
+        frac_equator = (np.abs(ct) < 0.2).mean()
+        assert frac_polar > 2.0 * frac_equator
+        # probability normalizes: <p> over isotropic directions = 1
+        iso = np.asarray(rng.isotropic_direction(rng.root_key(11), (200000,)))
+        p = np.asarray(g.direction_probability(None, jnp.asarray(iso) * 0,
+                                               jnp.asarray(iso)))
+        assert p.mean() == pytest.approx(1.0, rel=0.02)
+
+    def test_sphe_background_inward(self):
+        from skirt_tpu.geometry import SpheBackgroundGeometry
+        g = SpheBackgroundGeometry(5.0)
+        pos = g.generate_position(rng.root_key(12), 20000)
+        r = np.linalg.norm(np.asarray(pos), axis=1)
+        np.testing.assert_allclose(r, 5.0, rtol=1e-5)
+        d = np.asarray(g.generate_direction(rng.root_key(13), None, pos))
+        inward = np.sum(np.asarray(pos) * d, axis=1)
+        assert np.all(inward < 0)  # all directions point inward
+        # probability normalizes over isotropic directions
+        iso = rng.isotropic_direction(rng.root_key(14), (200000,))
+        p = np.asarray(g.direction_probability(
+            None, jnp.broadcast_to(jnp.asarray([5.0, 0, 0]), (200000, 3)), iso))
+        assert p.mean() == pytest.approx(1.0, rel=0.02)
