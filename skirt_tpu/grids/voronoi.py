@@ -37,10 +37,15 @@ class VoronoiGrid:
     dimension = 3
 
     def __init__(self, sites: np.ndarray, extent, *,
-                 volume_samples: int = 64, seed: int 	= 31337):
+                 volume_samples: int = 64, seed: int = 31337,
+                 use_native: bool = True):
         """sites: (N, 3) generating points [m]; extent: domain box
         (xmin, ymin, zmin, xmax, ymax, zmax).  volume_samples: MC samples
-        per cell (on average) for volumes/bboxes/densities.
+        per cell (on average) for bboxes/density hooks.
+
+        Cell volumes/centroids/neighbors come from the native C++ exact
+        clipping builder (skirt_tpu.native, the Voro++ role) when
+        available, else from scipy ridges + MC volumes.
         """
         self.extent = np.asarray(extent, dtype=np.float64)
         lo, hi = self.extent[:3], self.extent[3:]
@@ -54,28 +59,44 @@ class VoronoiGrid:
         self._lo = lo
         self._hi = hi
 
-        # --- neighbor adjacency from the Delaunay-dual ridges ------------
-        vor = Voronoi(sites)
-        nbr_lists: list[list[int]] = [[] for _ in range(self.ncells)]
-        for a, b in vor.ridge_points:
-            nbr_lists[a].append(int(b))
-            nbr_lists[b].append(int(a))
-        kmax = max(len(v) for v in nbr_lists)
+        # --- neighbor adjacency + exact volumes ---------------------------
+        native_out = None
+        if use_native:
+            from .. import native as native_mod
+            native_out = native_mod.voronoi_cells(sites, self.extent)
+        self.used_native = native_out is not None
+        if native_out is not None:
+            volumes, centroids, nbr_data, nbr_off = native_out
+            nbr_lists = [list(map(int, nbr_data[nbr_off[i]:nbr_off[i + 1]]))
+                         for i in range(self.ncells)]
+            self.volumes64 = volumes
+            self.centroids64 = centroids
+        else:
+            vor = Voronoi(sites)
+            nbr_lists = [[] for _ in range(self.ncells)]
+            for a, b in vor.ridge_points:
+                nbr_lists[a].append(int(b))
+                nbr_lists[b].append(int(a))
+            self.volumes64 = None  # filled by the MC pass below
+            self.centroids64 = sites
+        kmax = max(max(len(v) for v in nbr_lists), 1)
         nbrs = np.full((self.ncells, kmax), -1, dtype=np.int64)
         for i, v in enumerate(nbr_lists):
-            nbrs[i, :len(v)] = sorted(set(v))[:kmax]
+            uniq = sorted(set(v))[:kmax]
+            nbrs[i, :len(uniq)] = uniq
         self.kmax = kmax
         self.nbrs64 = nbrs
 
-        # --- MC volumes / bounding boxes / density hooks -----------------
+        # --- MC pass: bounding boxes + density hooks (+ volumes fallback) -
         rng_np = np.random.default_rng(seed)
         self._tree = cKDTree(sites)
         nsamp = int(volume_samples) * self.ncells
         pts = rng_np.uniform(lo, hi, size=(nsamp, 3))
         _, owner = self._tree.query(pts, workers=-1)
-        counts = np.bincount(owner, minlength=self.ncells).astype(np.float64)
         box_vol = float(np.prod(hi - lo))
-        self.volumes64 = counts / nsamp * box_vol
+        if self.volumes64 is None:
+            counts = np.bincount(owner, minlength=self.ncells).astype(np.float64)
+            self.volumes64 = counts / nsamp * box_vol
         self._mc_pts = pts
         self._mc_owner = owner
 

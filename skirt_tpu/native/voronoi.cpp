@@ -1,0 +1,316 @@
+// Exact 3-D Voronoi cell construction by iterative half-space clipping.
+//
+// ref: the reference embeds Voro++ (Voro/, used from
+// SKIRTcore/VoronoiMesh.cpp:324-363) to compute, per generating site, the
+// clipped Voronoi cell inside a box domain: its volume, centroid, and the
+// list of neighboring sites sharing a face.  This is a from-scratch
+// implementation of the same cell-based clipping algorithm: each cell
+// starts as the domain box and is cut by the bisector plane of candidate
+// sites in order of distance, stopping once the security radius
+// (2 * max vertex distance) excludes all remaining candidates.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+    double x, y, z;
+};
+
+static inline Vec3 sub(const Vec3& a, const Vec3& b) {
+    return {a.x - b.x, a.y - b.y, a.z - b.z};
+}
+static inline double dot(const Vec3& a, const Vec3& b) {
+    return a.x * b.x + a.y * b.y + a.z * b.z;
+}
+static inline Vec3 cross(const Vec3& a, const Vec3& b) {
+    return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z,
+            a.x * b.y - a.y * b.x};
+}
+
+// A convex polyhedron as a face-vertex mesh.  Faces store vertex indices in
+// counter-clockwise order seen from outside; each face carries the id of
+// the plane that created it (domain walls: -1..-6, bisectors: site index).
+struct Poly {
+    std::vector<Vec3> verts;
+    std::vector<std::vector<int>> faces;
+    std::vector<int64_t> face_ids;
+};
+
+Poly make_box(double x0, double y0, double z0, double x1, double y1,
+              double z1) {
+    Poly p;
+    p.verts = {{x0, y0, z0}, {x1, y0, z0}, {x1, y1, z0}, {x0, y1, z0},
+               {x0, y0, z1}, {x1, y0, z1}, {x1, y1, z1}, {x0, y1, z1}};
+    p.faces = {{0, 3, 2, 1}, {4, 5, 6, 7}, {0, 1, 5, 4},
+               {2, 3, 7, 6}, {1, 2, 6, 5}, {0, 4, 7, 3}};
+    p.face_ids = {-1, -2, -3, -4, -5, -6};
+    return p;
+}
+
+// Clip the polyhedron by the half-space n.(x - o) <= 0; the new cap face
+// gets `id`.  Returns false if the polyhedron is fully removed.
+bool clip(Poly& p, const Vec3& o, const Vec3& n, int64_t id) {
+    const size_t nv = p.verts.size();
+    std::vector<double> d(nv);
+    bool any_in = false, any_out = false;
+    for (size_t i = 0; i < nv; i++) {
+        d[i] = dot(n, sub(p.verts[i], o));
+        if (d[i] <= 0) any_in = true;
+        else any_out = true;
+    }
+    if (!any_out) return true;   // untouched
+    if (!any_in) { p.verts.clear(); p.faces.clear(); p.face_ids.clear();
+                   return false; }
+
+    // cache intersection vertices per edge (ordered pair key)
+    std::vector<std::pair<uint64_t, int>> edge_cache;
+    auto edge_vertex = [&](int a, int b) -> int {
+        uint64_t key = (uint64_t)std::min(a, b) << 32 | (uint64_t)std::max(a, b);
+        for (auto& e : edge_cache)
+            if (e.first == key) return e.second;
+        double t = d[a] / (d[a] - d[b]);
+        Vec3 v = {p.verts[a].x + t * (p.verts[b].x - p.verts[a].x),
+                  p.verts[a].y + t * (p.verts[b].y - p.verts[a].y),
+                  p.verts[a].z + t * (p.verts[b].z - p.verts[a].z)};
+        p.verts.push_back(v);
+        int idx = (int)p.verts.size() - 1;
+        edge_cache.push_back({key, idx});
+        return idx;
+    };
+
+    std::vector<std::vector<int>> new_faces;
+    std::vector<int64_t> new_ids;
+    std::vector<int> cap;  // boundary edges of the cut, as vertex pairs
+    std::vector<std::pair<int, int>> cap_edges;
+
+    for (size_t f = 0; f < p.faces.size(); f++) {
+        const auto& face = p.faces[f];
+        std::vector<int> nf;
+        int enter = -1, exit = -1;
+        const size_t m = face.size();
+        for (size_t i = 0; i < m; i++) {
+            int a = face[i], b = face[(i + 1) % m];
+            bool ain = d[a] <= 0, bin_ = d[b] <= 0;
+            if (ain) nf.push_back(a);
+            if (ain != bin_) {
+                int v = edge_vertex(a, b);
+                nf.push_back(v);
+                if (ain) exit = v; else enter = v;
+            }
+        }
+        if (nf.size() >= 3) {
+            new_faces.push_back(nf);
+            new_ids.push_back(p.face_ids[f]);
+        }
+        if (enter >= 0 && exit >= 0) cap_edges.push_back({exit, enter});
+    }
+
+    // assemble the cap face by chaining edges (exit -> enter of next)
+    if (cap_edges.size() >= 3) {
+        cap.push_back(cap_edges[0].first);
+        int target = cap_edges[0].second;
+        cap_edges.erase(cap_edges.begin());
+        while (!cap_edges.empty()) {
+            bool found = false;
+            for (size_t i = 0; i < cap_edges.size(); i++) {
+                if (cap_edges[i].first == target) {
+                    cap.push_back(target);
+                    target = cap_edges[i].second;
+                    cap_edges.erase(cap_edges.begin() + i);
+                    found = true;
+                    break;
+                }
+            }
+            if (!found) break;  // numerically degenerate; cap stays partial
+        }
+        if (cap.size() >= 3) {
+            // orient the cap outward (normal along n) via Newell's method
+            Vec3 nw = {0, 0, 0};
+            for (size_t i = 0; i < cap.size(); i++) {
+                const Vec3& a = p.verts[cap[i]];
+                const Vec3& b = p.verts[cap[(i + 1) % cap.size()]];
+                nw.x += (a.y - b.y) * (a.z + b.z);
+                nw.y += (a.z - b.z) * (a.x + b.x);
+                nw.z += (a.x - b.x) * (a.y + b.y);
+            }
+            if (dot(nw, n) < 0) std::reverse(cap.begin(), cap.end());
+            new_faces.push_back(cap);
+            new_ids.push_back(id);
+        }
+    }
+
+    p.faces = std::move(new_faces);
+    p.face_ids = std::move(new_ids);
+    return !p.faces.empty();
+}
+
+// volume and centroid via tetrahedra fanned from the origin of gravity
+void measure(const Poly& p, double& volume, Vec3& centroid) {
+    volume = 0;
+    centroid = {0, 0, 0};
+    if (p.verts.empty()) return;
+    Vec3 ref = p.verts[0];
+    for (size_t f = 0; f < p.faces.size(); f++) {
+        const auto& face = p.faces[f];
+        for (size_t i = 1; i + 1 < face.size(); i++) {
+            Vec3 a = sub(p.verts[face[0]], ref);
+            Vec3 b = sub(p.verts[face[i]], ref);
+            Vec3 c = sub(p.verts[face[i + 1]], ref);
+            double v6 = dot(a, cross(b, c));
+            volume += v6;
+            // tetra centroid = (ref + 3 verts)/4 = ref + (a+b+c)/4
+            centroid.x += v6 * (a.x + b.x + c.x);
+            centroid.y += v6 * (a.y + b.y + c.y);
+            centroid.z += v6 * (a.z + b.z + c.z);
+        }
+    }
+    double v = volume / 6.0;
+    if (std::abs(v) > 0) {
+        centroid.x = ref.x + centroid.x / (4.0 * volume);
+        centroid.y = ref.y + centroid.y / (4.0 * volume);
+        centroid.z = ref.z + centroid.z / (4.0 * volume);
+    } else {
+        centroid = ref;
+    }
+    volume = std::abs(v);
+}
+
+// simple uniform-bin spatial index for candidate ordering
+struct BinGrid {
+    int nb;
+    double lo[3], inv[3];
+    std::vector<std::vector<int>> bins;
+
+    BinGrid(const double* sites, int64_t n, const double* box) {
+        nb = std::max(3, (int)std::cbrt((double)n / 4.0 + 1.0));
+        for (int k = 0; k < 3; k++) {
+            lo[k] = box[k];
+            double span = box[k + 3] - box[k];
+            inv[k] = nb / (span > 0 ? span : 1.0);
+        }
+        bins.resize((size_t)nb * nb * nb);
+        for (int64_t i = 0; i < n; i++) {
+            int b = bin_of(&sites[3 * i]);
+            bins[b].push_back((int)i);
+        }
+    }
+    int coord(double v, int k) const {
+        int c = (int)((v - lo[k]) * inv[k]);
+        return std::min(std::max(c, 0), nb - 1);
+    }
+    int bin_of(const double* p) const {
+        return (coord(p[0], 0) * nb + coord(p[1], 1)) * nb + coord(p[2], 2);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build Voronoi cells for `n` sites in the box (x0,y0,z0,x1,y1,z1).
+// Outputs:
+//   volumes[n], centroids[3n]
+//   nbr_data[cap], nbr_offsets[n+1]  (CSR neighbor lists, site indices)
+// Returns 0 on success, -1 if the neighbor capacity `cap` is too small
+// (call again with a larger buffer; required size is left in
+// nbr_offsets[n]).
+int voronoi_build(const double* sites, int64_t n, const double* box,
+                  double* volumes, double* centroids,
+                  int64_t* nbr_data, int64_t cap, int64_t* nbr_offsets) {
+    BinGrid grid(sites, n, box);
+    int64_t written = 0;
+    bool overflow = false;
+
+    std::vector<int> cand;
+    std::vector<std::pair<double, int>> order;
+
+    for (int64_t i = 0; i < n; i++) {
+        nbr_offsets[i] = written;
+        Vec3 si = {sites[3 * i], sites[3 * i + 1], sites[3 * i + 2]};
+        Poly poly = make_box(box[0], box[1], box[2], box[3], box[4], box[5]);
+
+        // candidates ring by ring around the site's bin
+        int ci = grid.coord(si.x, 0), cj = grid.coord(si.y, 1),
+            ck = grid.coord(si.z, 2);
+        double bin_size = 1.0 / std::min({grid.inv[0], grid.inv[1],
+                                          grid.inv[2]});
+        for (int ring = 0; ring < grid.nb; ring++) {
+            // security check: all candidates beyond ring*bin_size/... are
+            // irrelevant once 2*max vertex distance < ring distance
+            if (ring > 0) {
+                double maxd2 = 0;
+                for (const auto& v : poly.verts) {
+                    Vec3 r = sub(v, si);
+                    maxd2 = std::max(maxd2, dot(r, r));
+                }
+                double reach = (ring - 1) * bin_size;
+                if (reach * reach > 4.0 * maxd2) break;
+            }
+            cand.clear();
+            for (int a = std::max(ci - ring, 0);
+                 a <= std::min(ci + ring, grid.nb - 1); a++)
+                for (int b = std::max(cj - ring, 0);
+                     b <= std::min(cj + ring, grid.nb - 1); b++)
+                    for (int c = std::max(ck - ring, 0);
+                         c <= std::min(ck + ring, grid.nb - 1); c++) {
+                        if (std::max({std::abs(a - ci), std::abs(b - cj),
+                                      std::abs(c - ck)}) != ring)
+                            continue;
+                        for (int s : grid.bins[(size_t)(a * grid.nb + b)
+                                               * grid.nb + c])
+                            if (s != (int)i) cand.push_back(s);
+                    }
+            order.clear();
+            for (int s : cand) {
+                Vec3 sj = {sites[3 * s], sites[3 * s + 1], sites[3 * s + 2]};
+                Vec3 r = sub(sj, si);
+                order.push_back({dot(r, r), s});
+            }
+            std::sort(order.begin(), order.end());
+            for (auto& pr : order) {
+                // security radius: skip if the site cannot cut the cell
+                double maxd2 = 0;
+                for (const auto& v : poly.verts) {
+                    Vec3 r = sub(v, si);
+                    maxd2 = std::max(maxd2, dot(r, r));
+                }
+                if (pr.first > 4.0 * maxd2) break;
+                int s = pr.second;
+                Vec3 sj = {sites[3 * s], sites[3 * s + 1], sites[3 * s + 2]};
+                Vec3 mid = {0.5 * (si.x + sj.x), 0.5 * (si.y + sj.y),
+                            0.5 * (si.z + sj.z)};
+                Vec3 nvec = sub(sj, si);
+                clip(poly, mid, nvec, s);
+            }
+        }
+
+        double vol;
+        Vec3 cen;
+        measure(poly, vol, cen);
+        volumes[i] = vol;
+        centroids[3 * i] = cen.x;
+        centroids[3 * i + 1] = cen.y;
+        centroids[3 * i + 2] = cen.z;
+
+        // collect neighbor ids from surviving bisector faces
+        for (size_t f = 0; f < poly.face_ids.size(); f++) {
+            int64_t id = poly.face_ids[f];
+            if (id >= 0) {
+                if (written < cap) nbr_data[written] = id;
+                else overflow = true;
+                written++;
+            }
+        }
+    }
+    nbr_offsets[n] = written;
+    return overflow ? -1 : 0;
+}
+
+}  // extern "C"

@@ -111,3 +111,28 @@ class TestTraversal:
         p = np.asarray(g.random_position_in_cell_dev(jax.random.key(0), cells))
         _, owner = g._tree.query(p)
         assert (owner == np.arange(64)).mean() > 0.9
+
+
+class TestNativeBuilder:
+    def test_exact_volumes(self):
+        g = make_grid(n_sites=150, seed=11)
+        if not g.used_native:
+            pytest.skip("native builder unavailable")
+        # exact volumes: machine-precision tiling of the box
+        assert g.cell_volumes().sum() == pytest.approx(8.0, abs=1e-9)
+
+    def test_native_adjacency_supports_traversal(self):
+        import jax.numpy as jnp
+        from skirt_tpu.engine import traversal
+        g = make_grid(n_sites=150, seed=11)
+        pos, d = random_rays(100, seed=12)
+
+        def seg(carry, cell, ds, t):
+            return carry + ds, jnp.ones_like(carry, dtype=bool)
+
+        total, _ = traversal.sweep(g, pos, d, seg, jnp.zeros(pos.shape[0]))
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        with np.errstate(divide="ignore"):
+            t2 = np.where(np.abs(dd) > 1e-12, (np.sign(dd) - p) / dd, np.inf)
+        np.testing.assert_allclose(np.asarray(total), np.min(t2, axis=1),
+                                   rtol=1e-2, atol=5e-3)
