@@ -1,0 +1,296 @@
+"""Config-hierarchy tooling: ski writing, LaTeX reports, schema export.
+
+ref: Discover/XmlHierarchyWriter (object tree -> ski XML),
+LatexHierarchyWriter (parameters.tex report), SmileSchemaWriter
+(`skirt -x` schema export), ConsoleHierarchyCreator (interactive Q&A
+construction).  These operate on the parsed `ski.Node` tree, which is the
+framework's declarative configuration representation.
+"""
+
+from __future__ import annotations
+
+import io
+import xml.etree.ElementTree as ET
+
+from .ski import Node
+
+# The supported component vocabulary (class -> scalar property names),
+# mirrored from the builders in ski.py; used for schema export and the
+# console creator.  ref: Discover/RegisterSimulationItems.cpp registry.
+SUPPORTED: dict[str, dict] = {
+    "OligoMonteCarloSimulation": {
+        "kind": "simulation",
+        "properties": ["packages", "minWeightReduction", "minScattEvents",
+                       "scattBias"],
+        "children": ["units", "wavelengthGrid", "stellarSystem",
+                     "dustSystem", "instrumentSystem"],
+    },
+    "PanMonteCarloSimulation": {
+        "kind": "simulation",
+        "properties": ["packages", "minWeightReduction", "minScattEvents",
+                       "scattBias"],
+        "children": ["units", "wavelengthGrid", "stellarSystem",
+                     "dustSystem", "instrumentSystem"],
+    },
+    "OligoWavelengthGrid": {"kind": "wavelengthGrid",
+                            "properties": ["wavelengths"]},
+    "LogWavelengthGrid": {"kind": "wavelengthGrid",
+                          "properties": ["minWavelength", "maxWavelength",
+                                         "points"]},
+    "NestedLogWavelengthGrid": {"kind": "wavelengthGrid",
+                                "properties": ["minWavelength",
+                                               "maxWavelength", "points",
+                                               "minWavelengthSubGrid",
+                                               "maxWavelengthSubGrid",
+                                               "pointsSubGrid"]},
+    "FileWavelengthGrid": {"kind": "wavelengthGrid",
+                           "properties": ["filename"]},
+    "StellarSystem": {"kind": "stellarSystem",
+                      "properties": ["emissionBias"],
+                      "children": ["components"]},
+    "OligoStellarComp": {"kind": "stellarComp",
+                         "properties": ["luminosities"],
+                         "children": ["geometry"]},
+    "PanStellarComp": {"kind": "stellarComp", "properties": [],
+                       "children": ["geometry", "sed", "normalization"]},
+    "SimpleInstrument": {"kind": "instrument",
+                         "properties": ["instrumentName", "distance",
+                                        "inclination", "azimuth",
+                                        "positionAngle", "fieldOfViewX",
+                                        "pixelsX", "fieldOfViewY",
+                                        "pixelsY"]},
+    "SEDInstrument": {"kind": "instrument",
+                      "properties": ["instrumentName", "distance",
+                                     "inclination", "azimuth",
+                                     "positionAngle"]},
+    "FrameInstrument": {"kind": "instrument",
+                        "properties": ["instrumentName", "distance",
+                                       "inclination", "azimuth",
+                                       "positionAngle", "fieldOfViewX",
+                                       "pixelsX", "fieldOfViewY",
+                                       "pixelsY"]},
+    "FullInstrument": {"kind": "instrument",
+                       "properties": ["instrumentName", "distance",
+                                      "inclination", "azimuth",
+                                      "positionAngle", "fieldOfViewX",
+                                      "pixelsX", "fieldOfViewY", "pixelsY",
+                                      "scatteringLevels"]},
+    # geometries (the catalog; decorators carry nested geometry children)
+    "PointGeometry": {"kind": "geometry", "properties": []},
+    "PlummerGeometry": {"kind": "geometry", "properties": ["scale"]},
+    "GammaGeometry": {"kind": "geometry", "properties": ["scale", "gamma"]},
+    "EinastoGeometry": {"kind": "geometry", "properties": ["radius", "index"]},
+    "GaussianGeometry": {"kind": "geometry",
+                         "properties": ["dispersion", "flattening"]},
+    "ShellGeometry": {"kind": "geometry",
+                      "properties": ["minRadius", "maxRadius", "expon"]},
+    "SersicGeometry": {"kind": "geometry", "properties": ["radius", "index"]},
+    "PseudoSersicGeometry": {"kind": "geometry",
+                             "properties": ["radius", "index"]},
+    "ExpDiskGeometry": {"kind": "geometry",
+                        "properties": ["radialScale", "axialScale",
+                                       "radialTrunc", "axialTrunc",
+                                       "innerRadius"]},
+    "BrokenExpDiskGeometry": {"kind": "geometry",
+                              "properties": ["radialScaleInner",
+                                             "radialScaleOuter", "axialScale",
+                                             "breakRadius", "sharpness"]},
+    "RingGeometry": {"kind": "geometry",
+                     "properties": ["radius", "width", "height"]},
+    "TorusGeometry": {"kind": "geometry",
+                      "properties": ["expon", "index", "openAngle",
+                                     "minRadius", "maxRadius"]},
+    "ConicalShellGeometry": {"kind": "geometry",
+                             "properties": ["expon", "index", "inAngle",
+                                            "outAngle", "minRadius",
+                                            "maxRadius"]},
+    "TTauriDiskGeometry": {"kind": "geometry",
+                           "properties": ["minRadius", "maxRadius",
+                                          "radialScale", "axialScale"]},
+    "UniformCuboidGeometry": {"kind": "geometry",
+                              "properties": ["minX", "maxX", "minY", "maxY",
+                                             "minZ", "maxZ"]},
+    "LaserGeometry": {"kind": "geometry", "properties": []},
+    "OffsetGeometryDecorator": {"kind": "geometry",
+                                "properties": ["offsetX", "offsetY",
+                                               "offsetZ"],
+                                "children": ["geometry"]},
+    "RotateGeometryDecorator": {"kind": "geometry",
+                                "properties": ["euleralpha", "eulerbeta",
+                                               "eulergamma"],
+                                "children": ["geometry"]},
+    "SpheroidalGeometryDecorator": {"kind": "geometry",
+                                    "properties": ["flattening"],
+                                    "children": ["geometry"]},
+    "TriaxialGeometryDecorator": {"kind": "geometry",
+                                  "properties": ["yFlattening",
+                                                 "zFlattening"],
+                                  "children": ["geometry"]},
+    "SphericalCavityGeometryDecorator": {"kind": "geometry",
+                                         "properties": ["radius"],
+                                         "children": ["geometry"]},
+    "CylindricalCavityGeometryDecorator": {"kind": "geometry",
+                                           "properties": ["radius"],
+                                           "children": ["geometry"]},
+    "CropGeometryDecorator": {"kind": "geometry",
+                              "properties": ["minX", "maxX", "minY", "maxY",
+                                             "minZ", "maxZ"],
+                              "children": ["geometry"]},
+    "CombineGeometryDecorator": {"kind": "geometry",
+                                 "properties": ["firstWeight",
+                                                "secondWeight"],
+                                 "children": ["firstGeometry",
+                                              "secondGeometry"]},
+    "ClumpyGeometryDecorator": {"kind": "geometry",
+                                "properties": ["clumpFraction", "clumpCount",
+                                               "clumpRadius", "cutoff"],
+                                "children": ["geometry"]},
+    "SpiralStructureGeometryDecorator": {"kind": "geometry",
+                                         "properties": ["arms", "pitch",
+                                                        "radius", "phase",
+                                                        "perturbWeight",
+                                                        "index"],
+                                         "children": ["geometry"]},
+    # SEDs
+    "BlackBodySED": {"kind": "sed", "properties": ["temperature"]},
+    "SunSED": {"kind": "sed", "properties": []},
+    "FileSED": {"kind": "sed", "properties": ["filename"]},
+    "QuasarSED": {"kind": "sed", "properties": []},
+    "KuruczSED": {"kind": "sed",
+                  "properties": ["metallicity", "temperature", "gravity"]},
+    # normalizations
+    "BolLuminosityStellarCompNormalization": {"kind": "stellarNormalization",
+                                              "properties": ["luminosity"]},
+    "SpectralLuminosityStellarCompNormalization": {
+        "kind": "stellarNormalization",
+        "properties": ["wavelength", "luminosity"]},
+    "DustMassDustCompNormalization": {"kind": "dustNormalization",
+                                      "properties": ["dustMass"]},
+    "ZDustCompNormalization": {"kind": "dustNormalization",
+                               "properties": ["wavelength", "opticalDepth"]},
+    "FaceOnDustCompNormalization": {"kind": "dustNormalization",
+                                    "properties": ["wavelength",
+                                                   "opticalDepth"]},
+    "EdgeOnDustCompNormalization": {"kind": "dustNormalization",
+                                    "properties": ["wavelength",
+                                                   "opticalDepth"]},
+    "RadialDustCompNormalization": {"kind": "dustNormalization",
+                                    "properties": ["wavelength",
+                                                   "opticalDepth"]},
+    # mixes
+    "SimpleOligoDustMix": {"kind": "dustMix",
+                           "properties": ["opacities", "albedos",
+                                          "asymmetryParameters"]},
+    "MeanZubkoDustMix": {"kind": "dustMix", "properties": []},
+    "TrustMeanDustMix": {"kind": "dustMix", "properties": []},
+    "DraineLiDustMix": {"kind": "dustMix", "properties": []},
+    "InterstellarDustMix": {"kind": "dustMix", "properties": []},
+    "ElectronDustMix": {"kind": "dustMix", "properties": []},
+    # grids
+    "CartesianDustGrid": {"kind": "dustGrid",
+                          "properties": ["minX", "maxX", "minY", "maxY",
+                                         "minZ", "maxZ"],
+                          "children": ["meshX", "meshY", "meshZ"]},
+    "Cylinder2DDustGrid": {"kind": "dustGrid",
+                           "properties": ["maxR", "minZ", "maxZ"],
+                           "children": ["meshR", "meshZ"]},
+    "Sphere1DDustGrid": {"kind": "dustGrid", "properties": ["maxR"],
+                         "children": ["meshR"]},
+    "OctTreeDustGrid": {"kind": "dustGrid",
+                        "properties": ["minX", "maxX", "minY", "maxY",
+                                       "minZ", "maxZ", "minLevel", "maxLevel",
+                                       "maxMassFraction", "sampleCount"]},
+    "VoronoiDustGrid": {"kind": "dustGrid",
+                        "properties": ["minX", "maxX", "minY", "maxY",
+                                       "minZ", "maxZ", "numParticles",
+                                       "distribution"]},
+    "LinMesh": {"kind": "mesh", "properties": ["numBins"]},
+    "LogMesh": {"kind": "mesh", "properties": ["numBins",
+                                               "centralBinFraction"]},
+    "PowMesh": {"kind": "mesh", "properties": ["numBins", "ratio"]},
+    "SymPowMesh": {"kind": "mesh", "properties": ["numBins", "ratio"]},
+    "SIUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
+    "StellarUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
+    "ExtragalacticUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
+}
+
+
+# ---------------------------------------------------------------------------
+# ski writing (ref: Discover/XmlHierarchyWriter)
+# ---------------------------------------------------------------------------
+
+def node_to_element(node: Node) -> ET.Element:
+    elem = ET.Element(node.name, dict(node.attrs))
+    for prop, children in node.children.items():
+        if prop == "_items":
+            for child in children:
+                elem.append(node_to_element(child))
+            continue
+        wrapper = ET.SubElement(elem, prop)
+        kinds = {SUPPORTED.get(c.name, {}).get("kind", "Item")
+                 for c in children}
+        wrapper.set("type", kinds.pop() if len(kinds) == 1 else "Item")
+        for child in children:
+            wrapper.append(node_to_element(child))
+    return elem
+
+
+def write_ski(node: Node, path: str) -> None:
+    """Serialize a Node tree back to a ski file (round-trips parse_ski)."""
+    root = ET.Element("skirt-simulation-hierarchy",
+                      {"type": "MonteCarloSimulation", "format": "6.1"})
+    root.append(node_to_element(node))
+    tree = ET.ElementTree(root)
+    ET.indent(tree)
+    with open(path, "wb") as f:
+        f.write(b'<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write(b"<!--SKIRT radiative transfer simulations-->\n")
+        tree.write(f, encoding="utf-8", xml_declaration=False)
+
+
+# ---------------------------------------------------------------------------
+# LaTeX report (ref: Discover/LatexHierarchyWriter)
+# ---------------------------------------------------------------------------
+
+def latex_report(node: Node, path: str, title: str = "Simulation parameters"):
+    out = io.StringIO()
+    out.write("\\documentclass{article}\n\\usepackage[margin=2cm]{geometry}\n"
+              "\\begin{document}\n")
+    out.write(f"\\section*{{{title}}}\n\\begin{{itemize}}\n")
+
+    def emit(n: Node, depth: int):
+        indent = "  " * depth
+        props = ", ".join(f"{k}={v}" for k, v in n.attrs.items())
+        name = n.name.replace("_", "\\_")
+        out.write(f"{indent}\\item \\textbf{{{name}}}"
+                  + (f": {props}" if props else "") + "\n")
+        kids = [c for lst in n.children.values() for c in lst]
+        if kids:
+            out.write(f"{indent}\\begin{{itemize}}\n")
+            for c in kids:
+                emit(c, depth + 1)
+            out.write(f"{indent}\\end{{itemize}}\n")
+
+    emit(node, 1)
+    out.write("\\end{itemize}\n\\end{document}\n")
+    with open(path, "w") as f:
+        f.write(out.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# schema export (ref: Discover/SmileSchemaWriter, `skirt -x`)
+# ---------------------------------------------------------------------------
+
+def write_schema(path: str) -> None:
+    """Export the supported component schema as XML."""
+    root = ET.Element("skirt-tpu-schema", {"format": "1"})
+    for name, meta in sorted(SUPPORTED.items()):
+        e = ET.SubElement(root, "Type",
+                          {"name": name, "kind": meta.get("kind", "")})
+        for p in meta.get("properties", []):
+            ET.SubElement(e, "Property", {"name": p})
+        for c in meta.get("children", []):
+            ET.SubElement(e, "CompoundProperty", {"name": c})
+    tree = ET.ElementTree(root)
+    ET.indent(tree)
+    tree.write(path, encoding="utf-8", xml_declaration=True)
