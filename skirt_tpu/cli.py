@@ -35,7 +35,19 @@ def main(argv=None):
                         help="brief console logging")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("-x", "--export-schema", action="store_true",
+                        help="export the component schema and exit")
+    parser.add_argument("-r", "--report", action="store_true",
+                        help="also write a LaTeX parameter report")
     args = parser.parse_args(argv)
+
+    if args.export_schema:
+        from .discover import write_schema
+        out = os.path.join(args.output, "skirt_tpu_schema.xml")
+        os.makedirs(args.output, exist_ok=True)
+        write_schema(out)
+        print(f"Exported component schema to {out}")
+        return 0
 
     if args.cpu:
         import jax
@@ -61,6 +73,12 @@ def main(argv=None):
         prefix = os.path.splitext(os.path.basename(path))[0]
         log.info(f"Constructing a simulation from ski file '{path}'...")
         packets = 1.0 if args.emulate else args.packets
+        if args.report:
+            from .discover import latex_report
+            from .ski import parse_ski
+            os.makedirs(args.output, exist_ok=True)
+            latex_report(parse_ski(path),
+                         os.path.join(args.output, f"{prefix}_parameters.tex"))
         sim = load_ski(path, out_dir=args.output, prefix=prefix,
                        packets=packets, seed=args.seed, log=log)
         if args.emulate and hasattr(sim, "self_absorption"):
