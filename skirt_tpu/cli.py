@@ -19,7 +19,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="skirt-tpu",
         description="TPU-native Monte Carlo dust radiative transfer")
-    parser.add_argument("ski", nargs="+",
+    parser.add_argument("ski", nargs="*",
                         help="ski file(s) or patterns to simulate")
     parser.add_argument("-o", "--output", default=".",
                         help="output directory")
@@ -48,6 +48,11 @@ def main(argv=None):
         write_schema(out)
         print(f"Exported component schema to {out}")
         return 0
+
+    if not args.ski:
+        print("error: no ski files given (use -x to export the schema)",
+              file=sys.stderr)
+        return 2
 
     if args.cpu:
         import jax
