@@ -41,6 +41,10 @@ def main(argv=None):
                         help="also write a LaTeX parameter report")
     args = parser.parse_args(argv)
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     if args.export_schema:
         from .discover import write_schema
         out = os.path.join(args.output, "skirt_tpu_schema.xml")
@@ -53,10 +57,6 @@ def main(argv=None):
         print("error: no ski files given (use -x to export the schema)",
               file=sys.stderr)
         return 2
-
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
 
     from .log import Log
     from .ski import load_ski

@@ -32,7 +32,7 @@ class CartesianState(NamedTuple):
         return (self.ix >= 0) & (self.iy >= 0) & (self.iz >= 0)
 
 
-_BIG = jnp.float32(3.4e38)
+_BIG = 3.4e38  # float32 max-ish sentinel (plain float: no backend init at import)
 
 
 class CartesianGrid:

@@ -23,8 +23,8 @@ class CylinderState(NamedTuple):
     t: jnp.ndarray    # ray parameter in *scaled* units
 
 
-_BIG = jnp.float32(3.4e38)
-_EPS = jnp.float32(1e-6)
+_BIG = 3.4e38  # float32 max-ish sentinel (plain float: no backend init at import)
+_EPS = 1e-6
 
 
 class Cylinder2DGrid:

@@ -29,7 +29,7 @@ class OctreeState(NamedTuple):
     t: jnp.ndarray       # ray parameter [m]
 
 
-_BIG = jnp.float32(3.4e38)
+_BIG = 3.4e38  # float32 max-ish sentinel (plain float: no backend init at import)
 
 
 class OctreeGrid:

@@ -19,8 +19,8 @@ class SphereState(NamedTuple):
     t: jnp.ndarray    # ray parameter [m]
 
 
-_BIG = jnp.float32(3.4e38)
-_EPS = jnp.float32(1e-6)
+_BIG = 3.4e38  # float32 max-ish sentinel (plain float: no backend init at import)
+_EPS = 1e-6
 
 
 class Sphere1DGrid:

@@ -30,7 +30,7 @@ class VoronoiState(NamedTuple):
     t: jnp.ndarray       # ray parameter [m]
 
 
-_BIG = jnp.float32(3.4e38)
+_BIG = 3.4e38  # float32 max-ish sentinel (plain float: no backend init at import)
 
 
 class VoronoiGrid:
