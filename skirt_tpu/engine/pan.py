@@ -87,10 +87,11 @@ class PanSimulation(OligoSimulation):
     def __init__(self, *, self_absorption: bool = True,
                  emission_boost: float = 1.0, emission_bias: float = 0.5,
                  write_temperature: bool = False, write_isrf: bool = False,
-                 emissivity: str = "greybody", **kw):
+                 emissivity: str = "greybody", dust_lib="allcells", **kw):
         self.write_temperature = write_temperature
         self.write_isrf = write_isrf
         self.emissivity_kind = emissivity
+        self.dust_lib = dust_lib
         kw.setdefault("options", None)
         super().__init__(**kw)
         if self.dust_system is None:
@@ -171,6 +172,11 @@ class PanSimulation(OligoSimulation):
 
         labs_full: (Ncells, Nl) host array; chunked to bound the transition
         -matrix memory (chunk x NT x NT).
+
+        With dust_lib = ('dim1', N) cells are grouped into N library
+        entries by radiation-field strength and the solver runs once per
+        entry (ref: Dim1DustLib — bins by ISRF strength, DustLib.cpp:57-195
+        with the mean ISRF per entry from EmissionCalculator).
         """
         mix = self.dust_system.components[0].mix
         kabs = np.asarray(mix.kappaabs64)
@@ -179,6 +185,29 @@ class PanSimulation(OligoSimulation):
         with np.errstate(divide="ignore", invalid="ignore"):
             J = labs_full * inv[:, None] / (kabs[None, :] * dlam[None, :])
         J = np.where(np.isfinite(J), J, 0.0).astype(np.float32)
+
+        if isinstance(self.dust_lib, tuple) and self.dust_lib[0] == "dim1":
+            nent = int(self.dust_lib[1])
+            strength = (J * kabs * dlam).sum(axis=1)  # absorbed power proxy
+            pos = strength > 0
+            entry = np.zeros(J.shape[0], dtype=np.int64)
+            if pos.any():
+                logs = np.log10(np.maximum(strength[pos], 1e-300))
+                lo, hi = logs.min(), logs.max() + 1e-9
+                entry[pos] = np.clip(((logs - lo) / max(hi - lo, 1e-12)
+                                      * nent).astype(np.int64), 0, nent - 1) + 1
+            # mean ISRF per entry (entry 0 = no radiation)
+            nentries = nent + 1
+            sums = np.zeros((nentries, J.shape[1]), np.float64)
+            np.add.at(sums, entry, J)
+            counts = np.bincount(entry, minlength=nentries)[:, None]
+            Jlib = (sums / np.maximum(counts, 1)).astype(np.float32)
+            frac_lib = self._solve_chunks(Jlib)
+            return jnp.asarray(frac_lib[entry])
+
+        return jnp.asarray(self._solve_chunks(J))
+
+    def _solve_chunks(self, J):
         out = np.empty_like(J)
         chunk = self.transient.chunk
         fractions = jax.jit(self.transient.fractions_from_J)
@@ -189,7 +218,7 @@ class PanSimulation(OligoSimulation):
                 block = np.pad(block, ((0, pad), (0, 0)))
             res = np.asarray(fractions(jnp.asarray(block)))
             out[i:i + chunk] = res[:chunk - pad if pad else chunk]
-        return jnp.asarray(out)
+        return out
 
     def _dust_batches(self, packets, Ltot_np):
         nl = self.nlambda

@@ -37,7 +37,7 @@ class OligoSimulation:
                  batch_size: int = 1 << 17, log: Log | None = None,
                  units: Units | None = None, out_dir: str = ".",
                  prefix: str = "skirt_tpu", write_convergence: bool = False,
-                 write_density: bool = False):
+                 write_density: bool = False, checkpoint_every: int = 0):
         self.stellar_system = stellar_system
         self.instruments = list(instruments)
         self.dust_system = dust_system
@@ -51,6 +51,10 @@ class OligoSimulation:
         self.prefix = prefix
         self.write_convergence = write_convergence
         self.write_density = write_density
+        # checkpoint/resume is a capability the reference lacks (SURVEY.md
+        # §5: "Checkpoint/resume: none"); batches are deterministic per
+        # (seed, phase, batch index), so a phase can resume mid-stream.
+        self.checkpoint_every = int(checkpoint_every)
 
         self.wavelength_grid = stellar_system.wavelength_grid
         self.nlambda = self.wavelength_grid.nlambda
@@ -107,9 +111,25 @@ class OligoSimulation:
         if "labs" in tallies:
             acc["labs"] = np.zeros(tallies["labs"].shape, np.float64)
 
+        # resume from a phase checkpoint when present
+        start_batch = 0
+        ckpt_path = os.path.join(self.out_dir,
+                                 f"{self.prefix}_phase{phase_tag}.ckpt.npz")
+        if self.checkpoint_every and os.path.exists(ckpt_path):
+            data = np.load(ckpt_path)
+            start_batch = int(data["next_batch"])
+            for i in range(len(self.instruments)):
+                for k in acc["instruments"][i]:
+                    acc["instruments"][i][k] = data[f"ins{i}_{k}"]
+            if "labs" in acc:
+                acc["labs"] = data["labs"]
+            self.log.info(f"Resumed phase {phase_tag} from batch {start_batch}")
+
         t0 = time.perf_counter()
         total = 0
         for b, ell, L0 in self._batches():
+            if b < start_batch:
+                continue
             bkey = rng.event_key(key, phase_tag, b)
             tallies = self._run_batch(bkey, ell, L0, tallies)
             total += ell.shape[0]
@@ -127,7 +147,23 @@ class OligoSimulation:
             dt = time.perf_counter() - t0
             self.log.info(f"Launched {total:,} photon packages "
                           f"({total / max(dt, 1e-9):,.0f} pps)")
+            if self.checkpoint_every and (b + 1) % self.checkpoint_every == 0:
+                self._save_checkpoint(ckpt_path, b + 1, acc)
+        if self.checkpoint_every and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)  # phase complete
         return acc
+
+    def _save_checkpoint(self, path, next_batch, acc):
+        os.makedirs(self.out_dir, exist_ok=True)
+        payload = {"next_batch": next_batch}
+        for i, t in enumerate(acc["instruments"]):
+            for k, v in t.items():
+                payload[f"ins{i}_{k}"] = v
+        if "labs" in acc:
+            payload["labs"] = acc["labs"]
+        tmp = path + ".tmp"
+        np.savez(tmp, **payload)
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
 
     def write(self, acc):
         os.makedirs(self.out_dir, exist_ok=True)
