@@ -30,6 +30,8 @@ from .general import PointGeometry, BoxGeometry, LaserGeometry, UniformSphereGeo
 from .foam import FoamGeometry, ReadFitsGeometry
 from .special import (NetzerAccretionDiskGeometry, SpheBackgroundGeometry,
                       CubBackgroundGeometry)
+from .benchmarks import (Trust1Geometry, Trust2Geometry, Trust6Geometry,
+                         Trust7aGeometry, Trust7bGeometry)
 from .decorators import (
     OffsetGeometryDecorator,
     RotateGeometryDecorator,
@@ -52,6 +54,8 @@ __all__ = [
     "PointGeometry", "BoxGeometry", "LaserGeometry", "UniformSphereGeometry",
     "FoamGeometry", "ReadFitsGeometry", "NetzerAccretionDiskGeometry",
     "SpheBackgroundGeometry", "CubBackgroundGeometry",
+    "Trust1Geometry", "Trust2Geometry", "Trust6Geometry", "Trust7aGeometry",
+    "Trust7bGeometry",
     "OffsetGeometryDecorator", "RotateGeometryDecorator",
     "SpheroidalGeometryDecorator", "TriaxialGeometryDecorator",
     "SphericalCavityDecorator", "CylindricalCavityDecorator",

@@ -10,6 +10,7 @@ from .mix import (
     InterstellarDustMix,
     ElectronDustMix,
     Benchmark1DDustMix,
+    Benchmark2DDustMix,
 )
 from .dust_system import (
     DustComponent,
@@ -22,6 +23,7 @@ __all__ = [
     "DustMix", "SimpleOligoDustMix", "MeanDustMixFromFile",
     "MeanZubkoDustMix", "TrustMeanDustMix", "DraineLiDustMix",
     "InterstellarDustMix", "ElectronDustMix", "Benchmark1DDustMix",
+    "Benchmark2DDustMix",
     "DustComponent", "DustSystem", "DustMassNormalization",
     "OpticalDepthNormalization",
 ]

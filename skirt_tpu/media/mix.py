@@ -210,6 +210,31 @@ class ElectronDustMix(DustMix):
         super().__init__(wavelength_grid, np.zeros(n), ksca, np.zeros(n))
 
 
+class Benchmark2DDustMix(DustMix):
+    """Pascucci et al. (2004) 2-D benchmark mix.
+
+    ref: SKIRTcore/Benchmark2DDustMix.cpp — file columns lambda [micron],
+    Csca [m^2], Cext [m^2]; g = 0; dust mass Cext(V)/kappaV.
+    """
+
+    KAPPA_V = 2600.0
+
+    def __init__(self, wavelength_grid: WavelengthGrid, data_dir: str | None = None):
+        path = os.path.join(data_dir or DATA_DIR, "DustMix/Benchmark2DDustMix.dat")
+        data = _load_columns(path)
+        lam = data[:, 0] * 1e-6
+        Csca = data[:, 1]
+        Cext = data[:, 2]
+        Cabs = Cext - Csca
+        iV = int(np.argmin(np.abs(lam - 0.55e-6)))
+        mu = Cext[iV] / self.KAPPA_V
+        lv = wavelength_grid.lambdav
+        kabs = resample_loglog(lv, lam, Cabs) / mu
+        ksca = resample_loglog(lv, lam, Csca) / mu
+        super().__init__(wavelength_grid, kabs, ksca, np.zeros(lv.size))
+        self.mu = mu
+
+
 class Benchmark1DDustMix(DustMix):
     """Ivezic et al. (1997) 1-D benchmark mix: analytic opacity law.
 

@@ -290,3 +290,45 @@ class TestAnisotropic:
         p = np.asarray(g.direction_probability(
             None, jnp.broadcast_to(jnp.asarray([5.0, 0, 0]), (200000, 3)), iso))
         assert p.mean() == pytest.approx(1.0, rel=0.02)
+
+
+class TestTrustBenchmarks:
+    def test_all_normalized_and_sampling_matches(self):
+        from skirt_tpu.geometry import (Trust1Geometry, Trust2Geometry,
+                                        Trust6Geometry, Trust7aGeometry,
+                                        Trust7bGeometry)
+        from skirt_tpu.constants import AU, PC
+        cases = [
+            (Trust1Geometry(), 5.1 * PC),
+            (Trust2Geometry(), 31 * AU),
+            (Trust7aGeometry(), 5.1 * PC),
+            (Trust7bGeometry(), 5.1 * PC),
+        ]
+        for g, half in cases:
+            name = type(g).__name__
+            total = mc_total_mass(g, half, n=400000, seed=21)
+            assert total == pytest.approx(1.0, rel=0.08), (name, total)
+            # samples land where the density is positive
+            s = np.asarray(g.generate_position(rng.root_key(23), 5000))
+            rho = np.asarray(g.density(s.astype(np.float64)))
+            assert (rho > 0).mean() > 0.99, name
+
+    def test_trust6_quadrature_normalized(self):
+        # the 1.5-AU-thin Gaussian slab defeats uniform box MC; check by
+        # direct (R, z) quadrature with z refinement around the slabs
+        from skirt_tpu.geometry import Trust6Geometry
+        from skirt_tpu.constants import AU
+        g = Trust6Geometry()
+        R = np.linspace(0, 400 * AU, 801)
+        z = np.unique(np.concatenate([
+            np.linspace(-240 * AU, 240 * AU, 2001),
+            np.linspace(-80 * AU, -70 * AU, 4001),
+        ]))
+        RR, ZZ = np.meshgrid(R, z, indexing="ij")
+        pts = np.stack([RR.ravel(), np.zeros(RR.size), ZZ.ravel()], axis=-1)
+        rho = np.asarray(g.density(pts)).reshape(RR.shape)
+        total = 2 * np.pi * np.trapezoid(np.trapezoid(rho * RR, z, axis=1), R)
+        assert total == pytest.approx(1.0, rel=0.01)
+        s = np.asarray(g.generate_position(rng.root_key(24), 5000))
+        rho_s = np.asarray(g.density(s.astype(np.float64)))
+        assert (rho_s > 0).mean() > 0.99
