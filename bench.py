@@ -15,14 +15,22 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _build
 
-    packets = 1 << 17
-    run_batch, zero_tallies, ell, L0 = _build(nlambda=4, ncells=32,
-                                              packets=packets)
+    # env overrides for profiling experiments (defaults = headline config)
+    packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "17"))
+    run_batch, zero_tallies, ell, L0 = _build(
+        nlambda=int(os.environ.get("BENCH_NLAMBDA", "4")),
+        ncells=int(os.environ.get("BENCH_NCELLS", "32")),
+        packets=packets,
+        n_instruments=int(os.environ.get("BENCH_NINSTR", "2")),
+        store_absorption=os.environ.get("BENCH_ABS", "1") == "1",
+    )
 
     key = jax.random.key(4357)
 

@@ -54,8 +54,17 @@ def main(argv=None):
         return 0
 
     if not args.ski:
-        print("error: no ski files given (use -x to export the schema)",
-              file=sys.stderr)
+        # interactive construction (ref: SkirtCommandLineHandler doInteractive)
+        if sys.stdin.isatty():
+            from .console import ConsoleCreator
+            name = input("enter a name for the new ski file: ").strip() \
+                or "untitled"
+            path = os.path.join(args.output, name + ".ski")
+            os.makedirs(args.output, exist_ok=True)
+            ConsoleCreator().create_and_write(path)
+            return 0
+        print("error: no ski files given (use -x to export the schema, or "
+              "run interactively from a terminal)", file=sys.stderr)
         return 2
 
     from .log import Log

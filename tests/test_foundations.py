@@ -163,3 +163,22 @@ class TestFits:
         out, hdr = read_fits(p)
         np.testing.assert_allclose(out, data)
         assert hdr["NAXIS"] == 3 and hdr["NAXIS3"] == 2
+
+
+class TestDiagnostics:
+    def test_stopwatch_nested(self):
+        from skirt_tpu.diagnostics import StopWatch
+        import time as _t
+        StopWatch.reset()
+        with StopWatch.scope("outer"):
+            _t.sleep(0.01)
+            with StopWatch.scope("inner"):
+                _t.sleep(0.01)
+        report = StopWatch.report()
+        assert "outer" in report and "outer/inner" in report
+
+    def test_memory_statistics(self):
+        from skirt_tpu.diagnostics import format_memory, memory_statistics
+        s = memory_statistics()
+        assert s["peak_rss"] > 1 << 20
+        assert "RSS" in format_memory(s)
