@@ -50,7 +50,7 @@ def make_peel_off(grid, dust_system, instrument):
     """Returns fn(tallies, pos, ell, contribution, tags) applying extinction
     along the observer direction and detecting."""
 
-    def peel(tallies, pos, ell, contribution, tags):
+    def peel(tallies, pos, ell, contribution, tags, active=None):
         kobs = instrument.observer_direction(pos)
         max_s = instrument.observer_distance(pos) \
             if hasattr(instrument, "observer_distance") else None
@@ -58,7 +58,8 @@ def make_peel_off(grid, dust_system, instrument):
             state0 = begin_traversal(grid, pos, kobs)
             kapparho = dust_system.kapparho_ext_fn(ell)
             tau = traversal.optical_depth(grid, kapparho, pos, kobs,
-                                          state0=state0, max_s=max_s)
+                                          state0=state0, max_s=max_s,
+                                          active=active)
         else:
             tau = jnp.zeros(contribution.shape, contribution.dtype)
         extincted = contribution * jnp.exp(-tau)
@@ -170,7 +171,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                 return new, jnp.ones(n, bool)
 
             carry, _ = traversal.sweep(grid, pos, direction, seg, carry0,
-                                       state0=state0)
+                                       state0=state0, active=alive)
             taupath = carry["tau"]
             labs_c = carry["labs"]
             L = jnp.where(alive, carry["Lsca"], L)
@@ -199,7 +200,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             kapparho = ds.kapparho_ext_fn(ell)
             s, cell_at = traversal.propagate_to_tau(
                 grid, kapparho, pos, direction, tau, state0=begin_traversal(
-                    grid, pos, direction))
+                    grid, pos, direction), active=alive)
             new_pos = pos + s[:, None] * direction
             pos = jnp.where(alive[:, None], new_pos, pos)
 
@@ -242,7 +243,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                         tg = dict(tags2, stokes=(q3, u3, v2))
                     contribution = jnp.where(alive, L * w, 0.0)
                     ins_tallies[i] = peel(ins_tallies[i], pos, ell,
-                                          contribution, tg)
+                                          contribution, tg, active=alive)
 
             # -- scatter (ref: simulatescattering) -------------------------
             if mueller is None:

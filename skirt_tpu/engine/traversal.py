@@ -15,20 +15,22 @@ import jax.numpy as jnp
 
 
 def sweep(grid, origin, direction, seg_fn, carry0, state0=None,
-          max_steps: int | None = None):
+          max_steps: int | None = None, active=None):
     """Traverse the grid from `origin` along `direction` for a packet batch.
 
     seg_fn(carry, cell, ds, t_exit) -> (carry, active) is invoked once per
     segment per packet; `cell` is -1 and ds = 0 for lanes already outside.
     `active` lets the callback terminate lanes early (e.g. once an optical
     depth target is reached); the loop ends when no lane is both inside and
-    active, or after max_steps.
+    active, or after max_steps.  The `active` argument masks out lanes
+    entirely (dead packets must not extend the lockstep loop).
     """
     if state0 is None:
         state0 = grid.start(origin)
     if max_steps is None:
         max_steps = grid.max_steps
-    active0 = jnp.ones(origin.shape[:-1], dtype=bool)
+    active0 = jnp.ones(origin.shape[:-1], dtype=bool) if active is None \
+        else active
 
     def cond(loop):
         i, state, carry, active = loop
@@ -53,7 +55,7 @@ def sweep(grid, origin, direction, seg_fn, carry0, state0=None,
 
 
 def optical_depth(grid, kapparho_of_cell, origin, direction, state0=None,
-                  max_s=None):
+                  max_s=None, active=None):
     """Total optical depth from origin to the domain boundary.
 
     kapparho_of_cell(cell) -> extinction coefficient [1/m] per packet
@@ -71,12 +73,13 @@ def optical_depth(grid, kapparho_of_cell, origin, direction, state0=None,
         return tau + kapparho_of_cell(cell) * ds, cont
 
     tau0 = jnp.zeros(origin.shape[:-1], dtype=origin.dtype)
-    tau, _ = sweep(grid, origin, direction, seg, tau0, state0=state0)
+    tau, _ = sweep(grid, origin, direction, seg, tau0, state0=state0,
+                   active=active)
     return tau
 
 
 def propagate_to_tau(grid, kapparho_of_cell, origin, direction, tau_target,
-                     state0=None):
+                     state0=None, active=None):
     """Path length s at which the cumulative optical depth reaches tau_target.
 
     ref: DustGridPath::pathlength(tau) inverse lookup — here computed in the
@@ -108,5 +111,6 @@ def propagate_to_tau(grid, kapparho_of_cell, origin, direction, tau_target,
         )
         return carry, jnp.logical_not(carry["done"])
 
-    carry, _ = sweep(grid, origin, direction, seg, carry0, state0=state0)
+    carry, _ = sweep(grid, origin, direction, seg, carry0, state0=state0,
+                     active=active)
     return carry["s"], carry["cell"]
