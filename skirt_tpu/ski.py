@@ -36,7 +36,8 @@ from .media import (DraineLiDustMix, DustComponent, DustMassNormalization,
                     DustSystem, ElectronDustMix, InterstellarDustMix,
                     MeanZubkoDustMix, OpticalDepthNormalization,
                     SimpleOligoDustMix, TrustMeanDustMix)
-from .sources.sed import (BlackBodySED, FileSED, KuruczSED, QuasarSED, SunSED)
+from .sources.sed import (BlackBodySED, FileSED, KuruczSED, PegaseSED,
+                          QuasarSED, SunSED)
 from .sources.stellar import (BolometricLuminosityNormalization,
                               OligoStellarComponent,
                               SpectralLuminosityNormalization,
@@ -257,6 +258,8 @@ def build_sed(node: Node, wg):
         return FileSED(wg, node.attrs["filename"])
     if n == "QuasarSED":
         return QuasarSED(wg)
+    if n == "PegaseSED":
+        return PegaseSED(wg, node.get("type", "E"))
     if n == "KuruczSED":
         return KuruczSED(wg, node.scalar("metallicity"),
                          node.scalar("temperature"), node.scalar("gravity"))

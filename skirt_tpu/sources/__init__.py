@@ -2,7 +2,7 @@
 
 from .sed import (
     SED, BlackBodySED, SunSED, FileSED, PlanckFunction, KuruczSED,
-    QuasarSED,
+    QuasarSED, PegaseSED, MarastonSED,
 )
 from .stellar import (
     StellarComponent,
@@ -14,7 +14,7 @@ from .stellar import (
 
 __all__ = [
     "SED", "BlackBodySED", "SunSED", "FileSED", "PlanckFunction",
-    "KuruczSED", "QuasarSED",
+    "KuruczSED", "QuasarSED", "PegaseSED", "MarastonSED",
     "StellarComponent", "OligoStellarComponent", "StellarSystem",
     "BolometricLuminosityNormalization", "SpectralLuminosityNormalization",
 ]

@@ -138,6 +138,44 @@ class KuruczSED(SED):
         super().__init__(wavelength_grid, j * wavelength_grid.dlambdav)
 
 
+class PegaseSED(SED):
+    """Pegase synthetic galaxy spectra for Hubble types E, S0, Sa, Sb, Sc.
+
+    ref: SKIRTcore/PegaseSED.cpp — file columns lambda [micron],
+    emissivity, (unused); data dat/SED/Pegase/PegaseSED_<type>.dat.
+    """
+
+    TYPES = ("E", "S0", "Sa", "Sb", "Sc")
+
+    def __init__(self, wavelength_grid: WavelengthGrid, spectral_type: str = "E",
+                 data_dir: str | None = None):
+        if spectral_type not in self.TYPES:
+            raise ValueError(f"unknown Pegase type '{spectral_type}'")
+        path = os.path.join(data_dir or DATA_DIR,
+                            f"SED/Pegase/PegaseSED_{spectral_type}.dat")
+        data = np.loadtxt(path, comments="#", ndmin=2)
+        lam = data[:, 0] * 1e-6
+        j = resample_loglog(wavelength_grid.lambdav, lam, data[:, 1])
+        super().__init__(wavelength_grid, j * wavelength_grid.dlambdav)
+        self.spectral_type = spectral_type
+
+
+class MarastonSED(SED):
+    """Maraston single-age stellar population SED.
+
+    ref: SKIRTcore/MarastonSED.cpp; the resource data for this family is
+    not included in the partial data mount (dat/SED/Maraston is a stub),
+    so construction raises with a clear message.
+    """
+
+    def __init__(self, wavelength_grid, age=None, metallicity=None,
+                 data_dir: str | None = None):
+        base = os.path.join(data_dir or DATA_DIR, "SED/Maraston")
+        raise FileNotFoundError(
+            f"Maraston SED data not available under {base} (the reference "
+            "data mount ships only stub files; fetch the resource pack)")
+
+
 class QuasarSED(SED):
     """Analytic broken power-law quasar SED.
 
