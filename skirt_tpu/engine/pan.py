@@ -109,15 +109,19 @@ class PanSimulation(OligoSimulation):
         self.emission_boost = float(emission_boost)
         self.emission_bias = float(emission_bias)
 
-        if self.dust_system.ncomp != 1:
-            raise NotImplementedError(
-                "dust emission currently supports one dust component")
-        mix = self.dust_system.components[0].mix
-        self.emissivity = GreyBodyEmissivity(mix)
+        # per-component emissivity machinery (ref: DustLib EmissionCalculator
+        # sums emissivities over components weighted by density)
+        self.emissivities = [GreyBodyEmissivity(c.mix)
+                             for c in self.dust_system.components]
+        self.emissivity = self.emissivities[0]
         self.transient = None
         if self.emissivity_kind == "transient":
+            if self.dust_system.ncomp != 1:
+                raise NotImplementedError(
+                    "transient emission currently supports one dust component")
             from ..media.transient import TransientEmissivity
-            self.transient = TransientEmissivity(mix)
+            self.transient = TransientEmissivity(
+                self.dust_system.components[0].mix)
 
         # dust-emission lifecycle variants
         launch = make_dust_launch(self.grid, self.nlambda)
@@ -154,9 +158,11 @@ class PanSimulation(OligoSimulation):
         """
         if self.transient is not None and labs_full is not None:
             frac = self._transient_fractions(labs_full)
-        else:
+        elif self.dust_system.ncomp == 1:
             absorbed_per_mass = labs_bol_dev * self._inv4pivrho
             frac = self.emissivity.emissivity_fractions(absorbed_per_mass)
+        else:
+            frac = self._multicomp_fractions(labs_bol_dev)
         # per-wavelength per-cell luminosities: (nl, Ncells)
         Lv = (labs_bol_dev[:, None] * frac).T
         Ltot = jnp.sum(Lv, axis=1)
@@ -166,6 +172,33 @@ class PanSimulation(OligoSimulation):
             [jnp.zeros((self.nlambda, 1), jnp.float32), cum / denom], axis=1)
         return {"cdf": cdf, "Lv": Lv, "Ltot": Ltot,
                 "xi": jnp.float32(self.emission_bias)}
+
+    def _multicomp_fractions(self, labs_bol_dev):
+        """Emission spectrum fractions for multi-component dust.
+
+        Each component h re-emits its share A_h ∝ rho_h int kappaabs_h J of
+        the absorbed power with its own equilibrium spectrum (ref: the
+        reference's EmissionCalculator sums component emissivities weighted
+        by density, DustLib.cpp:57-195).  J is approximated per cell by the
+        mixture-mean (exact for a single component).
+        """
+        ds = self.dust_system
+        # component absorption weights per cell: rho_h * <kappaabs_h>
+        kabs_mean = [float(np.mean(c.mix.kappaabs64)) for c in ds.components]
+        w = jnp.stack([ds.rho[h] * kabs_mean[h] for h in range(ds.ncomp)])
+        wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-37)
+        frac = 0.0
+        for h, em in enumerate(self.emissivities):
+            share = w[h] / wsum
+            absorbed_h = labs_bol_dev * share
+            rho_h = ds.rho[h]
+            V = jnp.asarray(ds.volumes, jnp.float32)
+            with np.errstate(divide="ignore"):
+                inv_h = 1.0 / (4.0 * np.pi * V * jnp.maximum(rho_h, 1e-37))
+            per_mass = absorbed_h * inv_h
+            frac_h = em.emissivity_fractions(per_mass)
+            frac = frac + share[:, None] * frac_h
+        return frac
 
     def _transient_fractions(self, labs_full):
         """Per-cell emission fractions from the stochastic-heating solver.

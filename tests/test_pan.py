@@ -130,3 +130,39 @@ class TestPanSimulation:
         assert total == pytest.approx(100.0, rel=0.10)
         # with self-absorption some dust emission is re-absorbed
         assert acc["labs_dust"].sum() > 0.0
+
+
+class TestMultiComponent:
+    def test_two_component_energy_conservation(self):
+        # two dust components with different IR-transparent opacities;
+        # spherical symmetry -> total observed flux = L
+        from skirt_tpu.geometry import UniformSphereGeometry
+        from skirt_tpu.media.mix import DustMix
+        wg = LogWavelengthGrid(0.1e-6, 1000e-6, 24)
+        star = StellarComponent(PointGeometry(), BlackBodySED(wg, 6000.0),
+                                BolometricLuminosityNormalization(100.0))
+        ss = StellarSystem([star])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        R = 0.9
+        k1 = np.where(wg.lambdav < 1e-6, 3.0, 0.003)
+        k2 = np.where(wg.lambdav < 1e-6, 1.0, 0.001)
+        mix1 = DustMix(wg, k1, np.zeros(24), np.zeros(24))
+        mix2 = DustMix(wg, k2, np.zeros(24), np.zeros(24))
+        volume = 4 / 3 * np.pi * R ** 3
+        comps = [
+            DustComponent(UniformSphereGeometry(R), mix1,
+                          DustMassNormalization(1.0 / (3.0 * R) * volume)),
+            DustComponent(UniformSphereGeometry(R * 0.7), mix2,
+                          DustMassNormalization(0.5 / (1.0 * R) * volume)),
+        ]
+        dsys = DustSystem(grid, comps, samples_per_cell=4)
+        ins = SEDInstrument("sed", 1e4, 24, inclination=0.8)
+        sim = PanSimulation(stellar_system=ss, instruments=[ins],
+                            dust_system=dsys, packets=2000,
+                            self_absorption=False, log=SilentLog(),
+                            batch_size=1 << 13,
+                            options=LifecycleOptions(store_absorption=True))
+        acc = sim.run()
+        total = acc["instruments"][0]["Ftot"].sum()
+        assert total == pytest.approx(100.0, rel=0.07)
