@@ -37,7 +37,8 @@ class OligoSimulation:
                  batch_size: int = 1 << 17, log: Log | None = None,
                  units: Units | None = None, out_dir: str = ".",
                  prefix: str = "skirt_tpu", write_convergence: bool = False,
-                 write_density: bool = False, checkpoint_every: int = 0):
+                 write_density: bool = False, checkpoint_every: int = 0,
+                 use_mesh: bool | None = None):
         self.stellar_system = stellar_system
         self.instruments = list(instruments)
         self.dust_system = dust_system
@@ -66,6 +67,32 @@ class OligoSimulation:
             self._run_batch = jax.jit(make_lifecycle(
                 grid, dust_system, stellar_system, self.instruments,
                 self.options, self.nlambda), donate_argnums=(3,))
+
+        # multi-device execution: shard the packet axis over all local
+        # devices, psum tallies (ref: the reference's MPI peer-to-peer model)
+        self.mesh = None
+        self._run_batch_sharded = None
+        ndev = jax.local_device_count()
+        if use_mesh is None:
+            use_mesh = ndev > 1
+        if use_mesh and ndev > 1:
+            from ..parallel import make_sharded_lifecycle, packet_mesh
+            self.mesh = packet_mesh()
+            lifecycle = make_lifecycle(
+                grid, dust_system, stellar_system, self.instruments,
+                self.options, self.nlambda)
+
+            def zero_tallies():
+                t = {"instruments": [ins.zero_tallies()
+                                     for ins in self.instruments]}
+                if self.options.store_absorption and dust_system is not None:
+                    t["labs"] = jnp.zeros(
+                        (grid.ncells * self.nlambda,), jnp.float32)
+                return t
+
+            self._run_batch_sharded = make_sharded_lifecycle(
+                self.mesh, lifecycle, zero_tallies)
+            self._ndev = ndev
 
     # ------------------------------------------------------------------
 
@@ -131,7 +158,11 @@ class OligoSimulation:
             if b < start_batch:
                 continue
             bkey = rng.event_key(key, phase_tag, b)
-            tallies = self._run_batch(bkey, ell, L0, tallies)
+            if self._run_batch_sharded is not None \
+                    and ell.shape[0] % self._ndev == 0:
+                tallies = self._run_batch_sharded(bkey, ell, L0)
+            else:
+                tallies = self._run_batch(bkey, ell, L0, tallies)
             total += ell.shape[0]
             # drain to host in float64 and reset device tallies to preserve
             # precision across many batches

@@ -78,3 +78,20 @@ class TestShardedLifecycle:
         F = out["instruments"][0]["Ftot"]
         # output is replicated across devices and positive
         assert float(F[0]) > 0.1
+
+
+class TestAutoMesh:
+    def test_simulation_uses_mesh_and_matches_physics(self):
+        # the driver auto-shards over the 8 virtual CPU devices; pure
+        # absorption gives the exact exp(-tau) answer regardless of sharding
+        from skirt_tpu.engine.simulation import OligoSimulation
+        from skirt_tpu.log import SilentLog
+        wg, ss, grid, dsys, ins = build_components(tau=2.0, albedo=0.0)
+        sim = OligoSimulation(stellar_system=ss, instruments=[ins],
+                              dust_system=dsys, packets=2048,
+                              log=SilentLog(), batch_size=1 << 11,
+                              use_mesh=True)
+        assert sim.mesh is not None
+        acc = sim._run_phase(rng.root_key(4), 0)
+        F = acc["instruments"][0]["Ftot"][0]
+        assert F == pytest.approx(np.exp(-2.0), rel=1e-3)
