@@ -38,6 +38,11 @@ try:
 except ImportError:
     pass
 try:
+    from .sphere2d import Sphere2DGrid  # noqa: F401
+    __all__.append("Sphere2DGrid")
+except ImportError:
+    pass
+try:
     from .octree import OctreeGrid  # noqa: F401
     __all__.append("OctreeGrid")
 except ImportError:

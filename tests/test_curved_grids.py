@@ -135,3 +135,55 @@ class TestCylinder2D:
                            (np.sign(dd[:, 2]) * R - p[:, 2]) / dd[:, 2], np.inf)
         expected = kr * np.minimum(t_cyl, t_z)
         np.testing.assert_allclose(tau_cyl, expected, rtol=3e-3, atol=1e-3)
+
+
+class TestSphere2D:
+    def test_chord_and_volumes(self):
+        from skirt_tpu.grids import Sphere2DGrid
+        R = 2.0
+        g = Sphere2DGrid(np.linspace(0, R, 7), ntheta=6)
+        np.testing.assert_allclose(g.cell_volumes().sum(),
+                                   4 / 3 * np.pi * R ** 3, rtol=1e-12)
+        pos, d = random_rays(300, 0.8, seed=7)
+        total = chord_sum(g, pos, d)
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        b = 2 * np.sum(p * dd, axis=1)
+        c = np.sum(p * p, axis=1) - R * R
+        expected = (-b + np.sqrt(b * b - 4 * c)) / 2
+        np.testing.assert_allclose(total, expected, rtol=5e-3, atol=5e-3)
+
+    def test_optical_depth_theta_structure(self):
+        # two polar caps with dust, equatorial belt empty
+        from skirt_tpu.grids import Sphere2DGrid
+        g = Sphere2DGrid(np.linspace(0, 1, 3), thetaborders=np.array(
+            [0.0, np.pi / 3, 2 * np.pi / 3, np.pi]))
+        # cells: (ir, it): it=0 top cap, it=1 belt, it=2 bottom cap
+        rho = np.zeros(g.ncells, np.float32)
+        for ir in range(g.nr):
+            rho[ir * g.nt + 0] = 2.0
+            rho[ir * g.nt + 2] = 2.0
+        rho_dev = jnp.asarray(rho)
+        kr = lambda cell: jnp.where(cell >= 0, rho_dev[jnp.clip(cell, 0)], 0.0)
+        # vertical near-axis ray: the theta borders are cones through the
+        # origin, so the empty belt pinches to ~nothing near the axis and
+        # the ray is inside cap material almost the whole way
+        pos = jnp.asarray([[0.01, 0.0, -0.99]], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        tau = traversal.optical_depth(g, kr, pos, d)
+        expected = 2.0 * (0.99 + 1.0)  # minus the tiny belt pinch
+        assert float(tau[0]) == pytest.approx(expected, rel=0.01)
+        # equatorial ray stays in the empty belt
+        pos2 = jnp.asarray([[-0.99, 0.0, 0.01]], jnp.float32)
+        d2 = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        tau2 = traversal.optical_depth(g, kr, pos2, d2)
+        assert float(tau2[0]) == pytest.approx(0.0, abs=1e-3)
+
+    def test_locate(self):
+        from skirt_tpu.grids import Sphere2DGrid
+        g = Sphere2DGrid(np.linspace(0, 1, 3), ntheta=4)
+        # point near +z pole, r ~ 0.75 -> ir=1, it=0
+        cell = int(g.locate(jnp.asarray([[0.05, 0.0, 0.75]], jnp.float32))[0])
+        assert cell == 1 * g.nt + 0
+        # point near -z pole
+        cell2 = int(g.locate(jnp.asarray([[0.05, 0.0, -0.75]], jnp.float32))[0])
+        assert cell2 == 1 * g.nt + (g.nt - 1)
