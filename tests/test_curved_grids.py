@@ -172,8 +172,8 @@ class TestSphere2D:
         tau = traversal.optical_depth(g, kr, pos, d)
         expected = 2.0 * (0.99 + 1.0)  # minus the tiny belt pinch
         assert float(tau[0]) == pytest.approx(expected, rel=0.01)
-        # equatorial ray stays in the empty belt
-        pos2 = jnp.asarray([[-0.99, 0.0, 0.01]], jnp.float32)
+        # a z=0 ray (offset in y to avoid the origin) stays in the belt
+        pos2 = jnp.asarray([[-0.9, 0.3, 0.0]], jnp.float32)
         d2 = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
         tau2 = traversal.optical_depth(g, kr, pos2, d2)
         assert float(tau2[0]) == pytest.approx(0.0, abs=1e-3)
