@@ -463,6 +463,23 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                 write_temperature=ds_node.boolean("writeTemperature"),
                 write_isrf=ds_node.boolean("writeISRF"),
             )
+            em_node = ds_node.child("dustEmissivity")
+            if em_node is not None:
+                if em_node.name == "TransientDustEmissivity":
+                    pan_props["emissivity"] = "transient"
+                elif em_node.name != "GreyBodyDustEmissivity":
+                    raise SkiParseError(
+                        f"unsupported dust emissivity '{em_node.name}'")
+            lib_node = ds_node.child("dustLib")
+            if lib_node is not None:
+                if lib_node.name == "AllCellsDustLib":
+                    pan_props["dust_lib"] = "allcells"
+                elif lib_node.name == "Dim1DustLib":
+                    pan_props["dust_lib"] = (
+                        "dim1", int(lib_node.scalar("entries", 250)))
+                else:
+                    raise SkiParseError(
+                        f"unsupported dust library '{lib_node.name}'")
 
     ins_node = sim_node.child("instrumentSystem")
     instruments = [build_instrument(i, wg.nlambda)
