@@ -74,7 +74,8 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                    options: LifecycleOptions, nlambda: int,
                    launch_fn=None, emission_peeloff: bool = True,
                    scattering_peeloff: bool = True, is_dust_emission=False,
-                   mueller=None):
+                   mueller=None, io_state: bool = False,
+                   max_iterations: int | None = None):
     """Build the jittable per-batch lifecycle function.
 
     Returns run_batch(key, ell, L0, tallies[, launch_ctx]) -> tallies where
@@ -90,30 +91,45 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     mueller: a media.polarization.MuellerTables enables polarized
     scattering (ref: DustMix polarization branch); packets then carry
     normalized Stokes ratios and a reference normal.
+    io_state=True enables survivor compaction: the cycle runs at most
+    max_iterations scattering events and run_batch returns
+    (tallies, packet_state); passing state_in resumes packets mid-flight
+    (the north-star sorted-compaction divergence control).
     """
     ds = dust_system
     peels = [make_peel_off(grid, ds, ins) for ins in instruments]
     if mueller is not None:
         from ..media import polarization as pol
 
-    def run_batch(key, ell, L0, tallies, launch_ctx=None):
+    def run_batch(key, ell, L0, tallies, launch_ctx=None, state_in=None):
         n = ell.shape[0]
         k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
 
-        # --- launch (ref: StellarSystem::launch) --------------------------
-        comp = None
-        if launch_fn is not None:
-            pos, direction, L = launch_fn(k_launch, ell, L0, launch_ctx)
+        if state_in is not None:
+            # resume mid-flight packets (compaction continuation)
+            ell = state_in["ell"]
+            L0 = state_in["L0"]
+            pos = state_in["pos"]
+            direction = state_in["dir"]
+            L = state_in["L"]
+            alive = state_in["alive"]
+            comp = None
         else:
-            pos, direction, L, comp = stellar_system.launch(k_launch, ell, L0)
-        alive = L > 0
+            # --- launch (ref: StellarSystem::launch) ----------------------
+            comp = None
+            if launch_fn is not None:
+                pos, direction, L = launch_fn(k_launch, ell, L0, launch_ctx)
+            else:
+                pos, direction, L, comp = stellar_system.launch(k_launch, ell,
+                                                                L0)
+            alive = L > 0
 
         # --- emission peel-off (ref: peeloffemission) ---------------------
         dust_flags = jnp.full(n, bool(is_dust_emission))
         tags = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
         anisotropic = (comp is not None and stellar_system is not None
                        and not stellar_system.is_isotropic)
-        if emission_peeloff:
+        if emission_peeloff and state_in is None:
             for i, peel in enumerate(peels):
                 contribution = jnp.where(alive, L, 0.0)
                 if anisotropic:
@@ -126,20 +142,26 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     tallies["instruments"][i], pos, ell, contribution, tags)
 
         if ds is None:
-            return tallies
+            return (tallies, None) if io_state else tallies
 
         Lthreshold = L0 / options.min_weight_reduction
         labs = tallies.get("labs")
 
         state = dict(
             it=jnp.int32(0), pos=pos, dir=direction, L=L,
-            nscatt=jnp.zeros(n, jnp.int32), alive=alive,
+            nscatt=state_in["nscatt"] if state_in is not None
+            else jnp.zeros(n, jnp.int32),
+            alive=alive,
             labs=labs if labs is not None else jnp.zeros((1,), jnp.float32),
             ins=tallies["instruments"],
         )
         if mueller is not None:
-            state.update(q=jnp.zeros(n), u=jnp.zeros(n), v=jnp.zeros(n),
-                         normal=jnp.zeros((n, 3)))
+            if state_in is not None:
+                state.update(q=state_in["q"], u=state_in["u"],
+                             v=state_in["v"], normal=state_in["normal"])
+            else:
+                state.update(q=jnp.zeros(n), u=jnp.zeros(n), v=jnp.zeros(n),
+                             normal=jnp.zeros((n, 3)))
 
         def cycle_body(st):
             it = st["it"]
@@ -294,8 +316,11 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                        alive=alive, labs=labs_c, ins=ins_tallies)
             return out
 
+        iter_cap = max_iterations if max_iterations is not None \
+            else options.max_scatt_events
+
         def cycle_cond(st):
-            return (st["it"] < options.max_scatt_events) & jnp.any(st["alive"])
+            return (st["it"] < iter_cap) & jnp.any(st["alive"])
 
         final = jax.lax.while_loop(cycle_cond, cycle_body, state)
 
@@ -303,6 +328,14 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         out["instruments"] = final["ins"]
         if labs is not None:
             out["labs"] = final["labs"]
+        if io_state:
+            pstate = {"pos": final["pos"], "dir": final["dir"],
+                      "L": final["L"], "ell": ell, "L0": L0,
+                      "nscatt": final["nscatt"], "alive": final["alive"]}
+            if mueller is not None:
+                pstate.update(q=final["q"], u=final["u"], v=final["v"],
+                              normal=final["normal"])
+            return out, pstate
         return out
 
     return run_batch

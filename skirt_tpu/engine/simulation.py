@@ -38,7 +38,7 @@ class OligoSimulation:
                  units: Units | None = None, out_dir: str = ".",
                  prefix: str = "skirt_tpu", write_convergence: bool = False,
                  write_density: bool = False, checkpoint_every: int = 0,
-                 use_mesh: bool | None = None):
+                 use_mesh: bool | None = None, compaction_iterations: int = 0):
         self.stellar_system = stellar_system
         self.instruments = list(instruments)
         self.dust_system = dust_system
@@ -62,11 +62,29 @@ class OligoSimulation:
         grid = dust_system.grid if dust_system is not None else None
         self.grid = grid
 
+        # survivor compaction (north-star divergence control): run only K
+        # scattering events per dispatch, repack alive packets across
+        # batches so late iterations run at full lane occupancy
+        self.compaction_k = int(compaction_iterations)
+
         self._run_batch = None
         if grid is not None or True:
             self._run_batch = jax.jit(make_lifecycle(
                 grid, dust_system, stellar_system, self.instruments,
                 self.options, self.nlambda), donate_argnums=(3,))
+        self._run_batch_io = None
+        self._resume_batch = None
+        if self.compaction_k > 0 and dust_system is not None:
+            life_io = make_lifecycle(
+                grid, dust_system, stellar_system, self.instruments,
+                self.options, self.nlambda, io_state=True,
+                max_iterations=self.compaction_k)
+            self._run_batch_io = jax.jit(life_io, donate_argnums=(3,))
+            self._resume_batch = jax.jit(
+                lambda key, tallies, state_in: life_io(
+                    key, state_in["ell"], state_in["L0"], tallies,
+                    state_in=state_in),
+                donate_argnums=(1,))
 
         # multi-device execution: shard the packet axis over all local
         # devices, psum tallies (ref: the reference's MPI peer-to-peer model)
@@ -125,6 +143,72 @@ class OligoSimulation:
         self.write(acc)
         return acc
 
+    # -- survivor compaction -------------------------------------------------
+
+    def _extract_survivors(self, pstate) -> dict | None:
+        """Pull alive packets to the host as compact numpy arrays."""
+        alive = np.asarray(pstate["alive"])
+        if not alive.any():
+            return None
+        idx = np.nonzero(alive)[0]
+        return {k: np.asarray(v)[idx] for k, v in pstate.items()}
+
+    def _pool_append(self, pool: dict | None, add: dict | None):
+        if add is None:
+            return pool
+        if pool is None:
+            return add
+        return {k: np.concatenate([pool[k], add[k]]) for k in pool}
+
+    def _pool_take(self, pool: dict, count: int):
+        """Take up to `count` packets, padding with dead lanes to `count`."""
+        n = pool["L"].shape[0]
+        take = min(n, count)
+        batch = {k: v[:take] for k, v in pool.items()}
+        rest = {k: v[take:] for k, v in pool.items()} if take < n else None
+        if take < count:
+            pad = count - take
+            batch = {k: np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in batch.items()}
+            batch["alive"][take:] = False
+            batch["ell"] = batch["ell"].astype(np.int32)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        return dev, rest
+
+    def _run_phase_compacted(self, key, phase_tag: int, acc, tallies_factory,
+                             drain):
+        """Phase driver with cross-batch survivor repacking."""
+        pool = None
+        resume_tag = 0
+        batch_n = None
+        for b, ell, L0 in self._batches():
+            batch_n = ell.shape[0]
+            bkey = rng.event_key(key, phase_tag, b)
+            tallies, pstate = self._run_batch_io(
+                bkey, ell, L0, tallies_factory())
+            drain(acc, tallies)
+            pool = self._pool_append(pool, self._extract_survivors(pstate))
+            while pool is not None and pool["L"].shape[0] >= batch_n:
+                state_in, pool = self._pool_take(pool, batch_n)
+                rkey = rng.event_key(key, phase_tag + 7000, resume_tag)
+                resume_tag += 1
+                tallies, pstate = self._resume_batch(
+                    rkey, tallies_factory(), state_in)
+                drain(acc, tallies)
+                pool = self._pool_append(pool,
+                                         self._extract_survivors(pstate))
+        # flush the remaining survivors (padded batches)
+        while pool is not None and pool["L"].shape[0] > 0:
+            state_in, pool = self._pool_take(pool, batch_n)
+            rkey = rng.event_key(key, phase_tag + 7000, resume_tag)
+            resume_tag += 1
+            tallies, pstate = self._resume_batch(
+                rkey, tallies_factory(), state_in)
+            drain(acc, tallies)
+            pool = self._pool_append(pool, self._extract_survivors(pstate))
+        return acc
+
     def _run_phase(self, key, phase_tag: int):
         tallies = {"instruments": [ins.zero_tallies() for ins in self.instruments]}
         if self.options.store_absorption and self.dust_system is not None:
@@ -137,6 +221,24 @@ class OligoSimulation:
             for t in tallies["instruments"]]}
         if "labs" in tallies:
             acc["labs"] = np.zeros(tallies["labs"].shape, np.float64)
+
+        def tallies_factory():
+            t = {"instruments": [ins.zero_tallies() for ins in self.instruments]}
+            if "labs" in acc:
+                t["labs"] = jnp.zeros(
+                    (self.grid.ncells * self.nlambda,), jnp.float32)
+            return t
+
+        def drain(acc_, t):
+            for i, ti in enumerate(t["instruments"]):
+                for k, v in ti.items():
+                    acc_["instruments"][i][k] += np.asarray(v, np.float64)
+            if "labs" in acc_:
+                acc_["labs"] += np.asarray(t["labs"], np.float64)
+
+        if self.compaction_k > 0 and self._run_batch_io is not None:
+            return self._run_phase_compacted(key, phase_tag, acc,
+                                             tallies_factory, drain)
 
         # resume from a phase checkpoint when present
         start_batch = 0
