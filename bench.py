@@ -18,6 +18,16 @@ def main():
     import os
 
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the multi-minute
+    # XLA compile on the tunneled TPU
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from __graft_entry__ import _build
