@@ -33,6 +33,10 @@ class LifecycleOptions:
                                      # with minWeightReduction=1e4 packets die
                                      # far earlier except for albedo ~ 1)
     store_absorption: bool = False   # tally Labs per (cell, wavelength)
+    fast_peeloff: bool = False       # cell-center tau maps for distant
+                                     # instruments (gather replaces a
+                                     # traversal per peel-off; cell-scale
+                                     # approximation, exact by default)
 
 
 def begin_traversal(grid, pos, direction):
@@ -46,28 +50,83 @@ def begin_traversal(grid, pos, direction):
     return state
 
 
-def make_peel_off(grid, dust_system, instrument):
+def make_peel_off(grid, dust_system, instrument, rho_path_map=None):
     """Returns fn(tallies, pos, ell, contribution, tags) applying extinction
-    along the observer direction and detecting."""
+    along the observer direction and detecting.
 
-    def peel(tallies, pos, ell, contribution, tags, active=None):
+    rho_path_map: optional (Ncomp, Ncells) density-path integrals from cell
+    centers to the boundary along the instrument direction; when given,
+    peel-off extinction is tau = sum_h map[h, cell] * kappaext_h(ell) — a
+    gather instead of a traversal (LifecycleOptions.fast_peeloff).
+    """
+
+    def peel(tallies, pos, ell, contribution, tags, active=None, cell=None):
         kobs = instrument.observer_direction(pos)
         max_s = instrument.observer_distance(pos) \
             if hasattr(instrument, "observer_distance") else None
-        if dust_system is not None:
+        if dust_system is None:
+            tau = jnp.zeros(contribution.shape, contribution.dtype)
+        elif rho_path_map is not None and max_s is None:
+            c = grid.cell_of(grid.start(pos)) if cell is None else cell
+            safe = jnp.clip(c, 0)
+            tau = 0.0
+            kr_local = 0.0
+            for h in range(dust_system.ncomp):
+                kh = dust_system.kappaext[h, ell]
+                tau = tau + rho_path_map[h, safe] * kh
+                kr_local = kr_local + dust_system.rho[h, safe] * kh
+            # first-order in-cell correction: the map holds tau from the
+            # cell center; shift by the projected offset times local kappa*rho
+            centers = _centers_cache(grid)
+            delta = jnp.sum((centers[safe] - pos) * kobs, axis=-1)
+            tau = jnp.maximum(tau + kr_local * delta, 0.0)
+            tau = jnp.where(c >= 0, tau, 0.0)
+        else:
             state0 = begin_traversal(grid, pos, kobs)
             kapparho = dust_system.kapparho_ext_fn(ell)
             tau = traversal.optical_depth(grid, kapparho, pos, kobs,
                                           state0=state0, max_s=max_s,
                                           active=active)
-        else:
-            tau = jnp.zeros(contribution.shape, contribution.dtype)
         extincted = contribution * jnp.exp(-tau)
         if tags is not None:
             tags = dict(tags, transparent=contribution)
         return instrument.detect(tallies, pos, ell, extincted, tags)
 
     return peel
+
+
+def _centers_cache(grid):
+    """Device array of cell centers, cached on the grid object."""
+    if not hasattr(grid, "_centers_dev"):
+        grid._centers_dev = jnp.asarray(grid.cell_centers(), jnp.float32)
+    return grid._centers_dev
+
+
+def compute_rho_path_maps(grid, dust_system, instrument, chunk: int = 65536):
+    """Per-cell density-path integrals toward a distant instrument.
+
+    One traversal sweep from every cell center along the constant observer
+    direction; tau(cell, ell) then factorizes as map[h, cell] *
+    kappaext_h(ell).  Computed once per (instrument, phase) at setup.
+    """
+    import numpy as np
+    centers = grid.cell_centers()
+    ncells = centers.shape[0]
+    out = np.empty((dust_system.ncomp, ncells), np.float32)
+    for h in range(dust_system.ncomp):
+        rho_h = dust_system.rho[h]
+
+        def kr(cell, rho_h=rho_h):
+            return jnp.where(cell >= 0, rho_h[jnp.clip(cell, 0)], 0.0)
+
+        vals = []
+        for i in range(0, ncells, chunk):
+            pos = jnp.asarray(centers[i:i + chunk], jnp.float32)
+            kobs = instrument.observer_direction(pos)
+            p = traversal.optical_depth(grid, kr, pos, kobs)
+            vals.append(np.asarray(p))
+        out[h] = np.concatenate(vals)
+    return jnp.asarray(out)
 
 
 def make_lifecycle(grid, dust_system, stellar_system, instruments,
@@ -97,7 +156,13 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     (the north-star sorted-compaction divergence control).
     """
     ds = dust_system
-    peels = [make_peel_off(grid, ds, ins) for ins in instruments]
+    maps = [None] * len(instruments)
+    if options.fast_peeloff and ds is not None:
+        maps = [compute_rho_path_maps(grid, ds, ins)
+                if not hasattr(ins, "observer_distance") else None
+                for ins in instruments]
+    peels = [make_peel_off(grid, ds, ins, rho_path_map=m)
+             for ins, m in zip(instruments, maps)]
     if mueller is not None:
         from ..media import polarization as pol
 
@@ -265,7 +330,8 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                         tg = dict(tags2, stokes=(q3, u3, v2))
                     contribution = jnp.where(alive, L * w, 0.0)
                     ins_tallies[i] = peel(ins_tallies[i], pos, ell,
-                                          contribution, tg, active=alive)
+                                          contribution, tg, active=alive,
+                                          cell=cell_at)
 
             # -- scatter (ref: simulatescattering) -------------------------
             if mueller is None:

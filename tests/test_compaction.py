@@ -63,3 +63,31 @@ class TestCompaction:
         comp = build(2, albedo=0.5)._run_phase(rng.root_key(5), 0)
         assert comp["labs"].sum() == pytest.approx(plain["labs"].sum(),
                                                    rel=0.05)
+
+
+class TestFastPeeloff:
+    def test_matches_exact_within_cell_scale(self):
+        # smooth medium: the cell-center tau map approximation must agree
+        # with exact peel-off within the per-cell optical depth
+        def run(fast):
+            wg = OligoWavelengthGrid([1e-6])
+            ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                           [1.0])])
+            b = np.linspace(-1, 1, 17)
+            grid = CartesianGrid(b, b, b)
+            mix = SimpleOligoDustMix(wg, [1.0], [0.5], [0.3])
+            R = 0.9
+            mass = 1.0 / (1.0 * R) * (4 / 3 * np.pi * R ** 3)
+            comp = DustComponent(UniformSphereGeometry(R), mix,
+                                 DustMassNormalization(mass))
+            dsys = DustSystem(grid, [comp], samples_per_cell=4)
+            ins = SEDInstrument("sed", 100.0, 1, inclination=0.4)
+            sim = OligoSimulation(
+                stellar_system=ss, instruments=[ins], dust_system=dsys,
+                packets=4000, log=SilentLog(), batch_size=1 << 12,
+                options=LifecycleOptions(fast_peeloff=fast))
+            return sim._run_phase(rng.root_key(7), 0)["instruments"][0]["Ftot"][0]
+
+        exact = run(False)
+        fast = run(True)
+        assert fast == pytest.approx(exact, rel=0.05)
