@@ -40,6 +40,8 @@ def main():
         packets=packets,
         n_instruments=int(os.environ.get("BENCH_NINSTR", "2")),
         store_absorption=os.environ.get("BENCH_ABS", "1") == "1",
+        fast_peeloff=os.environ.get("BENCH_FAST", "0") == "1",
+        max_scatt=int(os.environ.get("BENCH_MAXSCATT", "64")),
     )
 
     key = jax.random.key(4357)
