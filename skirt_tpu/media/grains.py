@@ -93,10 +93,17 @@ def load_draine_optical(path: str):
     Qsca = np.empty((nrad, nwav))
     g = np.empty((nrad, nwav))
     lam = None
+    import re
+    num = re.compile(r"-?\d+\.?\d*(?:[EeDd][+-]?\d+)?")
+
+    def floats(line):
+        # Fortran fixed-width output can fuse columns ("1.2E-12-3.4E-08")
+        return [float(x.replace("D", "E").replace("d", "e"))
+                for x in num.findall(line)]
+
     for r in range(nrad):
-        av[r] = float(lines[i].split()[0]) * 1e-6; i += 1
-        block = np.array([[float(x) for x in lines[i + k].split()[:4]]
-                          for k in range(nwav)])
+        av[r] = floats(lines[i])[0] * 1e-6; i += 1
+        block = np.array([floats(lines[i + k])[:4] for k in range(nwav)])
         i += nwav
         order = np.argsort(block[:, 0])
         block = block[order]
@@ -357,6 +364,96 @@ class MultiGrainDustMix(DustMix):
     @property
     def npop(self) -> int:
         return len(self.populations)
+
+
+def _dnda_grasil(a, C, at, ac, alpha, beta):
+    """WD01a eq. 4 functional form (ref: WeingartnerDraineDustMix.cpp)."""
+    a = np.asarray(a, dtype=np.float64)
+    f0 = C / a * (a / at) ** alpha
+    f1 = np.where(beta > 0, 1.0 + beta * a / at,
+                  1.0 / (1.0 - beta * a / at))
+    f2 = np.where(a < at, 1.0, np.exp(-((a - at) / ac) ** 3))
+    return f0 * f1 * f2
+
+
+def _dnda_pah(a, sigma, a0, bc):
+    """Draine & Li (2001) II double log-normal very-small-grain term.
+
+    ref: WeingartnerDraineDustMix.cpp dnda_pah.
+    """
+    from scipy.special import erf
+    a = np.asarray(a, dtype=np.float64)
+    mC = 1.9944e-26
+    rho = 2.24e3
+    amin = 3.5e-10
+    total = np.zeros_like(a)
+    for a0i, bci in zip(a0, bc):
+        t0 = 3.0 / (2 * np.pi) ** 1.5
+        t1 = np.exp(-4.5 * sigma * sigma)
+        t2 = 1.0 / rho / a0i ** 3 / sigma
+        erffac = 3.0 * sigma / np.sqrt(2.0) \
+            + np.log(a0i / amin) / np.sqrt(2.0) / sigma
+        t3 = bci * mC / (1.0 + erf(erffac))
+        B = t0 * t1 * t2 * t3
+        u = np.log(a / a0i) / sigma
+        total += B / a * np.exp(-0.5 * u * u)
+    return total
+
+
+class _FunctionSizeDistribution(GrainSizeDistribution):
+    def __init__(self, fn, amin, amax):
+        super().__init__(amin, amax)
+        self._fn = fn
+
+    def dnda(self, a):
+        a = np.asarray(a, dtype=np.float64)
+        return np.where((a >= self.amin) & (a <= self.amax),
+                        self._fn(np.maximum(a, 1e-12)), 0.0)
+
+
+class WeingartnerDraineDustMix(MultiGrainDustMix):
+    """Weingartner & Draine (2001a) graphite/silicate/PAH mix.
+
+    ref: SKIRTcore/WeingartnerDraineDustMix.cpp — WD01a Table 1 parameters
+    for the Milky Way (R_V = 3.1) or LMC environments, plus the DL01 II
+    double log-normal PAH term (50% neutral / 50% ionized).
+    """
+
+    MW = dict(
+        gra=dict(C=9.99e-12, at=0.0107e-6, ac=0.428e-6, alpha=-1.54,
+                 beta=-0.165),
+        sil=dict(C=1.00e-13, at=0.164e-6, ac=0.1e-6, alpha=-2.21, beta=0.300),
+        pah=dict(sigma=0.4, a0=(3.5e-10, 30e-10), bc=(4.5e-5, 1.5e-5)),
+    )
+    LMC = dict(
+        gra=dict(C=3.51e-15, at=0.0980e-6, ac=0.641e-6, alpha=-2.99,
+                 beta=2.46),
+        sil=dict(C=1.78e-14, at=0.184e-6, ac=0.1e-6, alpha=-2.49, beta=0.345),
+        pah=dict(sigma=0.4, a0=(3.5e-10, 30e-10), bc=(0.75e-5, 0.25e-5)),
+    )
+
+    def __init__(self, wavelength_grid, environment: str = "MilkyWay",
+                 graphite_bins: int = 5, silicate_bins: int = 5,
+                 pah_bins: int = 3, data_dir=None):
+        p = self.MW if environment.lower().startswith("m") else self.LMC
+        gra = DraineGraphiteGrainComposition(data_dir)
+        sil = DraineSilicateGrainComposition(data_dir)
+        pah_neu = DraineNeutralPAHGrainComposition(data_dir)
+        pah_ion = DraineIonizedPAHGrainComposition(data_dir)
+
+        dnda_gra = _FunctionSizeDistribution(
+            lambda a: _dnda_grasil(a, **p["gra"]), 0.001e-6, 10.0e-6)
+        dnda_sil = _FunctionSizeDistribution(
+            lambda a: _dnda_grasil(a, **p["sil"]), 0.001e-6, 10.0e-6)
+        dnda_pah_half = _FunctionSizeDistribution(
+            lambda a: 0.5 * _dnda_pah(a, **p["pah"]), 0.0003548e-6, 0.01e-6)
+
+        super().__init__(wavelength_grid, [
+            (gra, dnda_gra, graphite_bins),
+            (sil, dnda_sil, silicate_bins),
+            (pah_neu, dnda_pah_half, pah_bins),
+            (pah_ion, dnda_pah_half, pah_bins),
+        ])
 
 
 class MRNDustMix(MultiGrainDustMix):

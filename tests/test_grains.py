@@ -125,3 +125,20 @@ class TestTransient:
             P = np.asarray(trans._probabilities(tab, Jb))
             np.testing.assert_allclose(P.sum(axis=1), 1.0, rtol=1e-5)
             assert np.all(P >= 0)
+
+
+class TestWeingartnerDraine:
+    def test_milky_way_values(self, wg):
+        from skirt_tpu.media.grains import WeingartnerDraineDustMix
+        m = WeingartnerDraineDustMix(wg, "MilkyWay", 4, 4, 2)
+        assert m.npop == 12
+        # WD01 MW R_V=3.1 literature ranges
+        assert 1.2e-29 < m.mu < 2.2e-29
+        iv = wg.nearest(0.55e-6)
+        assert 2000 < m.kappaext64[iv] < 4500
+        assert 0.5 < m.albedo64[iv] < 0.8
+        assert 0.4 < m.g64[iv] < 0.65
+        # PAH features: opacity bump near 2175 A
+        i_bump = wg.nearest(0.2175e-6)
+        i_side = wg.nearest(0.30e-6)
+        assert m.kappaabs64[i_bump] > 1.3 * m.kappaabs64[i_side]
