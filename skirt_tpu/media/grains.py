@@ -476,3 +476,10 @@ class MRNDustMix(MultiGrainDustMix):
             (sil, PowerLawGrainSizeDistribution(amin, amax, 3.5, Cs),
              silicate_bins),
         ])
+
+
+# ref: SKIRTcore/ConfigurableDustMix.cpp — user-assembled populations; the
+# MultiGrainDustMix constructor already takes arbitrary
+# (composition, size distribution, bins) entries, so it IS the configurable
+# mix in this framework.
+ConfigurableDustMix = MultiGrainDustMix

@@ -332,6 +332,11 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357):
     if n == "Sphere1DDustGrid":
         rb = _mesh_from(node.child("meshR")).scaled(0.0, s("maxR"))
         return Sphere1DGrid(rb)
+    if n == "Sphere2DDustGrid":
+        from .grids.sphere2d import Sphere2DGrid
+        rb = _mesh_from(node.child("meshR")).scaled(0.0, s("maxR"))
+        tb = _mesh_from(node.child("meshTheta"), 9).scaled(0.0, math.pi)
+        return Sphere2DGrid(rb, tb)
     if n in ("OctTreeDustGrid", "BinTreeDustGrid"):
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
                   s("maxZ"))

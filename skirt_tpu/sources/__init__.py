@@ -10,6 +10,7 @@ from .stellar import (
     StellarSystem,
     BolometricLuminosityNormalization,
     SpectralLuminosityNormalization,
+    BandLuminosityNormalization,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "KuruczSED", "QuasarSED", "PegaseSED", "MarastonSED",
     "StellarComponent", "OligoStellarComponent", "StellarSystem",
     "BolometricLuminosityNormalization", "SpectralLuminosityNormalization",
+    "BandLuminosityNormalization",
 ]

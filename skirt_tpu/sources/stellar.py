@@ -52,6 +52,25 @@ class SpectralLuminosityNormalization:
         return (self.luminosity_lambda / llambda_unit) * sed.fractions
 
 
+@dataclass
+class BandLuminosityNormalization:
+    """Luminosity integrated over a wavelength band [lambda_min, lambda_max].
+
+    ref: LuminosityStellarCompNormalization (band-integrated variant).
+    """
+    lambda_min: float
+    lambda_max: float
+    luminosity: float
+
+    def luminosities_for(self, sed: SED) -> np.ndarray:
+        wg = sed.wavelength_grid
+        sel = (wg.lambdav >= self.lambda_min) & (wg.lambdav <= self.lambda_max)
+        frac_in_band = sed.fractions[sel].sum()
+        if frac_in_band <= 0:
+            raise ValueError("SED has no luminosity in the normalization band")
+        return (self.luminosity / frac_in_band) * sed.fractions
+
+
 class StellarComponent:
     """Geometry + SED + normalization (ref: PanStellarComp)."""
 
