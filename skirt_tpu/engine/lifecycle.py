@@ -33,6 +33,9 @@ class LifecycleOptions:
                                      # with minWeightReduction=1e4 packets die
                                      # far earlier except for albedo ~ 1)
     store_absorption: bool = False   # tally Labs per (cell, wavelength)
+    continuous_scattering: bool = False  # peel-off from every path cell
+                                     # (ref: continuouspeeloffscattering;
+                                     # requires fast_peeloff maps)
     fast_peeloff: bool = False       # cell-center tau maps for distant
                                      # instruments (gather replaces a
                                      # traversal per peel-off; cell-scale
@@ -60,6 +63,11 @@ def make_peel_off(grid, dust_system, instrument, rho_path_map=None):
     gather instead of a traversal (LifecycleOptions.fast_peeloff).
     """
 
+    # hoisted out of the traced function (lazily caching inside a trace
+    # would leak tracers under shard_map)
+    centers = _centers_cache(grid) if (rho_path_map is not None
+                                       and grid is not None) else None
+
     def peel(tallies, pos, ell, contribution, tags, active=None, cell=None):
         kobs = instrument.observer_direction(pos)
         max_s = instrument.observer_distance(pos) \
@@ -77,7 +85,6 @@ def make_peel_off(grid, dust_system, instrument, rho_path_map=None):
                 kr_local = kr_local + dust_system.rho[h, safe] * kh
             # first-order in-cell correction: the map holds tau from the
             # cell center; shift by the projected offset times local kappa*rho
-            centers = _centers_cache(grid)
             delta = jnp.sum((centers[safe] - pos) * kobs, axis=-1)
             tau = jnp.maximum(tau + kr_local * delta, 0.0)
             tau = jnp.where(c >= 0, tau, 0.0)
@@ -156,6 +163,9 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     (the north-star sorted-compaction divergence control).
     """
     ds = dust_system
+    if options.continuous_scattering and not options.fast_peeloff:
+        raise ValueError("continuous_scattering requires fast_peeloff "
+                         "(per-segment peel-off needs the tau maps)")
     maps = [None] * len(instruments)
     if options.fast_peeloff and ds is not None:
         maps = [compute_rho_path_maps(grid, ds, ins)
@@ -211,6 +221,9 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
 
         Lthreshold = L0 / options.min_weight_reduction
         labs = tallies.get("labs")
+        # hoist per-wavelength property gathers out of the traversal loops
+        ksca_pk, kext_pk = ds.packet_kappas(ell)
+        kapparho_pk = ds.kapparho_ext_from(kext_pk)
 
         state = dict(
             it=jnp.int32(0), pos=pos, dir=direction, L=L,
@@ -237,17 +250,20 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             k1, k2, k3 = jax.random.split(kit, 3)
 
             # -- traverse + absorb (ref: simulateescapeandabsorption) ------
+            continuous = options.continuous_scattering and scattering_peeloff
             state0 = begin_traversal(grid, pos, direction)
             carry0 = dict(tau=jnp.zeros(n, jnp.float32),
                           Lsca=jnp.zeros(n, jnp.float32), labs=labs_c)
+            if continuous:
+                carry0["ins"] = ins_tallies
 
-            def seg(carry, cell, ds_len, _t):
-                ksca, kext = ds.ksca_kext(cell, ell)
+            def seg(carry, cell, ds_len, t_exit):
+                ksca, kext = ds.ksca_kext_from(cell, ksca_pk, kext_pk)
                 dtau = kext * ds_len
                 albedo = jnp.where(kext > 0,
                                    ksca / jnp.maximum(kext, 1e-37), 0.0)
-                Lint = jnp.where(alive, L, 0.0) * jnp.exp(-carry["tau"]) \
-                    * (-jnp.expm1(-dtau))
+                expfac = jnp.exp(-carry["tau"]) * (-jnp.expm1(-dtau))
+                Lint = jnp.where(alive, L, 0.0) * expfac
                 new = dict(carry)
                 new["Lsca"] = carry["Lsca"] + albedo * Lint
                 if labs is not None:
@@ -255,12 +271,31 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     new["labs"] = carry["labs"].at[idx].add(
                         (1.0 - albedo) * Lint, mode="drop")
                 new["tau"] = carry["tau"] + dtau
+                if continuous:
+                    # ref: continuouspeeloffscattering — peel-off from this
+                    # path segment with weight albedo*exp(-tau0)*(1-e^-dtau);
+                    # the segment midpoint stands in for the reference's
+                    # random in-segment position (sub-cell pixel assignment)
+                    s_mid = t_exit - 0.5 * ds_len
+                    seg_pos = pos + s_mid[:, None] * direction
+                    t2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
+                    for i, peel in enumerate(peels):
+                        kobs_i = instruments[i].observer_direction(seg_pos)
+                        cosalpha = jnp.sum(direction * kobs_i, axis=-1)
+                        w = ds.phase_value(cell, ell, cosalpha)
+                        # ref factor: albedo * exp(-tau0) * (1 - e^-dtau)
+                        contribution = jnp.where(
+                            alive & (cell >= 0), L * albedo * expfac * w, 0.0)
+                        new["ins"][i] = peel(new["ins"][i], seg_pos, ell,
+                                             contribution, t2, cell=cell)
                 return new, jnp.ones(n, bool)
 
             carry, _ = traversal.sweep(grid, pos, direction, seg, carry0,
                                        state0=state0, active=alive)
             taupath = carry["tau"]
             labs_c = carry["labs"]
+            if continuous:
+                ins_tallies = carry["ins"]
             L = jnp.where(alive, carry["Lsca"], L)
 
             # -- termination (ref: dostellaremissionchunk :289) ------------
@@ -284,15 +319,14 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                 weight = p / jnp.maximum(qq, 1e-37)
             L = jnp.where(alive, L * weight, L)
 
-            kapparho = ds.kapparho_ext_fn(ell)
             s, cell_at = traversal.propagate_to_tau(
-                grid, kapparho, pos, direction, tau, state0=begin_traversal(
+                grid, kapparho_pk, pos, direction, tau, state0=begin_traversal(
                     grid, pos, direction), active=alive)
             new_pos = pos + s[:, None] * direction
             pos = jnp.where(alive[:, None], new_pos, pos)
 
             # -- scattering peel-off (ref: peeloffscattering) --------------
-            if scattering_peeloff:
+            if scattering_peeloff and not continuous:
                 tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
                 for i, peel in enumerate(peels):
                     kobs = instruments[i].observer_direction(pos)

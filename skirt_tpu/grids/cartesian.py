@@ -56,6 +56,20 @@ class CartesianGrid:
         self.zb = jnp.asarray(self.zb64, jnp.float32)
         self.max_steps = self.nx + self.ny + self.nz + 4
 
+        # uniform-spacing fast path: border lookups become arithmetic
+        # (gathers dominate the traversal cost on TPU)
+        def uniform(b):
+            d = np.diff(b)
+            return np.allclose(d, d[0], rtol=1e-6)
+
+        self._uniform = (uniform(self.xb64), uniform(self.yb64),
+                         uniform(self.zb64))
+        self._lo = (float(self.xb64[0]), float(self.yb64[0]),
+                    float(self.zb64[0]))
+        self._dx = (float(self.xb64[1] - self.xb64[0]),
+                    float(self.yb64[1] - self.yb64[0]),
+                    float(self.zb64[1] - self.zb64[0]))
+
     # -- host-side cell metadata ------------------------------------------
 
     def bounding_box(self):
@@ -179,9 +193,9 @@ class CartesianGrid:
         ox, oy, oz = origin[..., 0], origin[..., 1], origin[..., 2]
 
         # parameter value of the next wall crossing on each axis
-        tx = self._axis_t(self.xb, cix, ox, dx, self.nx)
-        ty = self._axis_t(self.yb, ciy, oy, dy, self.ny)
-        tz = self._axis_t(self.zb, ciz, oz, dz, self.nz)
+        tx = self._axis_t(self.xb, cix, ox, dx, 0)
+        ty = self._axis_t(self.yb, ciy, oy, dy, 1)
+        tz = self._axis_t(self.zb, ciz, oz, dz, 2)
 
         tmin = jnp.minimum(tx, jnp.minimum(ty, tz))
         ds = jnp.maximum(tmin - t, 0.0)
@@ -208,11 +222,16 @@ class CartesianGrid:
         )
         return jnp.where(inside, ds, 0.0), new_state
 
-    def _axis_t(self, borders, idx, o, d, n):
+    def _axis_t(self, borders, idx, o, d, axis):
         """Ray parameter of the next border crossing along one axis."""
         pos_dir = d > 0
         nxt = jnp.where(pos_dir, idx + 1, idx)
-        border = borders[nxt]
+        if self._uniform[axis]:
+            # arithmetic border (no gather) for uniformly spaced meshes
+            border = jnp.float32(self._lo[axis]) \
+                + nxt.astype(jnp.float32) * jnp.float32(self._dx[axis])
+        else:
+            border = borders[nxt]
         t = (border - o) / jnp.where(jnp.abs(d) > 1e-30, d, jnp.float32(1e-30))
         return jnp.where(jnp.abs(d) > 1e-30, t, _BIG)
 

@@ -165,6 +165,38 @@ class DustSystem:
             return jnp.where(cell >= 0, kr, 0.0)
         return fn
 
+    def packet_kappas(self, ell):
+        """Per-packet kappa lookups hoisted out of traversal loops.
+
+        Returns (ksca_pk, kext_pk): lists over components of (N,) arrays.
+        The per-wavelength gathers are loop-invariant (ell is fixed per
+        packet), and gathers dominate the TPU traversal cost.
+        """
+        return ([self.kappasca[h, ell] for h in range(self.ncomp)],
+                [self.kappaext[h, ell] for h in range(self.ncomp)])
+
+    def ksca_kext_from(self, cell, ksca_pk, kext_pk):
+        """Like ksca_kext but with prefetched per-packet kappas."""
+        safe = jnp.clip(cell, 0)
+        ksca = 0.0
+        kext = 0.0
+        for h in range(self.ncomp):
+            rho_h = self.rho[h, safe]
+            ksca = ksca + ksca_pk[h] * rho_h
+            kext = kext + kext_pk[h] * rho_h
+        valid = cell >= 0
+        return jnp.where(valid, ksca, 0.0), jnp.where(valid, kext, 0.0)
+
+    def kapparho_ext_from(self, kext_pk):
+        """kapparho closure with prefetched per-packet kappas."""
+        def fn(cell):
+            safe = jnp.clip(cell, 0)
+            kr = 0.0
+            for h in range(self.ncomp):
+                kr = kr + kext_pk[h] * self.rho[h, safe]
+            return jnp.where(cell >= 0, kr, 0.0)
+        return fn
+
     def ksca_kext(self, cell, ell):
         """Per-packet (kappasca*rho, kappaext*rho) summed over components."""
         safe = jnp.clip(cell, 0)

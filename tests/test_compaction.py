@@ -91,3 +91,35 @@ class TestFastPeeloff:
         exact = run(False)
         fast = run(True)
         assert fast == pytest.approx(exact, rel=0.05)
+
+
+class TestContinuousScattering:
+    def test_matches_discrete_peeloff(self):
+        # continuous peel-off integrates the same scattered emission the
+        # discrete estimator samples; for a symmetric sphere both converge
+        # to the same observed flux
+        def run(continuous):
+            wg = OligoWavelengthGrid([1e-6])
+            ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                           [1.0])])
+            b = np.linspace(-1, 1, 13)
+            grid = CartesianGrid(b, b, b)
+            mix = SimpleOligoDustMix(wg, [1.0], [0.6], [0.2])
+            R = 0.9
+            mass = 1.0 / (1.0 * R) * (4 / 3 * np.pi * R ** 3)
+            comp = DustComponent(UniformSphereGeometry(R), mix,
+                                 DustMassNormalization(mass))
+            dsys = DustSystem(grid, [comp], samples_per_cell=4)
+            ins = SEDInstrument("sed", 100.0, 1, inclination=0.9)
+            sim = OligoSimulation(
+                stellar_system=ss, instruments=[ins], dust_system=dsys,
+                packets=8000, log=SilentLog(), batch_size=1 << 12,
+                options=LifecycleOptions(fast_peeloff=True,
+                                         continuous_scattering=continuous))
+            return sim._run_phase(rng.root_key(9), 0)["instruments"][0]["Ftot"][0]
+
+        disc = run(False)
+        cont = run(True)
+        assert cont == pytest.approx(disc, rel=0.05)
+        # with albedo 0.6 part of the luminosity is absorbed: F < L
+        assert 0.4 < disc < 0.9
