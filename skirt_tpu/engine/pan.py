@@ -219,18 +219,41 @@ class PanSimulation(OligoSimulation):
             J = labs_full * inv[:, None] / (kabs[None, :] * dlam[None, :])
         J = np.where(np.isfinite(J), J, 0.0).astype(np.float32)
 
-        if isinstance(self.dust_lib, tuple) and self.dust_lib[0] == "dim1":
-            nent = int(self.dust_lib[1])
+        if isinstance(self.dust_lib, tuple) and self.dust_lib[0] in ("dim1",
+                                                                     "dim2"):
             strength = (J * kabs * dlam).sum(axis=1)  # absorbed power proxy
             pos = strength > 0
-            entry = np.zeros(J.shape[0], dtype=np.int64)
-            if pos.any():
-                logs = np.log10(np.maximum(strength[pos], 1e-300))
-                lo, hi = logs.min(), logs.max() + 1e-9
-                entry[pos] = np.clip(((logs - lo) / max(hi - lo, 1e-12)
-                                      * nent).astype(np.int64), 0, nent - 1) + 1
-            # mean ISRF per entry (entry 0 = no radiation)
-            nentries = nent + 1
+
+            def quantize(values, nbins):
+                q = np.zeros(J.shape[0], dtype=np.int64)
+                if pos.any():
+                    logs = np.log10(np.maximum(values[pos], 1e-300))
+                    lo, hi = logs.min(), logs.max() + 1e-9
+                    q[pos] = np.clip(((logs - lo) / max(hi - lo, 1e-12)
+                                      * nbins).astype(np.int64), 0, nbins - 1)
+                return q
+
+            if self.dust_lib[0] == "dim1":
+                nent = int(self.dust_lib[1])
+                entry = np.where(pos, quantize(strength, nent) + 1, 0)
+                nentries = nent + 1
+            else:
+                # ref: Dim2DustLib — bins by ISRF strength AND a color
+                # measure of the field (the mean absorbed-photon wavelength)
+                n_s = int(self.dust_lib[1])
+                n_c = int(self.dust_lib[2])
+                wk = J * kabs * dlam
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    lam_mean = (wk * self.wavelength_grid.dlambdav * 0
+                                + wk * self.wavelength_grid.lambdav).sum(axis=1) \
+                        / np.maximum(wk.sum(axis=1), 1e-300)
+                qs = quantize(strength, n_s)
+                qc = quantize(np.maximum(lam_mean, 1e-12), n_c)
+                entry = np.where(pos, qs * n_c + qc + 1, 0)
+                nentries = n_s * n_c + 1
+
+            # mean ISRF per entry (entry 0 = no radiation); ref: DustLib
+            # EmissionCalculator mean ISRF per entry (DustLib.cpp:57-195)
             sums = np.zeros((nentries, J.shape[1]), np.float64)
             np.add.at(sums, entry, J)
             counts = np.bincount(entry, minlength=nentries)[:, None]

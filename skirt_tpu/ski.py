@@ -482,6 +482,11 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                 elif lib_node.name == "Dim1DustLib":
                     pan_props["dust_lib"] = (
                         "dim1", int(lib_node.scalar("entries", 250)))
+                elif lib_node.name == "Dim2DustLib":
+                    pan_props["dust_lib"] = (
+                        "dim2",
+                        int(lib_node.scalar("pointsTemperature", 25)),
+                        int(lib_node.scalar("pointsWavelength", 10)))
                 else:
                     raise SkiParseError(
                         f"unsupported dust library '{lib_node.name}'")

@@ -117,3 +117,48 @@ class TestDim1Library:
         assert d.sum() == pytest.approx(a.sum(), rel=0.02)
         sel = a > a.max() * 1e-3
         np.testing.assert_allclose(d[sel], a[sel], rtol=0.5)
+
+
+def test_dim2_library_runs():
+    from skirt_tpu.engine.pan import PanSimulation
+    from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+    from skirt_tpu.media.grains import (DraineGraphiteGrainComposition,
+                                        MultiGrainDustMix,
+                                        PowerLawGrainSizeDistribution)
+    from skirt_tpu.sources.sed import BlackBodySED
+    from skirt_tpu.sources.stellar import (BolometricLuminosityNormalization,
+                                           StellarComponent, StellarSystem)
+    from skirt_tpu.wavelengths import LogWavelengthGrid
+    from skirt_tpu.grids import CartesianGrid
+    from skirt_tpu.instruments import SEDInstrument
+    from skirt_tpu.engine.lifecycle import LifecycleOptions
+    from skirt_tpu.log import SilentLog
+    from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                 DustSystem)
+
+    wg = LogWavelengthGrid(0.09e-6, 1000e-6, 24)
+    ss = StellarSystem([StellarComponent(
+        PointGeometry(), BlackBodySED(wg, 8000.0),
+        BolometricLuminosityNormalization(0.01))])
+    b = np.linspace(-1, 1, 7)
+    grid = CartesianGrid(b, b, b)
+    mix = MultiGrainDustMix(wg, [
+        (DraineGraphiteGrainComposition(),
+         PowerLawGrainSizeDistribution(2e-9, 100e-9, 3.5), 2)])
+    iv = wg.nearest(0.55e-6)
+    R = 0.9
+    mass = 1.0 / (mix.kappaext64[iv] * R) * (4 / 3 * np.pi * R ** 3)
+    comp = DustComponent(UniformSphereGeometry(R), mix,
+                         DustMassNormalization(mass))
+    dsys = DustSystem(grid, [comp], samples_per_cell=2)
+    ins = SEDInstrument("sed", 1e4, 24, inclination=0.5)
+    sim = PanSimulation(stellar_system=ss, instruments=[ins],
+                        dust_system=dsys, packets=300,
+                        self_absorption=False, emissivity="transient",
+                        dust_lib=("dim2", 12, 6), log=SilentLog(),
+                        batch_size=1 << 13,
+                        options=LifecycleOptions(store_absorption=True))
+    acc = sim.run()
+    F = acc["instruments"][0]["Ftot"]
+    assert np.isfinite(F).all()
+    assert F.sum() == pytest.approx(0.01, rel=0.2)
