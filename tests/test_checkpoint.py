@@ -65,9 +65,10 @@ class TestCheckpoint:
 
         # resuming completes the remaining batches and matches the full run
         acc_resumed = sim1._run_phase(rng.root_key(9), 0)
+        # float32 reduction order differs between compiled programs
         np.testing.assert_allclose(acc_resumed["instruments"][0]["Ftot"],
                                    acc_ref["instruments"][0]["Ftot"],
-                                   rtol=1e-6)
+                                   rtol=1e-4)
         assert not os.path.exists(ckpt)  # cleaned up on completion
 
 
