@@ -14,8 +14,13 @@ import jax
 import jax.numpy as jnp
 
 
+CHECK_EVERY = 8  # steps between all-lanes-done checks (amortizes the
+                 # while-condition any-reduction; early exit granularity)
+
+
 def sweep(grid, origin, direction, seg_fn, carry0, state0=None,
-          max_steps: int | None = None, active=None):
+          max_steps: int | None = None, active=None,
+          check_every: int | None = None):
     """Traverse the grid from `origin` along `direction` for a packet batch.
 
     seg_fn(carry, cell, ds, t_exit) -> (carry, active) is invoked once per
@@ -24,19 +29,21 @@ def sweep(grid, origin, direction, seg_fn, carry0, state0=None,
     depth target is reached); the loop ends when no lane is both inside and
     active, or after max_steps.  The `active` argument masks out lanes
     entirely (dead packets must not extend the lockstep loop).
+
+    The outer while-loop condition is only evaluated every `check_every`
+    steps; the inner steps run as an unrolled fori (the data-dependent
+    condition is the pipeline bubble on TPU).
     """
     if state0 is None:
         state0 = grid.start(origin)
     if max_steps is None:
         max_steps = grid.max_steps
+    if check_every is None:
+        check_every = CHECK_EVERY
     active0 = jnp.ones(origin.shape[:-1], dtype=bool) if active is None \
         else active
 
-    def cond(loop):
-        i, state, carry, active = loop
-        return (i < max_steps) & jnp.any(active & (grid.cell_of(state) >= 0))
-
-    def body(loop):
+    def one_step(loop):
         i, state, carry, active = loop
         cell = grid.cell_of(state)
         ds, nstate = grid.step(state, origin, direction)
@@ -48,6 +55,14 @@ def sweep(grid, origin, direction, seg_fn, carry0, state0=None,
         nstate = jax.tree.map(
             lambda new, old: jnp.where(frozen, old, new), nstate, state)
         return i + 1, nstate, carry, active & still
+
+    def cond(loop):
+        i, state, carry, active = loop
+        return (i < max_steps) & jnp.any(active & (grid.cell_of(state) >= 0))
+
+    def body(loop):
+        return jax.lax.fori_loop(0, check_every, lambda _, l: one_step(l),
+                                 loop)
 
     _, state, carry, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), state0, carry0, active0))
