@@ -61,8 +61,11 @@ def sweep(grid, origin, direction, seg_fn, carry0, state0=None,
         return (i < max_steps) & jnp.any(active & (grid.cell_of(state) >= 0))
 
     def body(loop):
-        return jax.lax.fori_loop(0, check_every, lambda _, l: one_step(l),
-                                 loop)
+        # fully unrolled inner chunk: straight-line code between condition
+        # checks (device loop iterations are the latency bottleneck)
+        for _ in range(check_every):
+            loop = one_step(loop)
+        return loop
 
     _, state, carry, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), state0, carry0, active0))
