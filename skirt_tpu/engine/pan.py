@@ -87,9 +87,11 @@ class PanSimulation(OligoSimulation):
     def __init__(self, *, self_absorption: bool = True,
                  emission_boost: float = 1.0, emission_bias: float = 0.5,
                  write_temperature: bool = False, write_isrf: bool = False,
+                 write_emissivity: bool = False,
                  emissivity: str = "greybody", dust_lib="allcells", **kw):
         self.write_temperature = write_temperature
         self.write_isrf = write_isrf
+        self.write_emissivity = write_emissivity
         self.emissivity_kind = emissivity
         self.dust_lib = dust_lib
         kw.setdefault("options", None)
@@ -103,8 +105,8 @@ class PanSimulation(OligoSimulation):
                 **{**self.options.__dict__, "store_absorption": True})
             self._run_batch = jax.jit(make_lifecycle(
                 self.grid, self.dust_system, self.stellar_system,
-                self.instruments, self.options, self.nlambda),
-                donate_argnums=(3,))
+                self.instruments, self.options, self.nlambda,
+                mueller=self._mueller), donate_argnums=(3,))
         self.self_absorption = bool(self_absorption)
         self.emission_boost = float(emission_boost)
         self.emission_bias = float(emission_bias)
@@ -128,15 +130,15 @@ class PanSimulation(OligoSimulation):
         self._run_dust_absorb = jax.jit(make_lifecycle(
             self.grid, self.dust_system, None, self.instruments, self.options,
             self.nlambda, launch_fn=launch, emission_peeloff=False,
-            scattering_peeloff=False, is_dust_emission=True),
-            donate_argnums=(3,))
+            scattering_peeloff=False, is_dust_emission=True,
+            mueller=self._mueller), donate_argnums=(3,))
         from .lifecycle import LifecycleOptions as _LO
         final_opts = _LO(**{**self.options.__dict__, "store_absorption": False})
         self._run_dust_emit = jax.jit(make_lifecycle(
             self.grid, self.dust_system, None, self.instruments, final_opts,
             self.nlambda, launch_fn=launch, emission_peeloff=True,
-            scattering_peeloff=True, is_dust_emission=True),
-            donate_argnums=(3,))
+            scattering_peeloff=True, is_dust_emission=True,
+            mueller=self._mueller), donate_argnums=(3,))
 
         # per-cell 1/(4 pi V rho) for the absorbed-power-per-mass conversion
         rho = self.dust_system.rho64.sum(axis=0)
@@ -377,6 +379,9 @@ class PanSimulation(OligoSimulation):
                                           self.prefix)
         if self.write_isrf:
             ds_out.write_isrf(self, acc, self.units, self.out_dir, self.prefix)
+        if self.write_emissivity:
+            ds_out.write_emissivities(self, self.units, self.out_dir,
+                                      self.prefix, log=self.log)
         return acc
 
     # -- diagnostics -------------------------------------------------------

@@ -37,7 +37,8 @@ class OligoSimulation:
                  batch_size: int = 1 << 17, log: Log | None = None,
                  units: Units | None = None, out_dir: str = ".",
                  prefix: str = "skirt_tpu", write_convergence: bool = False,
-                 write_density: bool = False, checkpoint_every: int = 0,
+                 write_density: bool = False, write_depth_map: bool = False,
+                 checkpoint_every: int = 0,
                  use_mesh: bool | None = None, compaction_iterations: int = 0):
         self.stellar_system = stellar_system
         self.instruments = list(instruments)
@@ -52,6 +53,7 @@ class OligoSimulation:
         self.prefix = prefix
         self.write_convergence = write_convergence
         self.write_density = write_density
+        self.write_depth_map = write_depth_map
         # checkpoint/resume is a capability the reference lacks (SURVEY.md
         # §5: "Checkpoint/resume: none"); batches are deterministic per
         # (seed, phase, batch index), so a phase can resume mid-stream.
@@ -67,18 +69,21 @@ class OligoSimulation:
         # batches so late iterations run at full lane occupancy
         self.compaction_k = int(compaction_iterations)
 
+        self._mueller = (dust_system.mueller
+                         if dust_system is not None else None)
         self._run_batch = None
         if grid is not None or True:
             self._run_batch = jax.jit(make_lifecycle(
                 grid, dust_system, stellar_system, self.instruments,
-                self.options, self.nlambda), donate_argnums=(3,))
+                self.options, self.nlambda, mueller=self._mueller),
+                donate_argnums=(3,))
         self._run_batch_io = None
         self._resume_batch = None
         if self.compaction_k > 0 and dust_system is not None:
             life_io = make_lifecycle(
                 grid, dust_system, stellar_system, self.instruments,
                 self.options, self.nlambda, io_state=True,
-                max_iterations=self.compaction_k)
+                mueller=self._mueller, max_iterations=self.compaction_k)
             self._run_batch_io = jax.jit(life_io, donate_argnums=(3,))
             self._resume_batch = jax.jit(
                 lambda key, tallies, state_in: life_io(
@@ -98,7 +103,7 @@ class OligoSimulation:
             self.mesh = packet_mesh()
             lifecycle = make_lifecycle(
                 grid, dust_system, stellar_system, self.instruments,
-                self.options, self.nlambda)
+                self.options, self.nlambda, mueller=self._mueller)
 
             def zero_tallies():
                 t = {"instruments": [ins.zero_tallies()
@@ -311,4 +316,7 @@ class OligoSimulation:
             if self.write_density:
                 ds_out.write_density_cuts(self.dust_system, self.units,
                                           self.out_dir, self.prefix)
+            if self.write_depth_map:
+                ds_out.write_tau_map(self.dust_system, self.units,
+                                     self.out_dir, self.prefix, log=self.log)
         self.log.success("Wrote instrument outputs to " + self.out_dir)

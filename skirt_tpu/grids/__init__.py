@@ -19,11 +19,11 @@ tree/Voronoi construction is setup-time), frozen into device arrays.
 """
 
 from .mesh import LinMesh, LogMesh, PowMesh, SymPowMesh
-from .cartesian import CartesianGrid
+from .cartesian import CartesianGrid, TwoPhaseGrid
 
 __all__ = [
     "LinMesh", "LogMesh", "PowMesh", "SymPowMesh",
-    "CartesianGrid",
+    "CartesianGrid", "TwoPhaseGrid",
 ]
 
 # grids implemented incrementally; import lazily so partial builds work
@@ -50,5 +50,10 @@ except ImportError:
 try:
     from .voronoi import VoronoiGrid  # noqa: F401
     __all__.append("VoronoiGrid")
+except ImportError:
+    pass
+try:
+    from .adaptivemesh import AdaptiveMeshGrid  # noqa: F401
+    __all__.append("AdaptiveMeshGrid")
 except ImportError:
     pass

@@ -6,6 +6,7 @@ from .mix import (
     MeanDustMixFromFile,
     MeanZubkoDustMix,
     TrustMeanDustMix,
+    TrustPolarizedMeanDustMix,
     DraineLiDustMix,
     InterstellarDustMix,
     ElectronDustMix,
@@ -21,7 +22,8 @@ from .dust_system import (
 
 __all__ = [
     "DustMix", "SimpleOligoDustMix", "MeanDustMixFromFile",
-    "MeanZubkoDustMix", "TrustMeanDustMix", "DraineLiDustMix",
+    "MeanZubkoDustMix", "TrustMeanDustMix", "TrustPolarizedMeanDustMix",
+    "DraineLiDustMix",
     "InterstellarDustMix", "ElectronDustMix", "Benchmark1DDustMix",
     "Benchmark2DDustMix",
     "DustComponent", "DustSystem", "DustMassNormalization",

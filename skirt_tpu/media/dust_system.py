@@ -118,6 +118,11 @@ class DustSystem:
                     pos = grid.random_positions_in_cells(rng_np, cells)
                     acc += np.asarray(comp.geometry.density(pos))
                 rho[h] = m * acc / samples_per_cell
+        # two-phase (clumpy) media scale each cell's density by the grid's
+        # random phase weight (ref: DustSystem.cpp:159-170, grid->weight(m))
+        w = getattr(grid, "cell_weights", None)
+        if w is not None:
+            rho *= np.asarray(w)[None, :]
         self.rho64 = rho                               # (Ncomp, Ncells) kg/m^3
         self.masses = np.array([c.mass() for c in self.components])
 
@@ -127,6 +132,27 @@ class DustSystem:
         self.kappasca = jnp.stack([c.mix.kappasca for c in self.components])
         self.kappaabs = jnp.stack([c.mix.kappaabs for c in self.components])
         self.g = jnp.stack([c.mix.g for c in self.components])
+
+    @property
+    def mueller(self):
+        """Mueller tables when the medium is polarized, else None.
+
+        ref: DustMix polarization tables; the polarized lifecycle currently
+        supports a single dust component (the reference tracks per-mix
+        matrices — multi-component polarization is a planned extension).
+        """
+        tables = [c.mix.mueller for c in self.components
+                  if getattr(c.mix, "mueller", None) is not None]
+        if not tables:
+            return None
+        if len(tables) != self.ncomp:
+            raise NotImplementedError(
+                "mixing polarized and unpolarized dust components "
+                "is not supported")
+        if self.ncomp > 1:
+            raise NotImplementedError(
+                "polarization currently supports a single dust component")
+        return tables[0]
 
     # -- diagnostics (host) -----------------------------------------------
 

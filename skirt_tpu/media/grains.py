@@ -165,6 +165,41 @@ class GrainComposition:
         return out
 
 
+def load_log_heat_capacity(path: str, bulk_density: float):
+    """Specific enthalpy h(T) [J/kg] from a DustEM log heat-capacity grid.
+
+    ref: GrainComposition::loadLogHeatCapacityGrid — the file lists
+    log10 T and log10 C (erg/K/cm^3) per grain size; the reference keeps
+    only the first (smallest-size) column, resamples onto a 5000-point
+    linear log10-T grid, integrates h = int C dT in log space, and
+    converts erg/cm^3 -> J/m^3 (x0.1) then to J/kg via the bulk density.
+    """
+    lines = [ln for ln in open(path)
+             if ln.strip() and not ln.lstrip().startswith("#")]
+    n_t = int(float(lines[2].split()[0]))
+    logTin = np.empty(n_t)
+    logCin = np.empty(n_t)
+    for t in range(n_t):
+        vals = lines[3 + t].split()
+        logTin[t] = float(vals[0])
+        logCin[t] = float(vals[1])
+    NT = 5000
+    logT = np.linspace(logTin[0], logTin[-1], NT)
+    dT = logT[1] - logT[0]
+    logC = np.interp(logT, logTin, logCin)
+    integrand = np.log(10.0) * 10.0 ** (logC + logT) * dT
+    h = np.concatenate([[0.0], np.cumsum(integrand)[:-1]])
+    h /= 10.0 * bulk_density
+    Tmin, Tmax = 10.0 ** logT[0], 10.0 ** logT[-1]
+
+    def enthalpy(T):
+        T = np.asarray(T, np.float64)
+        lt = np.log10(np.clip(T, Tmin, Tmax))
+        return np.interp(lt, logT, h)
+
+    return enthalpy
+
+
 class DraineGraphiteGrainComposition(GrainComposition):
     name = "Draine_Graphite"
 
@@ -195,6 +230,74 @@ class DraineIonizedPAHGrainComposition(GrainComposition):
     def __init__(self, data_dir=None):
         super().__init__("GrainComposition/Draine/PAHion_30.dat",
                          graphite_enthalpy, 2.24e3, data_dir)
+
+
+class AmHydrocarbonGrainComposition(GrainComposition):
+    """THEMIS amorphous hydrocarbon (Jones et al. 2013).
+
+    ref: SKIRTcore/AmHydrocarbonGrainComposition.cpp — bulk 3330 kg/m^3,
+    aCH_coreman_d20 optical and heat-capacity tables.
+    """
+
+    name = "Amorphous_Hydrocarbon"
+
+    def __init__(self, data_dir=None):
+        base = data_dir or DATA_DIR
+        heat = os.path.join(base, "GrainComposition/Themis/"
+                                  "C_aCH_coreman_d20.DAT")
+        super().__init__(
+            "GrainComposition/Themis/aCH_coreman_d20_Jones2013_SKIRT.dat",
+            load_log_heat_capacity(heat, 3330.0), 3330.0, data_dir)
+
+
+class EnstatiteGrainComposition(GrainComposition):
+    """Enstatite silicate, amorphous (THEMIS) or crystalline (Jaeger 1998).
+
+    ref: SKIRTcore/EnstatiteGrainComposition.cpp.
+    """
+
+    name = "Enstatite"
+
+    def __init__(self, grain_type: str = "amorphous", data_dir=None):
+        base = data_dir or DATA_DIR
+        if grain_type.lower().startswith("a"):
+            density = 1600.0
+            heat = "GrainComposition/Themis/C_CM_amEnst10Fe30FeS.DAT"
+            optical = ("GrainComposition/Themis/"
+                       "CM_amEnst10Fe30FeS_Jones2013_SKIRT.dat")
+        else:
+            density = 2800.0
+            heat = "GrainComposition/Min/C_aSil.DAT"
+            optical = "GrainComposition/Min/Enstatite_Jaeger1998.dat"
+        super().__init__(optical,
+                         load_log_heat_capacity(os.path.join(base, heat),
+                                                density),
+                         density, data_dir)
+
+
+class ForsteriteGrainComposition(GrainComposition):
+    """Forsterite silicate, amorphous (THEMIS) or crystalline (Suto 2006).
+
+    ref: SKIRTcore/ForsteriteGrainComposition.cpp.
+    """
+
+    name = "Forsterite"
+
+    def __init__(self, grain_type: str = "amorphous", data_dir=None):
+        base = data_dir or DATA_DIR
+        if grain_type.lower().startswith("a"):
+            density = 1600.0
+            heat = "GrainComposition/Themis/C_CM_amFo10Fe30FeS.DAT"
+            optical = ("GrainComposition/Themis/"
+                       "CM_amFo10Fe30FeS_Jones2013_SKIRT.dat")
+        else:
+            density = 3330.0
+            heat = "GrainComposition/Min/C_aSil.DAT"
+            optical = "GrainComposition/Min/Forsterite_Suto2006.dat"
+        super().__init__(optical,
+                         load_log_heat_capacity(os.path.join(base, heat),
+                                                density),
+                         density, data_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -475,6 +578,151 @@ class MRNDustMix(MultiGrainDustMix):
              graphite_bins),
             (sil, PowerLawGrainSizeDistribution(amin, amax, 3.5, Cs),
              silicate_bins),
+        ])
+
+
+def _dnda_zubko(a, A, c0, b0, a1, b1, m1, a2, b2, m2, a3, b3, m3, a4, b4, m4):
+    """Zubko, Dwek & Arendt (2004) parameterized size distribution.
+
+    ref: SKIRTcore/Zubko*GrainSizeDistribution.cpp — log10 g(a) is a sum of
+    power-law, log-normal and exponential-like terms with a in micron;
+    returns dn_per_H/da in 1/m.
+    """
+    um = np.asarray(a, np.float64) * 1e6
+    um = np.maximum(um, 1e-12)
+    logg = (c0 + b0 * np.log10(um)
+            - b1 * np.abs(np.log10(um / a1)) ** m1
+            - b2 * np.abs(np.log10(um / a2)) ** m2
+            - b3 * np.abs(um - a3) ** m3
+            - b4 * np.abs(um - a4) ** m4)
+    return 1e6 * A * 10.0 ** logg
+
+
+class ZubkoGraphiteGrainSizeDistribution(GrainSizeDistribution):
+    """ref: SKIRTcore/ZubkoGraphiteGrainSizeDistribution.cpp (BARE-GR-S)."""
+
+    def __init__(self, factor: float = 1.0):
+        super().__init__(0.00035e-6, 0.33e-6, factor)
+
+    def dnda(self, a):
+        a = np.asarray(a, np.float64)
+        val = _dnda_zubko(a, A=1.905816e-7, c0=-9.86, b0=-5.02082,
+                          a1=0.415861, b1=5.81215e-3, m1=4.63229,
+                          a2=1.0, b2=0.0, m2=0.0,
+                          a3=0.160344, b3=1125.02, m3=3.69897,
+                          a4=0.160501, b4=1126.02, m4=3.69967)
+        return np.where((a >= self.amin) & (a <= self.amax),
+                        self.factor * val, 0.0)
+
+
+class ZubkoSilicateGrainSizeDistribution(GrainSizeDistribution):
+    """ref: SKIRTcore/ZubkoSilicateGrainSizeDistribution.cpp (BARE-GR-S)."""
+
+    def __init__(self, factor: float = 1.0):
+        super().__init__(0.00035e-6, 0.37e-6, factor)
+
+    def dnda(self, a):
+        a = np.asarray(a, np.float64)
+        val = _dnda_zubko(a, A=1.471288e-7, c0=-8.47091, b0=-3.68708,
+                          a1=7.64943e-3, b1=2.37316e-5, m1=22.5489,
+                          a2=1.0, b2=0.0, m2=0.0,
+                          a3=0.480229, b3=2961.28, m3=12.1717,
+                          a4=1.0, b4=0.0, m4=0.0)
+        return np.where((a >= self.amin) & (a <= self.amax),
+                        self.factor * val, 0.0)
+
+
+class ZubkoPAHGrainSizeDistribution(GrainSizeDistribution):
+    """ref: SKIRTcore/ZubkoPAHGrainSizeDistribution.cpp (BARE-GR-S)."""
+
+    def __init__(self, factor: float = 1.0):
+        super().__init__(0.00035e-6, 0.005e-6, factor)
+
+    def dnda(self, a):
+        a = np.asarray(a, np.float64)
+        val = _dnda_zubko(a, A=2.227433e-7, c0=-8.02895, b0=-3.45764,
+                          a1=1.0, b1=1183.96, m1=-8.20551,
+                          a2=1.0, b2=0.0, m2=0.0,
+                          a3=-5.29496e-3, b3=1.0e24, m3=12.0146,
+                          a4=1.0, b4=0.0, m4=0.0)
+        return np.where((a >= self.amin) & (a <= self.amax),
+                        self.factor * val, 0.0)
+
+
+class ZubkoDustMix(MultiGrainDustMix):
+    """Zubko, Dwek & Arendt (2004) BARE-GR-S graphite/silicate/PAH mix.
+
+    ref: SKIRTcore/ZubkoDustMix.cpp — Draine compositions with the Zubko
+    size distributions; PAHs split 50% neutral / 50% ionized.
+    """
+
+    def __init__(self, wavelength_grid, graphite_bins: int = 5,
+                 silicate_bins: int = 5, pah_bins: int = 3, data_dir=None):
+        gra = DraineGraphiteGrainComposition(data_dir)
+        sil = DraineSilicateGrainComposition(data_dir)
+        pah_neu = DraineNeutralPAHGrainComposition(data_dir)
+        pah_ion = DraineIonizedPAHGrainComposition(data_dir)
+        super().__init__(wavelength_grid, [
+            (gra, ZubkoGraphiteGrainSizeDistribution(), graphite_bins),
+            (sil, ZubkoSilicateGrainSizeDistribution(), silicate_bins),
+            (pah_neu, ZubkoPAHGrainSizeDistribution(0.5), pah_bins),
+            (pah_ion, ZubkoPAHGrainSizeDistribution(0.5), pah_bins),
+        ])
+
+
+class ThemisDustMix(MultiGrainDustMix):
+    """THEMIS model of Jones et al. (2013): a-C(:H) + amorphous silicates.
+
+    ref: SKIRTcore/ThemisDustMix.cpp — amorphous hydrocarbons follow a
+    log-normal plus a steep exponential-cutoff power law; enstatite- and
+    forsterite-normative amorphous silicates share one log-normal.
+    """
+
+    AMAX = 4.9e-6
+    # silicates: log-normal
+    AMIN_SIL, A0_SIL, C_SIL = 0.001e-6, 0.008e-6, 3.80303826e-10
+    # hydrocarbons: log-normal part + power-law part
+    AMIN_H1, A0_H, C_H1 = 0.0005e-6, 0.007e-6, 1.84089829e-10
+    AMIN_H2, ALPHA, AT, AC, C_H2 = 0.0004e-6, -5.0, 0.01e-6, 0.05e-6, \
+        1.53786339e-41
+
+    @classmethod
+    def _dnda_hydrocarbon(cls, a):
+        a = np.asarray(a, np.float64)
+        safe = np.maximum(a, 1e-12)
+        ln1 = np.where(a > cls.AMIN_H1,
+                       cls.C_H1 / safe
+                       * np.exp(-0.5 * np.log(safe / cls.A0_H) ** 2), 0.0)
+        pl = np.where(a > cls.AMIN_H2,
+                      cls.C_H2 * safe ** cls.ALPHA
+                      * np.where(a <= cls.AT, 1.0,
+                                 np.exp(-(a - cls.AT) / cls.AC)), 0.0)
+        return np.where(a > cls.AMAX, 0.0, ln1 + pl)
+
+    @classmethod
+    def _dnda_silicate(cls, a):
+        a = np.asarray(a, np.float64)
+        safe = np.maximum(a, 1e-12)
+        val = cls.C_SIL / safe * np.exp(-0.5 * np.log(safe / cls.A0_SIL) ** 2)
+        return np.where((a >= cls.AMIN_SIL) & (a <= cls.AMAX), val, 0.0)
+
+    def __init__(self, wavelength_grid, hydrocarbon_bins: int = 5,
+                 enstatite_bins: int = 5, forsterite_bins: int = 5,
+                 data_dir=None):
+        ahc = AmHydrocarbonGrainComposition(data_dir)
+        ens = EnstatiteGrainComposition("amorphous", data_dir)
+        fors = ForsteriteGrainComposition("amorphous", data_dir)
+        amin_h = min(self.AMIN_H1, self.AMIN_H2)
+        super().__init__(wavelength_grid, [
+            (ahc, _FunctionSizeDistribution(self._dnda_hydrocarbon,
+                                            amin_h, self.AMAX),
+             hydrocarbon_bins),
+            (ens, _FunctionSizeDistribution(self._dnda_silicate,
+                                            self.AMIN_SIL, self.AMAX),
+             enstatite_bins),
+            (fors, _FunctionSizeDistribution(self._dnda_silicate,
+                                             self.AMIN_SIL, self.AMAX),
+             forsterite_bins),
         ])
 
 

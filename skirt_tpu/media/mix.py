@@ -33,6 +33,7 @@ class DustMix:
     """
 
     polarization = False
+    mueller = None  # media.polarization.MuellerTables when polarized
 
     def __init__(self, wavelength_grid: WavelengthGrid,
                  kappaabs: np.ndarray, kappasca: np.ndarray, g: np.ndarray):
@@ -146,6 +147,40 @@ class TrustMeanDustMix(MeanDustMixFromFile):
         super().__init__(wavelength_grid, path, mu=1.434e-29)
 
 
+class TrustPolarizedMeanDustMix(TrustMeanDustMix):
+    """TRUST mean mix with the ZDA BARE-GR-S Mueller scattering matrices.
+
+    ref: SKIRTcore/TrustPolarizedMeanDustMix.cpp — optical properties from
+    DustMix/TrustMeanDustMix.dat plus S11/S12/S33/S34 tables read from 181
+    per-degree files (DustMix/TrustMDMScatMatrix/ZDA_BARE_GR_S_ESM_*deg.dat,
+    1201 wavelengths each), resampled onto the simulation wavelength grid
+    with log-lin interpolation.
+    """
+
+    N_THETA = 181
+
+    def __init__(self, wavelength_grid: WavelengthGrid,
+                 data_dir: str | None = None):
+        super().__init__(wavelength_grid, data_dir)
+        from .polarization import MuellerTables
+        base = os.path.join(data_dir or DATA_DIR, "DustMix/TrustMDMScatMatrix")
+        lv = wavelength_grid.lambdav
+        nl = lv.size
+        S = np.empty((4, nl, self.N_THETA))
+        lam_file = None
+        for t in range(self.N_THETA):
+            data = np.loadtxt(
+                os.path.join(base, f"ZDA_BARE_GR_S_ESM_{t:03d}deg.dat"))
+            if lam_file is None:
+                lam_file = data[:, 0] * 1e-6
+            loglam = np.log(lam_file)
+            for c in range(4):
+                S[c, :, t] = np.interp(np.log(lv), loglam, data[:, c + 1])
+        thetav = np.radians(np.arange(self.N_THETA, dtype=np.float64))
+        self.polarization = True
+        self.mueller = MuellerTables(thetav, S[0], S[1], S[2], S[3])
+
+
 class DraineLiDustMix(DustMix):
     """Draine & Li (2007) mean mix.
 
@@ -208,6 +243,11 @@ class ElectronDustMix(DustMix):
         n = wavelength_grid.nlambda
         ksca = np.full(n, SIGMA_THOMSON / M_ELECTRON)
         super().__init__(wavelength_grid, np.zeros(n), ksca, np.zeros(n))
+        # the reference electron mix is always polarized (addpolarization
+        # with the Thomson Mueller matrix)
+        from .polarization import thomson_mueller
+        self.polarization = True
+        self.mueller = thomson_mueller(n)
 
 
 class Benchmark2DDustMix(DustMix):

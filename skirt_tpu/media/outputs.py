@@ -93,6 +93,58 @@ def write_density_cuts(dust_system, units: Units, out_dir: str, prefix: str,
     return written
 
 
+def write_tau_map(dust_system, units: Units, out_dir: str, prefix: str,
+                  npx: int = 1600, npy: int = 800, ell: int | None = None,
+                  batch: int = 1 << 16, log=None):
+    """All-sky optical-depth map viewed from the model center.
+
+    ref: DustSystem::writedepthmap (DustSystem.cpp:497-590) — inverse
+    Mollweide projection of the (theta, phi) sphere onto an Npx x Npy
+    image, optical depth integrated from the origin to the domain edge at
+    the wavelength nearest to the V band.  The per-pixel scalar ray walk
+    becomes a batched device sweep over all pixels at once.
+    """
+    import jax.numpy as jnp
+    from ..engine import traversal
+    os.makedirs(out_dir, exist_ok=True)
+    wg = dust_system.wavelength_grid
+    if ell is None:
+        ell = max(0, int(np.argmin(np.abs(wg.lambdav - 0.55e-6))))
+
+    # inverse Mollweide projection (ref: WriteDepthMap::body)
+    j, i = np.meshgrid(np.arange(npy), np.arange(npx), indexing="ij")
+    x = (i + 0.5) / npx
+    y = (j + 0.5) / npy
+    alpha = np.arcsin(2.0 * y - 1.0)
+    theta = np.arccos(np.clip((2.0 * alpha + np.sin(2.0 * alpha)) / np.pi,
+                              -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.pi * (2.0 * x - 1.0) / np.cos(alpha)
+    valid = (phi > -np.pi) & (phi < np.pi)
+    st = np.sin(theta)
+    dirs = np.stack([st * np.cos(phi), st * np.sin(phi), np.cos(theta)],
+                    axis=-1).reshape(-1, 3).astype(np.float32)
+    dirs = np.where(np.isfinite(dirs), dirs, 0.0)
+
+    kr = dust_system.kapparho_ext_fn(jnp.asarray([ell]))
+    tau = np.zeros(npx * npy, np.float64)
+    flat_valid = valid.reshape(-1)
+    idx = np.nonzero(flat_valid)[0]
+    for start in range(0, idx.size, batch):
+        sel = idx[start:start + batch]
+        d = jnp.asarray(dirs[sel])
+        pos = jnp.zeros_like(d)
+        tau[sel] = np.asarray(traversal.optical_depth(
+            dust_system.grid, kr, pos, d))
+    path = os.path.join(out_dir, f"{prefix}_ds_tau.fits")
+    write_fits(path, tau.reshape(npy, npx),
+               incx=np.degrees(2.0 * np.pi / npx),
+               incy=np.degrees(np.pi / npy), units="dimensionless")
+    if log:
+        log.info(f"Wrote optical depth map to {path}")
+    return path
+
+
 def write_temperature_cuts(pan_sim, acc, units: Units, out_dir: str,
                            prefix: str, npix: int = 256):
     """Equilibrium dust temperature cuts through the coordinate planes.
@@ -143,3 +195,83 @@ def write_isrf(pan_sim, acc, units: Units, out_dir: str, prefix: str):
                             units.out("length", centers), J])
     np.savetxt(path, cols, header=header)
     return path
+
+
+def _emissivities_for_field(pan_sim, J):
+    """Per-component emissivity j_lambda [W/m/kg/sr] for an embedding field.
+
+    ref: DustEmissivity::emissivity(mix, Jv).  For each component the
+    absorbed power per unit dust mass is int kappaabs J dlambda; the grey
+    -body solution is kappaabs * B(T_eq) with T_eq from the precomputed
+    planck-absorption table, and the transient solver (when active)
+    redistributes the same absorbed power over its per-bin emission
+    fractions (energy balance: int j dlambda = int kappaabs J dlambda,
+    both per steradian).
+    """
+    wg = pan_sim.wavelength_grid
+    dlam = wg.dlambdav
+    out = []
+    for h, comp in enumerate(pan_sim.dust_system.components):
+        kabs = np.asarray(comp.mix.kappaabs64)
+        absorbed = float(np.sum(kabs * J * dlam))
+        if pan_sim.transient is not None:
+            import jax.numpy as jnp
+            Jrow = np.asarray(J, np.float32)[None, :]
+            frac = np.asarray(pan_sim.transient.fractions_from_J(
+                jnp.asarray(Jrow)))[0].astype(np.float64)
+            with np.errstate(divide="ignore"):
+                j = frac * absorbed / dlam
+        else:
+            em = pan_sim.emissivities[h]
+            logabs = np.log(max(absorbed, 1e-300))
+            logtab = np.log(np.maximum(em.planckabs64, 1e-300))
+            T = float(np.interp(logabs, logtab, em.Tv64))
+            from ..sources.sed import PlanckFunction
+            j = kabs * PlanckFunction(T)(wg.lambdav)
+        out.append(j)
+    return out
+
+
+def write_emissivities(pan_sim, units: Units, out_dir: str, prefix: str,
+                       log=None):
+    """Emissivity tables for standard embedding fields.
+
+    ref: PanDustSystem::setupSelfAfter writeEmissivity branch
+    (PanDustSystem.cpp:131-155) + writeEmissivitiesForField (:73-107):
+    scaled Mathis fields U = 1e-4..1e6 and six diluted blackbodies.
+    Columns per file: lambda, J_lambda (W/m3/sr), then per dust component
+    mu * lambda * j_lambda (W/sr/H) — mixes without a known mu (mu = 1)
+    report lambda * j_lambda per unit dust mass instead.
+    """
+    from .isrf import mathis, blackbody
+    os.makedirs(out_dir, exist_ok=True)
+    wg = pan_sim.wavelength_grid
+    written = []
+
+    def write_one(filebody, title, J):
+        path = os.path.join(out_dir, f"{prefix}_ds_{filebody}.dat")
+        jvv = _emissivities_for_field(pan_sim, J)
+        cols = [units.out("wavelength", wg.lambdav), J]
+        for comp, j in zip(pan_sim.dust_system.components, jvv):
+            mu = getattr(comp.mix, "mu", 1.0) or 1.0
+            cols.append(mu * wg.lambdav * j)
+        header = (f"dust emissivities for {title}\n"
+                  f"columns: lambda ({units.unit('wavelength')}), "
+                  "J_lambda (W/m3/sr), then per component "
+                  "mu*lambda*j_lambda (W/sr/H)")
+        np.savetxt(path, np.column_stack(cols), header=header)
+        written.append(path)
+
+    Jmathis = mathis(wg)
+    for i in range(-4, 7):
+        U = 10.0 ** i
+        write_one(f"Mathis_U_{U:.0e}", f"{U:g} * Mathis ISRF", U * Jmathis)
+    # ref: PanDustSystem.cpp:144-146 — dilution factors for T = 3000..18000 K
+    Tv = (3000, 6000, 9000, 12000, 15000, 18000)
+    Dv = (8.28e-12, 2.23e-13, 2.99e-14, 7.23e-15, 2.36e-15, 9.42e-16)
+    for T, D in zip(Tv, Dv):
+        write_one(f"BlackBody_T_{T:05d}", f"{D:.2e} * B({T}K)",
+                  blackbody(wg, T, D))
+    if log:
+        log.info(f"Wrote {len(written)} emissivity tables to {out_dir}")
+    return written

@@ -36,8 +36,8 @@ from .media import (DraineLiDustMix, DustComponent, DustMassNormalization,
                     DustSystem, ElectronDustMix, InterstellarDustMix,
                     MeanZubkoDustMix, OpticalDepthNormalization,
                     SimpleOligoDustMix, TrustMeanDustMix)
-from .sources.sed import (BlackBodySED, FileSED, KuruczSED, PegaseSED,
-                          QuasarSED, SunSED)
+from .sources.sed import (BlackBodySED, FileSED, KuruczSED, MarastonSED,
+                          PegaseSED, QuasarSED, StarburstSED, SunSED)
 from .sources.stellar import (BolometricLuminosityNormalization,
                               OligoStellarComponent,
                               SpectralLuminosityNormalization,
@@ -260,6 +260,11 @@ def build_sed(node: Node, wg):
         return QuasarSED(wg)
     if n == "PegaseSED":
         return PegaseSED(wg, node.get("type", "E"))
+    if n == "MarastonSED":
+        return MarastonSED(wg, age=node.scalar("age", 5.0),
+                           metallicity=node.scalar("metallicity", 0.02))
+    if n == "StarburstSED":
+        return StarburstSED(wg, metallicity=node.scalar("metallicity", 0.02))
     if n == "KuruczSED":
         return KuruczSED(wg, node.scalar("metallicity"),
                          node.scalar("temperature"), node.scalar("gravity"))
@@ -276,12 +281,45 @@ def build_mix(node: Node, wg):
         return MeanZubkoDustMix(wg)
     if n == "TrustMeanDustMix":
         return TrustMeanDustMix(wg)
+    if n == "TrustPolarizedMeanDustMix":
+        from .media.mix import TrustPolarizedMeanDustMix
+        return TrustPolarizedMeanDustMix(wg)
     if n == "DraineLiDustMix":
         return DraineLiDustMix(wg)
     if n == "InterstellarDustMix":
         return InterstellarDustMix(wg)
     if n == "ElectronDustMix":
         return ElectronDustMix(wg)
+    if n == "Benchmark1DDustMix":
+        from .media.mix import Benchmark1DDustMix
+        return Benchmark1DDustMix(wg)
+    if n == "Benchmark2DDustMix":
+        from .media.mix import Benchmark2DDustMix
+        return Benchmark2DDustMix(wg)
+    if n == "MRNDustMix":
+        from .media.grains import MRNDustMix
+        return MRNDustMix(wg,
+                          graphite_bins=int(node.scalar("graphitePops", 5)),
+                          silicate_bins=int(node.scalar("silicatePops", 5)))
+    if n == "WeingartnerDraineDustMix":
+        from .media.grains import WeingartnerDraineDustMix
+        return WeingartnerDraineDustMix(
+            wg, environment=node.get("environment", "MilkyWay"),
+            graphite_bins=int(node.scalar("graphitePops", 5)),
+            silicate_bins=int(node.scalar("silicatePops", 5)),
+            pah_bins=int(node.scalar("PAHPops", 3)))
+    if n == "ThemisDustMix":
+        from .media.grains import ThemisDustMix
+        return ThemisDustMix(
+            wg, hydrocarbon_bins=int(node.scalar("hydrocarbonPops", 5)),
+            enstatite_bins=int(node.scalar("enstatitePops", 5)),
+            forsterite_bins=int(node.scalar("forsteritePops", 5)))
+    if n == "ZubkoDustMix":
+        from .media.grains import ZubkoDustMix
+        return ZubkoDustMix(
+            wg, graphite_bins=int(node.scalar("graphitePops", 5)),
+            silicate_bins=int(node.scalar("silicatePops", 5)),
+            pah_bins=int(node.scalar("PAHPops", 3)))
     raise SkiParseError(f"unsupported dust mix '{n}'")
 
 
@@ -325,6 +363,13 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357):
         yb = _mesh_from(node.child("meshY")).scaled(s("minY"), s("maxY"))
         zb = _mesh_from(node.child("meshZ")).scaled(s("minZ"), s("maxZ"))
         return CartesianGrid(xb, yb, zb)
+    if n == "TwoPhaseDustGrid":
+        from .grids.cartesian import TwoPhaseGrid
+        xb = _mesh_from(node.child("meshX")).scaled(s("minX"), s("maxX"))
+        yb = _mesh_from(node.child("meshY")).scaled(s("minY"), s("maxY"))
+        zb = _mesh_from(node.child("meshZ")).scaled(s("minZ"), s("maxZ"))
+        return TwoPhaseGrid(xb, yb, zb, s("fillingFactor"), s("contrast"),
+                            seed=rng_seed)
     if n == "Cylinder2DDustGrid":
         rb = _mesh_from(node.child("meshR")).scaled(0.0, s("maxR"))
         zb = _mesh_from(node.child("meshZ")).scaled(s("minZ"), s("maxZ"))
@@ -444,12 +489,59 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
         comp_nodes = dist_node.children.get("components", []) \
             if dist_node else []
         dcomps = []
-        for cn in comp_nodes:
-            g = build_geometry(cn.child("geometry"))
-            mix = build_mix(cn.child("mix"), wg)
-            norm = build_dust_normalization(cn.child("normalization"))
-            dcomps.append(DustComponent(g, mix, norm))
-        if dcomps:
+        amr_grid_source = None
+        if dist_node is not None and \
+                dist_node.name == "AdaptiveMeshDustDistribution":
+            # ref: AdaptiveMeshDustDistribution.hpp — extent + mesh file +
+            # MeshDustComponent entries (densityIndex, densityFraction, mix)
+            from .imports.amr import AdaptiveMeshGeometry
+            from .grids.adaptivemesh import AdaptiveMeshGrid
+            s = dist_node.scalar
+            extent = (s("minX"), s("minY"), s("minZ"),
+                      s("maxX"), s("maxY"), s("maxZ"))
+            mesh_node = dist_node.child("adaptiveMeshFile")
+            mesh_file = mesh_node.attrs["filename"] if mesh_node else \
+                dist_node.attrs["filename"]
+            rho_units = dist_node.scalar("densityUnits", 1.0)
+            from .imports.amr import load_amr_ascii
+            for cn in comp_nodes:
+                col = int(cn.scalar("densityIndex", 0))
+                lo, hi, vals = load_amr_ascii(mesh_file, extent, col)
+                geom = AdaptiveMeshGeometry(lo, hi, vals)
+                mix = build_mix(cn.child("mix"), wg)
+                frac = cn.scalar("densityFraction", 1.0)
+                # imported densities are absolute: total mass = sum rho V
+                # in file units x densityUnits x dust fraction
+                volumes = np.prod(hi - lo, axis=1)
+                total_mass = float((np.clip(vals, 0, None) * volumes).sum())
+                dcomps.append(DustComponent(
+                    geom, mix,
+                    DustMassNormalization(total_mass * rho_units * frac)))
+            amr_grid_source = (mesh_file, extent)
+        else:
+            for cn in comp_nodes:
+                g = build_geometry(cn.child("geometry"))
+                mix = build_mix(cn.child("mix"), wg)
+                norm = build_dust_normalization(cn.child("normalization"))
+                dcomps.append(DustComponent(g, mix, norm))
+        if dcomps and amr_grid_source is not None:
+            grid_node = ds_node.child("dustGrid")
+            if grid_node is not None and \
+                    grid_node.name == "AdaptiveMeshDustGrid":
+                grid = AdaptiveMeshGrid(*amr_grid_source)
+            else:
+                def total_density(pos):
+                    tot = 0.0
+                    for c in dcomps:
+                        tot = tot + c.mass() \
+                            * np.asarray(c.geometry.density(pos))
+                    return tot
+                grid = build_grid(grid_node, total_density,
+                                  rng_seed=the_seed)
+            dsys = DustSystem(grid, dcomps,
+                              samples_per_cell=int(
+                                  ds_node.scalar("sampleCount", 100)))
+        elif dcomps:
             def total_density(pos):
                 tot = 0.0
                 for c in dcomps:
@@ -467,6 +559,7 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                 emission_bias=ds_node.scalar("emissionBias", 0.5),
                 write_temperature=ds_node.boolean("writeTemperature"),
                 write_isrf=ds_node.boolean("writeISRF"),
+                write_emissivity=ds_node.boolean("writeEmissivity"),
             )
             em_node = ds_node.child("dustEmissivity")
             if em_node is not None:
@@ -510,6 +603,7 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
     if ds_node is not None:
         kwargs["write_convergence"] = ds_node.boolean("writeConvergence")
         kwargs["write_density"] = ds_node.boolean("writeDensity")
+        kwargs["write_depth_map"] = ds_node.boolean("writeDepthMap")
     if log is not None:
         kwargs["log"] = log
     if is_pan:

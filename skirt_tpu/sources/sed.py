@@ -161,19 +161,86 @@ class PegaseSED(SED):
 
 
 class MarastonSED(SED):
-    """Maraston single-age stellar population SED.
+    """Maraston (2005) single-age stellar population SED.
 
-    ref: SKIRTcore/MarastonSED.cpp; the resource data for this family is
-    not included in the partial data mount (dat/SED/Maraston is a stub),
-    so construction raises with a clear message.
+    ref: SKIRTcore/MarastonSED.cpp — bilinear interpolation in
+    (metallicity, age) between the bracketing sed.ssz*.rhb tables
+    (rows: age [Gyr], [Z/H], lambda [A], j); red horizontal branch set.
     """
 
-    def __init__(self, wavelength_grid, age=None, metallicity=None,
-                 data_dir: str | None = None):
+    Z_GRID = (0.0001, 0.001, 0.01, 0.02, 0.04, 0.07)
+    Z_FILES = ("10m4", "0001", "001", "002", "004", "007")
+
+    def __init__(self, wavelength_grid, age: float = 5.0,
+                 metallicity: float = 0.02, data_dir: str | None = None):
         base = os.path.join(data_dir or DATA_DIR, "SED/Maraston")
-        raise FileNotFoundError(
-            f"Maraston SED data not available under {base} (the reference "
-            "data mount ships only stub files; fetch the resource pack)")
+        if not (1e-6 <= age < 15.0):
+            raise ValueError("the age tau should be between 1e-6 and 15 Gyr")
+        if not (0.0001 <= metallicity < 0.07):
+            raise ValueError("the metallicity Z should be in [0.0001, 0.07)")
+        if (metallicity < 0.001 or metallicity > 0.04) and age < 1.0:
+            raise ValueError("for Z < 0.001 or Z > 0.04 the age must be "
+                             ">= 1 Gyr (ref: MarastonSED.cpp checks)")
+        Zv = np.asarray(self.Z_GRID)
+        mL = int(np.clip(np.searchsorted(Zv, metallicity, "right") - 1,
+                         0, Zv.size - 2))
+        tauv = np.loadtxt(os.path.join(base, "ages.dat"))
+        lL = int(np.clip(np.searchsorted(tauv, age, "right") - 1,
+                         0, tauv.size - 2))
+        tauL, tauR = tauv[lL], tauv[lL + 1]
+
+        def read(fz, a):
+            data = np.loadtxt(os.path.join(base, f"sed.ssz{fz}.rhb"))
+            sel = data[:, 0] == a
+            if not sel.any():
+                # short-age grids (19536 rows) only cover tau >= 1 Gyr
+                raise ValueError(
+                    f"age {a} Gyr not tabulated in sed.ssz{fz}.rhb")
+            block = data[sel]
+            return block[:, 2] * 1e-10, block[:, 3]
+
+        lamL, jLL = read(self.Z_FILES[mL], tauL)
+        _, jLR = read(self.Z_FILES[mL], tauR)
+        _, jRL = read(self.Z_FILES[mL + 1], tauL)
+        _, jRR = read(self.Z_FILES[mL + 1], tauR)
+        p = (metallicity - Zv[mL]) / (Zv[mL + 1] - Zv[mL])
+        q = (age - tauL) / (tauR - tauL)
+        jv = ((1 - p) * (1 - q) * jLL + p * (1 - q) * jRL
+              + (1 - p) * q * jLR + p * q * jRR)
+        sed = SED.from_emissivity(wavelength_grid, lamL, jv)
+        super().__init__(wavelength_grid, sed.fractions)
+
+
+class StarburstSED(SED):
+    """Starburst99 continuous-star-formation SED for a given metallicity.
+
+    ref: SKIRTcore/StarburstSED.cpp — log-flux table over (lambda, Z);
+    linear interpolation of log j between bracketing metallicity columns.
+    """
+
+    def __init__(self, wavelength_grid, metallicity: float = 0.02,
+                 data_dir: str | None = None):
+        path = os.path.join(data_dir or DATA_DIR,
+                            "SED/Starburst/StarburstSED.dat")
+        with open(path) as f:
+            for _ in range(6):
+                f.readline()
+            tokens = f.read().split()
+        nz = int(float(tokens[0]))
+        nl = int(float(tokens[1]))
+        Zv = np.array([float(t) for t in tokens[2:2 + nz]])
+        body = np.array([float(t) for t in tokens[2 + nz:]])
+        body = body.reshape(nl, nz + 1)
+        if not (Zv[0] <= metallicity <= Zv[-1]):
+            raise ValueError(f"the metallicity Z should be between "
+                             f"{Zv[0]} and {Zv[-1]}")
+        lamv = body[:, 0] * 1e-10
+        lL = int(np.clip(np.searchsorted(Zv, metallicity, "right") - 1,
+                         0, nz - 2))
+        t = (metallicity - Zv[lL]) / (Zv[lL + 1] - Zv[lL])
+        logj = (1 - t) * body[:, 1 + lL] + t * body[:, 2 + lL]
+        sed = SED.from_emissivity(wavelength_grid, lamv, 10.0 ** logj)
+        super().__init__(wavelength_grid, sed.fractions)
 
 
 class QuasarSED(SED):

@@ -228,3 +228,57 @@ class StellarSystem:
             pos = jnp.where(sel, pos_i, pos)
             d = jnp.where(sel, d_i, d)
         return pos, d, L * weight, h
+
+
+def sph_stellar_components(positions, smoothing, luminosities,
+                           wavelength_grid, nbins: int = 8, kernel=None):
+    """Spectrally-binned stellar components from smoothed particles.
+
+    ref: SKIRTcore/SPHStellarComp.cpp — the reference samples a particle
+    per packet from a per-wavelength luminosity CDF over all particles.
+    TPU re-design: particles are grouped into at most `nbins` bins of
+    similar spectral hardness (luminosity-weighted mean wavelength); each
+    bin becomes a LuminosityStellarComponent whose SPHParticleGeometry is
+    weighted by the particles' bolometric luminosities, and the existing
+    StellarSystem per-wavelength component CDF reproduces the reference's
+    spectral selection across bins exactly (within-bin spectral variation
+    is what the binning approximates).
+
+    luminosities: (Nparticles, Nlambda) per-bin luminosities [W].
+    Returns a list of LuminosityStellarComponent.
+    """
+    from ..imports.sph import SPHParticleGeometry
+
+    pos = np.asarray(positions, np.float64)
+    h = np.asarray(smoothing, np.float64)
+    L = np.asarray(luminosities, np.float64)
+    if L.ndim != 2 or L.shape[0] != pos.shape[0]:
+        raise ValueError("luminosities must be (Nparticles, Nlambda)")
+    Lbol = L.sum(axis=1)
+    keep = Lbol > 0
+    if not keep.any():
+        raise ValueError("all particles have zero luminosity")
+    pos, h, L, Lbol = pos[keep], h[keep], L[keep], Lbol[keep]
+
+    # spectral hardness: luminosity-weighted mean wavelength per particle
+    lam = wavelength_grid.lambdav
+    hardness = (L * lam[None, :]).sum(axis=1) / Lbol
+    nbins = min(int(nbins), pos.shape[0])
+    # luminosity-weighted quantile edges so each bin carries similar power
+    order = np.argsort(hardness)
+    cumL = np.cumsum(Lbol[order])
+    targets = np.linspace(0.0, cumL[-1], nbins + 1)[1:-1]
+    edge_idx = np.searchsorted(cumL, targets)
+    edges = np.concatenate([[-np.inf], hardness[order][edge_idx], [np.inf]])
+    which = np.clip(np.searchsorted(edges, hardness, "right") - 1, 0,
+                    nbins - 1)
+
+    comps = []
+    for b in range(nbins):
+        sel = which == b
+        if not sel.any():
+            continue
+        geom = SPHParticleGeometry(pos[sel], h[sel], Lbol[sel], kernel=kernel)
+        comps.append(LuminosityStellarComponent(
+            geom, wavelength_grid, L[sel].sum(axis=0)))
+    return comps

@@ -135,3 +135,48 @@ class TestTraversal:
             kr = np.where(cells >= 0, rho[np.clip(cells, 0, None)], 0.0)
             tau_num = np.trapezoid(kr, svals)
             assert tau_num == pytest.approx(float(target[i]), rel=2e-3, abs=1e-4)
+
+
+class TestTwoPhaseGrid:
+    """ref: SKIRTcore/TwoPhaseDustGrid.cpp — random clumpy-medium weights."""
+
+    def test_weights_normalized_and_two_valued(self):
+        from skirt_tpu.grids import TwoPhaseGrid
+        b = np.linspace(-1, 1, 17)
+        ff, C = 0.3, 25.0
+        g = TwoPhaseGrid(b, b, b, filling_factor=ff, contrast=C, seed=1)
+        norm = C * ff + 1.0 - ff
+        vals = np.unique(g.cell_weights)
+        np.testing.assert_allclose(sorted(vals), [1.0 / norm, C / norm])
+        # expectation of the weight is exactly 1 -> mean close to 1
+        assert g.cell_weights.mean() == pytest.approx(1.0, abs=0.05)
+
+    def test_dust_system_applies_weights(self):
+        from skirt_tpu.grids import TwoPhaseGrid
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem)
+        from skirt_tpu.media.mix import DustMix
+        from skirt_tpu.geometry import BoxGeometry
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([0.55e-6])
+        mix = DustMix(wg, np.array([100.0]), np.array([0.0]), np.array([0.0]))
+        b = np.linspace(-1, 1, 9)
+        g = TwoPhaseGrid(b, b, b, filling_factor=0.2, contrast=10.0, seed=2)
+        comp = DustComponent(BoxGeometry(-1, 1, -1, 1, -1, 1), mix,
+                             DustMassNormalization(5.0))
+        ds = DustSystem(g, [comp], samples_per_cell=1)
+        plain = DustSystem(CartesianGrid(b, b, b), [comp], samples_per_cell=1)
+        ratio = ds.rho64[0] / plain.rho64[0]
+        np.testing.assert_allclose(ratio, g.cell_weights, rtol=1e-12)
+        # the volume-averaged weight is ~1, so total mass is preserved
+        assert ds.gridded_mass() == pytest.approx(plain.gridded_mass(),
+                                                  rel=0.1)
+
+    def test_validation(self):
+        from skirt_tpu.grids import TwoPhaseGrid
+        b = np.linspace(-1, 1, 5)
+        with pytest.raises(ValueError):
+            TwoPhaseGrid(b, b, b, filling_factor=1.5, contrast=2.0)
+        with pytest.raises(ValueError):
+            TwoPhaseGrid(b, b, b, filling_factor=0.5, contrast=-1.0)

@@ -142,3 +142,76 @@ class TestWeingartnerDraine:
         i_bump = wg.nearest(0.2175e-6)
         i_side = wg.nearest(0.30e-6)
         assert m.kappaabs64[i_bump] > 1.3 * m.kappaabs64[i_side]
+
+
+class TestZubkoDustMix:
+    """ref: SKIRTcore/ZubkoDustMix.cpp + Zubko*GrainSizeDistribution.cpp."""
+
+    def test_bare_gr_s_values(self, wg):
+        from skirt_tpu.media.grains import ZubkoDustMix
+        m = ZubkoDustMix(wg, 4, 4, 2)
+        assert m.npop == 12
+        # ZDA04 BARE-GR-S total dust mass per H is ~1.3e-29 kg
+        assert 0.9e-29 < m.mu < 1.7e-29
+        iv = wg.nearest(0.55e-6)
+        # V-band extinction per dust mass in the literature ballpark
+        assert 1500 < m.kappaext64[iv] < 6000
+        assert 0.4 < m.albedo64[iv] < 0.8
+        # 2175 A bump from graphite+PAH
+        i_bump = wg.nearest(0.2175e-6)
+        i_side = wg.nearest(0.30e-6)
+        assert m.kappaabs64[i_bump] > 1.2 * m.kappaabs64[i_side]
+
+    def test_size_distributions_positive_in_range(self):
+        from skirt_tpu.media.grains import (
+            ZubkoGraphiteGrainSizeDistribution,
+            ZubkoPAHGrainSizeDistribution,
+            ZubkoSilicateGrainSizeDistribution)
+        for dist in (ZubkoGraphiteGrainSizeDistribution(),
+                     ZubkoSilicateGrainSizeDistribution(),
+                     ZubkoPAHGrainSizeDistribution()):
+            a = np.geomspace(dist.amin, dist.amax, 64)
+            v = dist.dnda(a)
+            assert np.all(v >= 0) and v.max() > 0
+            assert dist.dnda(np.array([dist.amax * 2]))[0] == 0.0
+            # dn/da falls steeply toward large grains
+            assert v[0] > v[-1]
+
+
+class TestThemisDustMix:
+    """ref: SKIRTcore/ThemisDustMix.cpp + Themis grain compositions."""
+
+    def test_themis_values(self, wg):
+        from skirt_tpu.media.grains import ThemisDustMix
+        m = ThemisDustMix(wg, 3, 3, 3)
+        assert m.npop == 9
+        iv = wg.nearest(0.55e-6)
+        # per-dust-mass optics are normalization-independent; THEMIS
+        # literature ballparks at V band
+        assert 2000 < m.kappaext64[iv] < 6000
+        assert 0.3 < m.albedo64[iv] < 0.8
+        assert 0.1 < m.g64[iv] < 0.7
+        # a-C(:H) aliphatic absorption rises steeply into the UV
+        iuv = wg.nearest(0.15e-6)
+        assert m.kappaabs64[iuv] > 2.0 * m.kappaabs64[iv]
+        # IR opacity falls off as a power law
+        i100 = wg.nearest(100e-6)
+        assert m.kappaabs64[i100] < 0.05 * m.kappaabs64[iv]
+
+    def test_heat_capacity_enthalpy(self):
+        from skirt_tpu.media.grains import AmHydrocarbonGrainComposition
+        c = AmHydrocarbonGrainComposition()
+        h = c.enthalpy(np.array([10.0, 100.0, 1000.0]))
+        # enthalpy is positive, increasing, and of order k_B T / atom-mass
+        assert np.all(np.diff(h) > 0) and h[0] >= 0
+        assert 1e2 < h[2] < 1e7
+
+    def test_size_distributions(self):
+        from skirt_tpu.media.grains import ThemisDustMix
+        a = np.geomspace(1e-9, 4.9e-6, 200)
+        dh = ThemisDustMix._dnda_hydrocarbon(a)
+        ds = ThemisDustMix._dnda_silicate(a)
+        assert np.all(dh >= 0) and np.all(ds >= 0)
+        assert ThemisDustMix._dnda_silicate(np.array([5e-6]))[0] == 0.0
+        # hydrocarbon distribution has the steep a^-5 nano-grain part
+        assert dh[0] > 0

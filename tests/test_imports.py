@@ -76,3 +76,157 @@ class TestAMR:
         # leaf masses: 1,2,3 (volume 1) and 8*0.5 twice -> 8 of 14 total
         mass_fine = 8.0 / 14.0
         assert frac_fine == pytest.approx(mass_fine, abs=0.02)
+
+
+class TestMappingsSEDFamily:
+    """ref: SKIRTcore/MappingsSEDFamily.cpp (Groves et al. 2008 grid)."""
+
+    def test_grid_interpolation_and_scaling(self):
+        from skirt_tpu.sources.sed_family import MappingsSEDFamily
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+        wg = LogWavelengthGrid(0.05e-6, 1000e-6, 60)
+        fam = MappingsSEDFamily()
+        base = np.array([[1.0, 0.0122, 5.0, 1.38e-17, 0.5]])
+        L1 = fam.luminosities(wg, base)[0]
+        assert L1.shape == (60,) and np.all(L1 >= 0) and L1.sum() > 0
+        # templates scale linearly with SFR
+        L2 = fam.luminosities(wg, base * [[2, 1, 1, 1, 1]])[0]
+        np.testing.assert_allclose(L2, 2 * L1, rtol=1e-12)
+        # f_PDR blends linearly between the two library columns (on the
+        # native grid, before the log-log resample, as in the reference —
+        # so totals agree but per-bin values only approximately)
+        p0 = base.copy(); p0[0, 4] = 0.0
+        p1 = base.copy(); p1[0, 4] = 1.0
+        Lmid = fam.luminosities(wg, base)[0]
+        Lavg = 0.5 * (fam.luminosities(wg, p0)[0]
+                      + fam.luminosities(wg, p1)[0])
+        assert Lmid.sum() == pytest.approx(Lavg.sum(), rel=0.05)
+        assert Lmid.sum() > 0.99 * min(
+            fam.luminosities(wg, p0)[0].sum(),
+            fam.luminosities(wg, p1)[0].sum())
+        # mass convention: SFR x 10 Myr
+        assert fam.mass(base)[0] == pytest.approx(1e7)
+
+    def test_sph_spectral_binning_conserves_luminosity(self):
+        from skirt_tpu.sources.sed_family import MappingsSEDFamily
+        from skirt_tpu.sources.stellar import (StellarSystem,
+                                               sph_stellar_components)
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+        wg = LogWavelengthGrid(0.05e-6, 1000e-6, 40)
+        fam = MappingsSEDFamily()
+        rs = np.random.default_rng(3)
+        n = 25
+        params = np.column_stack([
+            rs.uniform(0.1, 5, n), rs.uniform(0.004, 0.03, n),
+            rs.uniform(4.2, 6.2, n), np.full(n, 1.38e-17),
+            rs.uniform(0, 1, n)])
+        L = fam.luminosities(wg, params)
+        pos = rs.normal(size=(n, 3)) * 1e17
+        comps = sph_stellar_components(pos, np.full(n, 1e16), L, wg, nbins=5)
+        assert 1 <= len(comps) <= 5
+        total = sum(c.luminosities.sum() for c in comps)
+        assert total == pytest.approx(L.sum(), rel=1e-12)
+        ss = StellarSystem(comps)
+        assert float(ss.Ltot) == pytest.approx(L.sum(), rel=1e-6)
+
+
+class TestMarastonStarburstSEDs:
+    def test_maraston_old_population_is_red(self):
+        from skirt_tpu.sources.sed import MarastonSED
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+        wg = LogWavelengthGrid(0.01e-6, 100e-6, 80)
+        old = MarastonSED(wg, age=10.0, metallicity=0.02)
+        young = MarastonSED(wg, age=1.0, metallicity=0.02)
+        assert old.fractions.sum() == pytest.approx(1.0)
+        lam = wg.lambdav
+        uv = lam < 0.3e-6
+        # the younger population emits a larger UV fraction
+        assert young.fractions[uv].sum() > old.fractions[uv].sum()
+
+    def test_maraston_validation(self):
+        from skirt_tpu.sources.sed import MarastonSED
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+        wg = LogWavelengthGrid(0.01e-6, 100e-6, 20)
+        with pytest.raises(ValueError):
+            MarastonSED(wg, age=20.0)
+        with pytest.raises(ValueError):
+            MarastonSED(wg, age=0.5, metallicity=0.0005)
+
+    def test_starburst_uv_dominated(self):
+        from skirt_tpu.sources.sed import StarburstSED
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+        wg = LogWavelengthGrid(0.01e-6, 100e-6, 80)
+        s = StarburstSED(wg, metallicity=0.02)
+        assert s.fractions.sum() == pytest.approx(1.0)
+        lam = wg.lambdav
+        assert s.fractions[lam < 0.5e-6].sum() > 0.5
+        with pytest.raises(ValueError):
+            StarburstSED(wg, metallicity=0.5)
+
+
+class TestAdaptiveMeshGrid:
+    """ref: AdaptiveMeshDustGrid.cpp — AMR leaves as dust cells."""
+
+    def _grid(self, tmp_path):
+        from skirt_tpu.grids.adaptivemesh import AdaptiveMeshGrid
+        p = tmp_path / "mesh.amr"
+        p.write_text(AMR_FILE)
+        return AdaptiveMeshGrid(str(p), (0.0, 0.0, 0.0, 2.0, 2.0, 1.0))
+
+    def test_structure(self, tmp_path):
+        g = self._grid(tmp_path)
+        assert g.ncells == 5
+        assert g.cell_volumes().sum() == pytest.approx(4.0)  # 2x2x1 domain
+        # leaf densities preserved in cell order
+        dens = sorted(g.leaf_density())
+        np.testing.assert_allclose(dens, [1.0, 2.0, 3.0, 8.0, 8.0])
+
+    def test_locate(self, tmp_path):
+        import jax.numpy as jnp
+        g = self._grid(tmp_path)
+        pts = jnp.asarray([[0.5, 0.5, 0.5],    # first quadrant leaf
+                           [1.25, 1.5, 0.5],   # refined cell, left half
+                           [1.75, 1.5, 0.5],   # refined cell, right half
+                           [2.5, 0.5, 0.5]],   # outside
+                          jnp.float32)
+        cells = np.asarray(g.locate(pts))
+        assert cells[3] == -1
+        assert len({cells[0], cells[1], cells[2]}) == 3
+        # the two refined leaves carry density 8
+        dens = g.leaf_density()
+        assert dens[cells[1]] == 8.0 and dens[cells[2]] == 8.0
+
+    def test_chord_traversal(self, tmp_path):
+        import jax.numpy as jnp
+        from skirt_tpu.engine import traversal
+        g = self._grid(tmp_path)
+        # ray across the domain at y = 1.5: crosses leaf(2.0) then the two
+        # refined leaves -> 3 segments totalling the 2.0 chord
+        pos = jnp.asarray([[0.01, 1.5, 0.5]], jnp.float32)
+        d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+
+        def seg(carry, cell, ds, t_exit):
+            total, count = carry
+            return (total + ds, count + (ds > 0)), jnp.ones_like(ds, bool)
+
+        (total, count), _ = traversal.sweep(
+            g, pos, d, seg, (jnp.zeros(1), jnp.zeros(1, jnp.int32)))
+        assert float(total[0]) == pytest.approx(1.99, rel=1e-3)
+        assert int(count[0]) == 3
+
+    def test_optical_depth_piecewise(self, tmp_path):
+        import jax.numpy as jnp
+        from skirt_tpu.engine import traversal
+        g = self._grid(tmp_path)
+        dens = jnp.asarray(np.concatenate([g.leaf_density(), [0.0]]),
+                           jnp.float32)
+
+        def kr(cell):
+            return dens[jnp.clip(cell, 0)] * (cell >= 0)
+
+        pos = jnp.asarray([[0.01, 1.5, 0.5]], jnp.float32)
+        d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        tau = traversal.optical_depth(g, kr, pos, d)
+        # 0.99 through the (i=0, j=1) leaf (rho = 3, x-fastest child
+        # ordering), then 0.5 + 0.5 through the refined rho = 8 leaves
+        assert float(tau[0]) == pytest.approx(0.99 * 3 + 1.0 * 8, rel=1e-3)

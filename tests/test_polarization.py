@@ -108,3 +108,42 @@ class TestThomsonSphere:
         assert np.sign(qx) == -np.sign(qy)
         # energy: total detected ~ L for pure scattering by symmetry
         assert float(t["Ftot"][0]) == pytest.approx(1.0, rel=0.05)
+
+
+class TestTrustPolarizedMeanDustMix:
+    """ref: SKIRTcore/TrustPolarizedMeanDustMix.cpp (ZDA Mueller tables)."""
+
+    def test_tables_loaded(self):
+        import os
+        from skirt_tpu import DATA_DIR
+        from skirt_tpu.media import TrustPolarizedMeanDustMix
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+        if not os.path.isdir(os.path.join(DATA_DIR,
+                                          "DustMix/TrustMDMScatMatrix")):
+            pytest.skip("TRUST scattering matrix data not present")
+        wg = LogWavelengthGrid(0.1e-6, 100e-6, 20)
+        m = TrustPolarizedMeanDustMix(wg)
+        assert m.polarization and m.mueller is not None
+        S11 = np.asarray(m.mueller.S11)
+        S12 = np.asarray(m.mueller.S12)
+        assert S11.shape == (20, 181)
+        assert np.all(S11 > 0)
+        # |S12| <= S11 (physical polarization bound)
+        assert np.all(np.abs(S12) <= S11 * (1 + 1e-5))
+        # the mean mix optics match the unpolarized TrustMeanDustMix
+        from skirt_tpu.media import TrustMeanDustMix
+        m0 = TrustMeanDustMix(wg)
+        np.testing.assert_allclose(m.kappaext64, m0.kappaext64, rtol=1e-12)
+
+    def test_driver_autowires_mueller(self):
+        # a dust system built on a polarized mix feeds its Mueller tables
+        # into the simulation lifecycle automatically
+        wg = OligoWavelengthGrid([1e-6])
+        mix = ElectronDustMix(wg)
+        assert mix.mueller is not None  # ref: ElectronDustMix addpolarization
+        b = np.linspace(-1, 1, 5)
+        grid = CartesianGrid(b, b, b)
+        comp = DustComponent(UniformSphereGeometry(0.9), mix,
+                             DustMassNormalization(1e-3))
+        dsys = DustSystem(grid, [comp], samples_per_cell=2)
+        assert dsys.mueller is mix.mueller

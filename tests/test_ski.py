@@ -133,3 +133,76 @@ class TestCli:
     def test_cli_missing_file(self):
         from skirt_tpu.cli import main
         assert main(["/nonexistent/file.ski", "--cpu"]) == 2
+
+
+AMR_SKI = """<?xml version="1.0" encoding="UTF-8"?>
+<skirt-simulation-hierarchy type="MonteCarloSimulation" format="6.1">
+  <OligoMonteCarloSimulation packages="500">
+    <units type="Units"><SIUnits/></units>
+    <wavelengthGrid type="OligoWavelengthGrid">
+      <OligoWavelengthGrid wavelengths="1 micron"/>
+    </wavelengthGrid>
+    <stellarSystem type="StellarSystem">
+      <StellarSystem>
+        <components type="StellarComp">
+          <OligoStellarComp luminosities="1e7">
+            <geometry type="Geometry"><PointGeometry/></geometry>
+          </OligoStellarComp>
+        </components>
+      </StellarSystem>
+    </stellarSystem>
+    <dustSystem type="OligoDustSystem">
+      <OligoDustSystem sampleCount="4">
+        <dustDistribution type="DustDistribution">
+          <AdaptiveMeshDustDistribution minX="-1 m" maxX="1 m" minY="-1 m" maxY="1 m" minZ="-1 m" maxZ="1 m" densityUnits="1">
+            <adaptiveMeshFile type="AdaptiveMeshFile">
+              <AdaptiveMeshAsciiFile filename="__AMRFILE__"/>
+            </adaptiveMeshFile>
+            <components type="MeshDustComponent">
+              <MeshDustComponent densityIndex="0" densityFraction="1">
+                <mix type="DustMix">
+                  <SimpleOligoDustMix opacities="100 m2/kg" albedos="0" asymmetryParameters="0"/>
+                </mix>
+              </MeshDustComponent>
+            </components>
+          </AdaptiveMeshDustDistribution>
+        </dustDistribution>
+        <dustGrid type="DustGrid">
+          <AdaptiveMeshDustGrid/>
+        </dustGrid>
+      </OligoDustSystem>
+    </dustSystem>
+    <instrumentSystem type="InstrumentSystem">
+      <InstrumentSystem>
+        <instruments type="Instrument">
+          <SEDInstrument instrumentName="sed" distance="10 m" inclination="0 deg" azimuth="0 deg"/>
+        </instruments>
+      </InstrumentSystem>
+    </instrumentSystem>
+  </OligoMonteCarloSimulation>
+</skirt-simulation-hierarchy>
+"""
+
+
+class TestAdaptiveMeshSki:
+    """ref: AdaptiveMeshDustDistribution + AdaptiveMeshDustGrid ski elements."""
+
+    def test_amr_distribution_and_grid(self, tmp_path):
+        from skirt_tpu.grids.adaptivemesh import AdaptiveMeshGrid
+        amr = tmp_path / "mesh.amr"
+        amr.write_text("! 2 1 1\n3.0\n1.0\n")
+        ski = tmp_path / "amr.ski"
+        ski.write_text(AMR_SKI.replace("__AMRFILE__", str(amr)))
+        sim = load_ski(str(ski), out_dir=str(tmp_path))
+        assert isinstance(sim.grid, AdaptiveMeshGrid)
+        assert sim.grid.ncells == 2
+        ds = sim.dust_system
+        # total mass = sum rho V = 3*4 + 1*4 (two 1x2x2 halves)
+        assert ds.gridded_mass() == pytest.approx(16.0, rel=1e-6)
+        # density in each half matches the file values
+        import jax.numpy as jnp
+        c = np.asarray(sim.grid.locate(jnp.asarray(
+            [[-0.5, 0, 0], [0.5, 0, 0]], jnp.float32)))
+        rho = ds.rho64.sum(axis=0)
+        assert rho[c[0]] == pytest.approx(3.0, rel=1e-6)
+        assert rho[c[1]] == pytest.approx(1.0, rel=1e-6)
