@@ -158,6 +158,9 @@ SUPPORTED: dict[str, dict] = {
     "QuasarSED": {"kind": "sed", "properties": []},
     "KuruczSED": {"kind": "sed",
                   "properties": ["metallicity", "temperature", "gravity"]},
+    "PegaseSED": {"kind": "sed", "properties": ["type"]},
+    "MarastonSED": {"kind": "sed", "properties": ["age", "metallicity"]},
+    "StarburstSED": {"kind": "sed", "properties": ["metallicity"]},
     # normalizations
     "BolLuminosityStellarCompNormalization": {"kind": "stellarNormalization",
                                               "properties": ["luminosity"]},
@@ -186,6 +189,20 @@ SUPPORTED: dict[str, dict] = {
     "DraineLiDustMix": {"kind": "dustMix", "properties": []},
     "InterstellarDustMix": {"kind": "dustMix", "properties": []},
     "ElectronDustMix": {"kind": "dustMix", "properties": []},
+    "Benchmark1DDustMix": {"kind": "dustMix", "properties": []},
+    "Benchmark2DDustMix": {"kind": "dustMix", "properties": []},
+    "TrustPolarizedMeanDustMix": {"kind": "dustMix", "properties": []},
+    "MRNDustMix": {"kind": "dustMix",
+                   "properties": ["graphitePops", "silicatePops"]},
+    "WeingartnerDraineDustMix": {"kind": "dustMix",
+                                 "properties": ["environment", "graphitePops",
+                                                "silicatePops", "PAHPops"]},
+    "ZubkoDustMix": {"kind": "dustMix",
+                     "properties": ["graphitePops", "silicatePops",
+                                    "PAHPops"]},
+    "ThemisDustMix": {"kind": "dustMix",
+                      "properties": ["hydrocarbonPops", "enstatitePops",
+                                     "forsteritePops"]},
     # grids
     "CartesianDustGrid": {"kind": "dustGrid",
                           "properties": ["minX", "maxX", "minY", "maxY",
@@ -204,6 +221,14 @@ SUPPORTED: dict[str, dict] = {
                         "properties": ["minX", "maxX", "minY", "maxY",
                                        "minZ", "maxZ", "numParticles",
                                        "distribution"]},
+    "TwoPhaseDustGrid": {"kind": "dustGrid",
+                         "properties": ["minX", "maxX", "minY", "maxY",
+                                        "minZ", "maxZ", "fillingFactor",
+                                        "contrast"],
+                         "children": ["meshX", "meshY", "meshZ"]},
+    "AdaptiveMeshDustGrid": {"kind": "dustGrid", "properties": []},
+    "Sphere2DDustGrid": {"kind": "dustGrid", "properties": ["maxR"],
+                         "children": ["meshR", "meshTheta"]},
     "LinMesh": {"kind": "mesh", "properties": ["numBins"]},
     "LogMesh": {"kind": "mesh", "properties": ["numBins",
                                                "centralBinFraction"]},

@@ -101,3 +101,39 @@ class TestFitScheme:
         # best-per-generation file written
         import os
         assert os.path.exists(os.path.join(scheme.out_dir, "fit_best.dat"))
+
+
+class TestBatchedEvaluation:
+    """ref: MasterSlaveCommunicator::performTask population farm."""
+
+    def test_simulate_batch_matches_serial(self, tmp_path):
+        from skirt_tpu.fit.ranges import ParameterRange
+        from skirt_tpu.fit.reference_image import ReferenceImage
+        from skirt_tpu.fit.scheme import FitScheme
+
+        from skirt_tpu.fit.convolution import GaussianKernel
+        target = np.zeros((8, 8)); target[3:5, 3:5] = 1.0
+        ref = ReferenceImage(target, GaussianKernel(1.0), [0.1], [10.0])
+        ranges = [ParameterRange("w", 0.5, 3.0)]
+        calls = {"batch": 0}
+
+        def model(params):
+            w = params["w"]
+            f = np.zeros((8, 8)); f[3:5, 3:5] = w
+            return [[f]]
+
+        def model_batch(param_list):
+            calls["batch"] += 1
+            return [model(p) for p in param_list]
+
+        common = dict(ranges=ranges, reference_images=[ref],
+                      generations=3, popsize=8,
+                      out_dir=str(tmp_path))
+        s1 = FitScheme(simulate=model, prefix="serial", **common)
+        p1, c1 = s1.run()
+        s2 = FitScheme(simulate_batch=model_batch, prefix="batch", **common)
+        p2, c2 = s2.run()
+        assert calls["batch"] >= 4  # initial pop + one call per generation
+        # identical seeds -> identical GA trajectory
+        assert c1 == pytest.approx(c2)
+        assert p1["w"] == pytest.approx(p2["w"])

@@ -95,3 +95,63 @@ class TestAutoMesh:
         acc = sim._run_phase(rng.root_key(4), 0)
         F = acc["instruments"][0]["Ftot"][0]
         assert F == pytest.approx(np.exp(-2.0), rel=1e-3)
+
+
+class TestSlabDomainDecomposition:
+    """north-star building block: slab-sharded optical depth (psum)."""
+
+    def test_matches_single_device(self):
+        import jax
+        import jax.numpy as jnp
+        from skirt_tpu.engine import traversal
+        from skirt_tpu.geometry import UniformSphereGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem)
+        from skirt_tpu.media.mix import DustMix
+        from skirt_tpu.parallel.domain import (make_slab_optical_depth,
+                                               slab_mesh)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([1e-6])
+        mix = DustMix(wg, np.array([150.0]), np.array([50.0]),
+                      np.array([0.0]))
+        b = np.linspace(-1, 1, 13)
+        grid = CartesianGrid(b, b, b)
+        comp = DustComponent(UniformSphereGeometry(0.8), mix,
+                             DustMassNormalization(0.01))
+        ds = DustSystem(grid, [comp], samples_per_cell=4)
+        kr = ds.kapparho_ext_fn(jnp.asarray([0]))
+
+        rs = np.random.default_rng(11)
+        n = 256
+        pos = jnp.asarray(rs.uniform(-0.7, 0.7, (n, 3)), jnp.float32)
+        d = rs.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d, jnp.float32)
+
+        tau_ref = np.asarray(traversal.optical_depth(grid, kr, pos, d))
+        mesh = slab_mesh()
+        assert mesh.devices.size == 8
+        tau_slab = np.asarray(make_slab_optical_depth(mesh, grid, kr)(pos, d))
+        np.testing.assert_allclose(tau_slab, tau_ref, rtol=2e-3, atol=1e-5)
+
+    def test_rays_parallel_to_slab_planes(self):
+        import jax.numpy as jnp
+        from skirt_tpu.engine import traversal
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.parallel.domain import (make_slab_optical_depth,
+                                               slab_mesh)
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        dens = jnp.float32(2.0)
+
+        def kr(cell):
+            return jnp.where(cell >= 0, dens, 0.0)
+
+        # +y ray never leaves its slab: only one device contributes
+        pos = jnp.asarray([[0.31, -0.9, 0.0], [0.31, 0.0, -0.9]], jnp.float32)
+        d = jnp.asarray([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+        tau_ref = np.asarray(traversal.optical_depth(grid, kr, pos, d))
+        tau = np.asarray(make_slab_optical_depth(slab_mesh(), grid, kr)(pos, d))
+        np.testing.assert_allclose(tau, tau_ref, rtol=1e-3)
