@@ -40,6 +40,14 @@ class LifecycleOptions:
                                      # instruments (gather replaces a
                                      # traversal per peel-off; cell-scale
                                      # approximation, exact by default)
+    path_record: bool | None = None  # record each event's path into (S, N)
+                                     # buffers (ref: DustGridPath) so
+                                     # absorption + propagation inversion
+                                     # are vectorized over segments and the
+                                     # second traversal disappears; None =
+                                     # auto (on for grids with small
+                                     # max_steps, off otherwise — memory is
+                                     # 3*S*N words)
 
 
 def begin_traversal(grid, pos, direction):
@@ -176,6 +184,15 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     if mueller is not None:
         from ..media import polarization as pol
 
+    # path-record mode (ref: DustGridPath): vectorize per-segment physics
+    # over an (S, N) buffer and drop the second (propagation) traversal;
+    # auto-enabled for grids with bounded small step counts
+    use_path_record = (options.path_record if options.path_record is not None
+                       else (grid is not None
+                             and getattr(grid, "max_steps", 1 << 30) <= 160))
+    use_path_record = bool(use_path_record) and grid is not None \
+        and not options.continuous_scattering
+
     def run_batch(key, ell, L0, tallies, launch_ctx=None, state_in=None):
         n = ell.shape[0]
         k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
@@ -252,6 +269,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             # -- traverse + absorb (ref: simulateescapeandabsorption) ------
             continuous = options.continuous_scattering and scattering_peeloff
             state0 = begin_traversal(grid, pos, direction)
+            path = None
             carry0 = dict(tau=jnp.zeros(n, jnp.float32),
                           Lsca=jnp.zeros(n, jnp.float32), labs=labs_c)
             if continuous:
@@ -290,8 +308,22 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                                              contribution, t2, cell=cell)
                 return new, jnp.ones(n, bool)
 
-            carry, _ = traversal.sweep(grid, pos, direction, seg, carry0,
-                                       state0=state0, active=alive)
+            if use_path_record:
+                # same streaming absorption sweep, but record per-step
+                # (cumtau, ds, t_exit) rows so propagation inverts from the
+                # recording instead of re-traversing (ref: DustGridPath
+                # record-and-replay; gathers dominate TPU traversal cost,
+                # and this halves the per-event gather-sweep count)
+                def seg_rec(carry, cell, ds_len, t_exit):
+                    new, cont = seg(carry, cell, ds_len, t_exit)
+                    return new, cont, new["tau"]
+
+                carry, path = traversal.sweep_tau_recorded(
+                    grid, pos, direction, seg_rec, carry0, state0=state0,
+                    active=alive)
+            else:
+                carry, _ = traversal.sweep(grid, pos, direction, seg, carry0,
+                                           state0=state0, active=alive)
             taupath = carry["tau"]
             labs_c = carry["labs"]
             if continuous:
@@ -319,9 +351,37 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                 weight = p / jnp.maximum(qq, 1e-37)
             L = jnp.where(alive, L * weight, L)
 
-            s, cell_at = traversal.propagate_to_tau(
-                grid, kapparho_pk, pos, direction, tau, state0=begin_traversal(
-                    grid, pos, direction), active=alive)
+            if use_path_record:
+                # vectorized inverse lookup in the recorded rows
+                # (ref: DustGridPath::pathlength)
+                cum_b, ds_b, te_b = path
+                i_hit = jnp.clip(
+                    jnp.sum((cum_b < tau[None, :]).astype(jnp.int32),
+                            axis=0), 0, cum_b.shape[0] - 1)
+
+                def _take(a, idx):
+                    return jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+
+                cum_h = _take(cum_b, i_hit)
+                cum_prev = jnp.where(
+                    i_hit > 0,
+                    _take(cum_b, jnp.maximum(i_hit - 1, 0)), 0.0)
+                dtau_h = cum_h - cum_prev
+                frac = jnp.where(dtau_h > 0,
+                                 (tau - cum_prev)
+                                 / jnp.maximum(dtau_h, 1e-30), 0.0)
+                te_h = _take(te_b, i_hit)
+                ds_h = _take(ds_b, i_hit)
+                s = (te_h - ds_h) + jnp.clip(frac, 0.0, 1.0) * ds_h
+                # the cell is constant across the hit segment: locate at
+                # the segment midpoint (robust against border landing)
+                mid = te_h - 0.5 * ds_h
+                cell_at = grid.locate(pos + mid[:, None] * direction)
+            else:
+                s, cell_at = traversal.propagate_to_tau(
+                    grid, kapparho_pk, pos, direction, tau,
+                    state0=begin_traversal(grid, pos, direction),
+                    active=alive)
             new_pos = pos + s[:, None] * direction
             pos = jnp.where(alive[:, None], new_pos, pos)
 

@@ -141,3 +141,52 @@ class TestFrameInstrument:
         assert abs(ix - wgn // 2) <= 1 and abs(iy - wgn // 2) <= 1
         assert cube.sum() == pytest.approx(1.0, rel=1e-5)
         assert acc["instruments"][0]["Ftot"][0] == pytest.approx(1.0, rel=1e-5)
+
+
+class TestPathRecordEquivalence:
+    """Path-record mode (ref: DustGridPath) must reproduce the streaming
+    sweeps: same RNG stream, same physics, different evaluation order."""
+
+    def test_modes_agree(self):
+        import jax
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle)
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.instruments import SEDInstrument
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem)
+        from skirt_tpu.media.mix import DustMix
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        mix = DustMix(wg, np.array([60.0]), np.array([40.0]),
+                      np.array([0.4]))
+        comp = DustComponent(UniformSphereGeometry(0.8), mix,
+                             DustMassNormalization(0.02))
+        dsys = DustSystem(grid, [comp], samples_per_cell=4)
+        ins = SEDInstrument("sed", 100.0, 1, inclination=0.6)
+
+        n = 4096
+        ell = jnp.zeros(n, jnp.int32)
+        L0 = jnp.full((n,), 1.0 / n, jnp.float32)
+        outs = {}
+        for flag in (False, True):
+            opts = LifecycleOptions(store_absorption=True, path_record=flag)
+            run = jax.jit(make_lifecycle(grid, dsys, ss, [ins], opts, 1))
+            tallies = {"instruments": [ins.zero_tallies()],
+                       "labs": jnp.zeros(grid.ncells, jnp.float32)}
+            outs[flag] = run(rng.root_key(7), ell, L0, tallies)
+        F0 = np.asarray(outs[False]["instruments"][0]["Ftot"])
+        F1 = np.asarray(outs[True]["instruments"][0]["Ftot"])
+        np.testing.assert_allclose(F1, F0, rtol=2e-4)
+        labs0 = np.asarray(outs[False]["labs"])
+        labs1 = np.asarray(outs[True]["labs"])
+        np.testing.assert_allclose(labs1.sum(), labs0.sum(), rtol=2e-4)
+        np.testing.assert_allclose(labs1, labs0, rtol=5e-3, atol=1e-8)
