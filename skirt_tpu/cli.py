@@ -82,24 +82,39 @@ def main(argv=None):
             return 2
         paths.extend(expanded)
 
+    from .errors import install_signal_handlers
+    install_signal_handlers()
+
     log = Log(lowest="warning" if args.brief else "info")
+    failed = 0
     for path in paths:
         prefix = os.path.splitext(os.path.basename(path))[0]
         log.info(f"Constructing a simulation from ski file '{path}'...")
         packets = 1.0 if args.emulate else args.packets
-        if args.report:
-            from .discover import latex_report
-            from .ski import parse_ski
-            os.makedirs(args.output, exist_ok=True)
-            latex_report(parse_ski(path),
-                         os.path.join(args.output, f"{prefix}_parameters.tex"))
-        sim = load_ski(path, out_dir=args.output, prefix=prefix,
-                       packets=packets, seed=args.seed, log=log)
-        if args.emulate and hasattr(sim, "self_absorption"):
-            sim.self_absorption = False
-        with log.timer(f"simulation {prefix}"):
-            sim.run()
-    return 0
+        try:
+            if args.report:
+                from .discover import latex_report
+                from .ski import parse_ski
+                os.makedirs(args.output, exist_ok=True)
+                latex_report(parse_ski(path),
+                             os.path.join(args.output,
+                                          f"{prefix}_parameters.tex"))
+            sim = load_ski(path, out_dir=args.output, prefix=prefix,
+                           packets=packets, seed=args.seed, log=log)
+            if args.emulate and hasattr(sim, "self_absorption"):
+                sim.self_absorption = False
+            with log.timer(f"simulation {prefix}"):
+                sim.run()
+        except KeyboardInterrupt:
+            log.error("interrupted")
+            return 130
+        except Exception as e:
+            # ref: SkirtCommandLineHandler.cpp:359-363 — exceptions are
+            # logged before propagating; with multiple ski files the batch
+            # continues (deviation: the reference aborts the batch)
+            log.error(f"simulation '{prefix}' failed: {e}")
+            failed += 1
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -182,3 +182,41 @@ class TestDiagnostics:
         s = memory_statistics()
         assert s["peak_rss"] > 1 << 20
         assert "RSS" in format_memory(s)
+
+
+class TestErrors:
+    """ref: FatalError.hpp + SignalHandler.cpp equivalents."""
+
+    def test_fatal_error_carries_call_site(self):
+        from skirt_tpu.errors import FatalError
+
+        def failing_setup():
+            raise FatalError("the dust grid is empty")
+
+        with pytest.raises(FatalError) as exc:
+            failing_setup()
+        msg = str(exc.value)
+        assert "the dust grid is empty" in msg
+        assert "failing_setup" in msg and "test_foundations.py" in msg
+
+    def test_signal_handlers_install(self):
+        import faulthandler
+        import signal
+        from skirt_tpu.errors import (TerminationRequest,
+                                      install_signal_handlers)
+        old = signal.getsignal(signal.SIGTERM)
+        try:
+            install_signal_handlers()
+            assert faulthandler.is_enabled()
+            import os
+            with pytest.raises(TerminationRequest):
+                os.kill(os.getpid(), signal.SIGTERM)
+        finally:
+            signal.signal(signal.SIGTERM, old)
+
+    def test_cli_continues_after_bad_ski(self, tmp_path):
+        from skirt_tpu.cli import main
+        bad = tmp_path / "bad.ski"
+        bad.write_text("<not-a-ski/>")
+        rc = main([str(bad), "-o", str(tmp_path), "-b"])
+        assert rc == 1
