@@ -76,11 +76,16 @@ def make_peel_off(grid, dust_system, instrument, rho_path_map=None):
     centers = _centers_cache(grid) if (rho_path_map is not None
                                        and grid is not None) else None
 
-    def peel(tallies, pos, ell, contribution, tags, active=None, cell=None):
+    def peel(tallies, pos, ell, contribution, tags, active=None, cell=None,
+             tau=None, kapparho=None):
         kobs = instrument.observer_direction(pos)
         max_s = instrument.observer_distance(pos) \
             if hasattr(instrument, "observer_distance") else None
-        if dust_system is None:
+        if tau is not None:
+            # shared extinction: computed once for all instruments with
+            # the same observer direction
+            pass
+        elif dust_system is None:
             tau = jnp.zeros(contribution.shape, contribution.dtype)
         elif rho_path_map is not None and max_s is None:
             c = grid.cell_of(grid.start(pos)) if cell is None else cell
@@ -98,7 +103,11 @@ def make_peel_off(grid, dust_system, instrument, rho_path_map=None):
             tau = jnp.where(c >= 0, tau, 0.0)
         else:
             state0 = begin_traversal(grid, pos, kobs)
-            kapparho = dust_system.kapparho_ext_fn(ell)
+            if kapparho is None:
+                # fallback; callers pass the hoisted per-packet closure
+                # (per-wavelength kappa gathers inside the sweep double the
+                # per-step gather count otherwise)
+                kapparho = dust_system.kapparho_ext_fn(ell)
             tau = traversal.optical_depth(grid, kapparho, pos, kobs,
                                           state0=state0, max_s=max_s,
                                           active=active)
@@ -193,6 +202,31 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     use_path_record = bool(use_path_record) and grid is not None \
         and not options.continuous_scattering
 
+    # exact-mode distant instruments with the same observer direction share
+    # one peel-off traversal (common case: SED + frame of the same view)
+    import numpy as _np
+    _shared_leader = {}
+    _dir_groups = {}
+    for _i, (_ins, _m) in enumerate(zip(instruments, maps)):
+        if _m is None and not hasattr(_ins, "observer_distance") \
+                and hasattr(_ins, "kobs"):
+            key = tuple(_np.round(_np.asarray(_ins.kobs, _np.float64), 12))
+            _dir_groups.setdefault(key, []).append(_i)
+    for _g in _dir_groups.values():
+        if len(_g) > 1:
+            for _i in _g:
+                _shared_leader[_i] = _g[0]
+
+    def shared_taus(pos, kapparho, active):
+        """tau per group leader, computed once per event."""
+        taus = {}
+        for lead in set(_shared_leader.values()):
+            kobs = instruments[lead].observer_direction(pos)
+            taus[lead] = traversal.optical_depth(
+                grid, kapparho, pos, kobs,
+                state0=begin_traversal(grid, pos, kobs), active=active)
+        return taus
+
     def run_batch(key, ell, L0, tallies, launch_ctx=None, state_in=None):
         n = ell.shape[0]
         k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
@@ -216,12 +250,21 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                                                                 L0)
             alive = L > 0
 
+        # hoist per-wavelength property gathers out of the traversal loops
+        if ds is not None:
+            ksca_pk, kext_pk = ds.packet_kappas(ell)
+            kapparho_pk = ds.kapparho_ext_from(kext_pk)
+        else:
+            kapparho_pk = None
+
         # --- emission peel-off (ref: peeloffemission) ---------------------
         dust_flags = jnp.full(n, bool(is_dust_emission))
         tags = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
         anisotropic = (comp is not None and stellar_system is not None
                        and not stellar_system.is_isotropic)
         if emission_peeloff and state_in is None:
+            taus0 = shared_taus(pos, kapparho_pk, alive) \
+                if (_shared_leader and ds is not None) else {}
             for i, peel in enumerate(peels):
                 contribution = jnp.where(alive, L, 0.0)
                 if anisotropic:
@@ -231,16 +274,15 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                         stellar_system.direction_probability(ell, pos, kobs,
                                                              comp)
                 tallies["instruments"][i] = peel(
-                    tallies["instruments"][i], pos, ell, contribution, tags)
+                    tallies["instruments"][i], pos, ell, contribution, tags,
+                    tau=taus0.get(_shared_leader.get(i)),
+                    kapparho=kapparho_pk)
 
         if ds is None:
             return (tallies, None) if io_state else tallies
 
         Lthreshold = L0 / options.min_weight_reduction
         labs = tallies.get("labs")
-        # hoist per-wavelength property gathers out of the traversal loops
-        ksca_pk, kext_pk = ds.packet_kappas(ell)
-        kapparho_pk = ds.kapparho_ext_from(kext_pk)
 
         state = dict(
             it=jnp.int32(0), pos=pos, dir=direction, L=L,
@@ -388,6 +430,8 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             # -- scattering peel-off (ref: peeloffscattering) --------------
             if scattering_peeloff and not continuous:
                 tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
+                taus_s = shared_taus(pos, kapparho_pk, alive) \
+                    if _shared_leader else {}
                 for i, peel in enumerate(peels):
                     kobs = instruments[i].observer_direction(pos)
                     cosalpha = jnp.sum(direction * kobs, axis=-1)
@@ -425,7 +469,10 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     contribution = jnp.where(alive, L * w, 0.0)
                     ins_tallies[i] = peel(ins_tallies[i], pos, ell,
                                           contribution, tg, active=alive,
-                                          cell=cell_at)
+                                          cell=cell_at,
+                                          tau=taus_s.get(
+                                              _shared_leader.get(i)),
+                                          kapparho=kapparho_pk)
 
             # -- scatter (ref: simulatescattering) -------------------------
             if mueller is None:

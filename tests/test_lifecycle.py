@@ -190,3 +190,52 @@ class TestPathRecordEquivalence:
         labs1 = np.asarray(outs[True]["labs"])
         np.testing.assert_allclose(labs1.sum(), labs0.sum(), rtol=2e-4)
         np.testing.assert_allclose(labs1, labs0, rtol=5e-3, atol=1e-8)
+
+
+class TestSharedPeelOffTau:
+    """Same-direction instruments share one peel-off traversal."""
+
+    def test_matches_independent_instruments(self):
+        import jax
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle)
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.instruments import SEDInstrument, SimpleInstrument
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem)
+        from skirt_tpu.media.mix import DustMix
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        mix = DustMix(wg, np.array([50.0]), np.array([50.0]),
+                      np.array([0.3]))
+        comp = DustComponent(UniformSphereGeometry(0.8), mix,
+                             DustMassNormalization(0.02))
+        dsys = DustSystem(grid, [comp], samples_per_cell=4)
+
+        def run(instruments):
+            opts = LifecycleOptions()
+            fn = jax.jit(make_lifecycle(grid, dsys, ss, instruments, opts, 1))
+            n = 4096
+            t = {"instruments": [ins.zero_tallies() for ins in instruments]}
+            return fn(rng.root_key(3), jnp.zeros(n, jnp.int32),
+                      jnp.full((n,), 1.0 / n, jnp.float32), t)
+
+        sed = SEDInstrument("sed", 100.0, 1, inclination=0.7, azimuth=0.2)
+        img = SimpleInstrument("img", 100.0, 1, 8, 8, fov_x=2.2, fov_y=2.2,
+                               inclination=0.7, azimuth=0.2)
+        both = run([sed, img])          # shared traversal path
+        only_sed = run([sed])           # independent path
+        F_shared = np.asarray(both["instruments"][0]["Ftot"])
+        F_alone = np.asarray(only_sed["instruments"][0]["Ftot"])
+        np.testing.assert_allclose(F_shared, F_alone, rtol=1e-5)
+        # image totals consistent with the SED instrument
+        F_img = np.asarray(both["instruments"][1]["Ftot"])
+        np.testing.assert_allclose(F_img, F_shared, rtol=1e-5)
