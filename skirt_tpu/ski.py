@@ -159,6 +159,20 @@ def build_geometry(node: Node):
     s = node.scalar
     if n == "PointGeometry":
         return geo.PointGeometry()
+    if n in ("Trust1Geometry", "Trust2Geometry", "Trust6Geometry",
+             "Trust7aGeometry", "Trust7bGeometry"):
+        return getattr(geo, n)()
+    if n == "NetzerAccretionDiskGeometry":
+        return geo.NetzerAccretionDiskGeometry()
+    if n == "SpheBackgroundGeometry":
+        return geo.SpheBackgroundGeometry(s("radius"))
+    if n == "CubBackgroundGeometry":
+        return geo.CubBackgroundGeometry(s("extent"))
+    if n == "ReadFitsGeometry":
+        return geo.ReadFitsGeometry(
+            node.attrs["filename"], pixel_scale=s("pixelScale"),
+            axial_scale=s("axialScale"),
+            center_x=s("xcenter", 0.0), center_y=s("ycenter", 0.0))
     if n == "PlummerGeometry":
         return geo.PlummerGeometry(s("scale"))
     if n == "GammaGeometry":
@@ -433,6 +447,32 @@ def build_instrument(node: Node, nlambda: int):
     if n == "FullInstrument":
         return FullInstrument(name, nlambda=nlambda, **common, **frame,
                               nscatt_levels=int(s("scatteringLevels", 0)))
+    if n == "PerspectiveInstrument":
+        from .instruments.perspective import PerspectiveInstrument
+        return PerspectiveInstrument(
+            name, nlambda=nlambda, nx=int(s("pixelsX", 64)),
+            ny=int(s("pixelsY", 64)), width=s("width"),
+            view=(s("viewX"), s("viewY"), s("viewZ")),
+            crosshair=(s("crossX", 0.0), s("crossY", 0.0), s("crossZ", 0.0)),
+            up=(s("upX", 0.0), s("upY", 0.0), s("upZ", 1.0)),
+            focal=s("focal"))
+    if n == "MultiFrameInstrument":
+        from .instruments.multiframe import (InstrumentFrame,
+                                             MultiFrameInstrument)
+        frames = [InstrumentFrame(
+            nx=int(fn.scalar("pixelsX", 64)), ny=int(fn.scalar("pixelsY", 64)),
+            fov_x=fn.scalar("fieldOfViewX"), fov_y=fn.scalar("fieldOfViewY"),
+            center_x=fn.scalar("centerX", 0.0),
+            center_y=fn.scalar("centerY", 0.0))
+            for fn in node.children.get("frames", [])]
+        if len(frames) != nlambda:
+            raise SkiParseError(
+                f"MultiFrameInstrument needs one frame per wavelength "
+                f"({len(frames)} frames for {nlambda} wavelengths)")
+        return MultiFrameInstrument(name, s("distance"), frames,
+                                    inclination=s("inclination", 0.0),
+                                    azimuth=s("azimuth", 0.0),
+                                    position_angle=s("positionAngle", 0.0))
     raise SkiParseError(f"unsupported instrument '{n}'")
 
 

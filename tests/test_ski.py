@@ -206,3 +206,45 @@ class TestAdaptiveMeshSki:
         rho = ds.rho64.sum(axis=0)
         assert rho[c[0]] == pytest.approx(3.0, rel=1e-6)
         assert rho[c[1]] == pytest.approx(1.0, rel=1e-6)
+
+
+class TestExtendedSkiElements:
+    """Trust/Netzer/background geometries + perspective/multi-frame
+    instruments load from ski elements."""
+
+    def test_geometries(self):
+        from skirt_tpu.ski import build_geometry, Node
+        import skirt_tpu.geometry as geo
+        for name in ("Trust1Geometry", "Trust2Geometry", "Trust6Geometry",
+                     "Trust7aGeometry", "Trust7bGeometry",
+                     "NetzerAccretionDiskGeometry"):
+            g = build_geometry(Node(name, {}))
+            assert isinstance(g, getattr(geo, name))
+        g = build_geometry(Node("SpheBackgroundGeometry",
+                                {"radius": "2 pc"}))
+        assert isinstance(g, geo.SpheBackgroundGeometry)
+
+    def test_instruments(self):
+        from skirt_tpu.ski import build_instrument, Node
+        ins = build_instrument(Node("PerspectiveInstrument", {
+            "instrumentName": "p", "pixelsX": "16", "pixelsY": "16",
+            "width": "10 pc", "viewX": "50 pc", "viewY": "0 pc",
+            "viewZ": "10 pc", "crossX": "0 pc", "crossY": "0 pc",
+            "crossZ": "0 pc", "upX": "0", "upY": "0", "upZ": "1",
+            "focal": "5 pc"}), 1)
+        assert ins.nx == 16
+        frames = [Node("InstrumentFrame",
+                       {"pixelsX": "8", "pixelsY": "8",
+                        "fieldOfViewX": "4 pc", "fieldOfViewY": "4 pc"})
+                  for _ in range(3)]
+        mf = build_instrument(
+            Node("MultiFrameInstrument",
+                 {"instrumentName": "m", "distance": "10 Mpc",
+                  "inclination": "30 deg"}, {"frames": frames}), 3)
+        assert mf.nlambda == 3
+        from skirt_tpu.ski import SkiParseError
+        with pytest.raises(SkiParseError):
+            build_instrument(
+                Node("MultiFrameInstrument",
+                     {"instrumentName": "m", "distance": "10 Mpc"},
+                     {"frames": frames[:2]}), 3)
