@@ -53,6 +53,17 @@ SUPPORTED: dict[str, dict] = {
                          "children": ["geometry"]},
     "PanStellarComp": {"kind": "stellarComp", "properties": [],
                        "children": ["geometry", "sed", "normalization"]},
+    "SPHStellarComp": {"kind": "stellarComp", "properties": ["filename"],
+                       "children": ["sedFamily"]},
+    "SPHDustDistribution": {"kind": "dustDistribution",
+                            "properties": ["filename", "dustFraction"],
+                            "children": ["dustMix"]},
+    "VoronoiDustDistribution": {"kind": "dustDistribution",
+                                "properties": ["minX", "maxX", "minY", "maxY",
+                                               "minZ", "maxZ",
+                                               "densityUnits"],
+                                "children": ["voronoiMeshFile",
+                                             "components"]},
     "SimpleInstrument": {"kind": "instrument",
                          "properties": ["instrumentName", "distance",
                                         "inclination", "azimuth",
@@ -111,6 +122,21 @@ SUPPORTED: dict[str, dict] = {
                               "properties": ["minX", "maxX", "minY", "maxY",
                                              "minZ", "maxZ"]},
     "LaserGeometry": {"kind": "geometry", "properties": []},
+    "NetzerAccretionDiskGeometry": {"kind": "geometry", "properties": []},
+    "SpheBackgroundGeometry": {"kind": "geometry", "properties": ["radius"]},
+    "CubBackgroundGeometry": {"kind": "geometry", "properties": ["extent"]},
+    "StellarSurfaceGeometry": {"kind": "geometry", "properties": ["radius"]},
+    "SolarPatchGeometry": {"kind": "geometry", "properties": ["radius"]},
+    "MGEGeometry": {"kind": "geometry",
+                    "properties": ["filename", "pixelscale", "inclination"]},
+    "ReadFitsGeometry": {"kind": "geometry",
+                         "properties": ["filename", "pixelScale",
+                                        "axialScale", "xcenter", "ycenter"]},
+    "Trust1Geometry": {"kind": "geometry", "properties": []},
+    "Trust2Geometry": {"kind": "geometry", "properties": []},
+    "Trust6Geometry": {"kind": "geometry", "properties": []},
+    "Trust7aGeometry": {"kind": "geometry", "properties": []},
+    "Trust7bGeometry": {"kind": "geometry", "properties": []},
     "OffsetGeometryDecorator": {"kind": "geometry",
                                 "properties": ["offsetX", "offsetY",
                                                "offsetZ"],
@@ -217,6 +243,13 @@ SUPPORTED: dict[str, dict] = {
                         "properties": ["minX", "maxX", "minY", "maxY",
                                        "minZ", "maxZ", "minLevel", "maxLevel",
                                        "maxMassFraction", "sampleCount"]},
+    "BinTreeDustGrid": {"kind": "dustGrid",
+                        "properties": ["minX", "maxX", "minY", "maxY",
+                                       "minZ", "maxZ", "minLevel", "maxLevel",
+                                       "maxMassFraction", "sampleCount"]},
+    "ParticleTreeDustGrid": {"kind": "dustGrid",
+                             "properties": ["minX", "maxX", "minY", "maxY",
+                                            "minZ", "maxZ", "extraLevels"]},
     "VoronoiDustGrid": {"kind": "dustGrid",
                         "properties": ["minX", "maxX", "minY", "maxY",
                                        "minZ", "maxZ", "numParticles",

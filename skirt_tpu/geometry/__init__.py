@@ -25,11 +25,13 @@ from .axial import (
     TorusGeometry,
     ConicalShellGeometry,
     TTauriDiskGeometry,
+    MGEGeometry,
 )
 from .general import PointGeometry, BoxGeometry, LaserGeometry, UniformSphereGeometry
 from .foam import FoamGeometry, ReadFitsGeometry
 from .special import (NetzerAccretionDiskGeometry, SpheBackgroundGeometry,
-                      CubBackgroundGeometry)
+                      CubBackgroundGeometry, StellarSurfaceGeometry,
+                      SolarPatchGeometry)
 from .benchmarks import (Trust1Geometry, Trust2Geometry, Trust6Geometry,
                          Trust7aGeometry, Trust7bGeometry)
 from .decorators import (
@@ -50,10 +52,11 @@ __all__ = [
     "PlummerGeometry", "GammaGeometry", "EinastoGeometry", "GaussianGeometry",
     "ShellGeometry", "SersicGeometry", "PseudoSersicGeometry",
     "ExpDiskGeometry", "BrokenExpDiskGeometry", "RingGeometry", "TorusGeometry",
-    "ConicalShellGeometry", "TTauriDiskGeometry",
+    "ConicalShellGeometry", "TTauriDiskGeometry", "MGEGeometry",
     "PointGeometry", "BoxGeometry", "LaserGeometry", "UniformSphereGeometry",
     "FoamGeometry", "ReadFitsGeometry", "NetzerAccretionDiskGeometry",
     "SpheBackgroundGeometry", "CubBackgroundGeometry",
+    "StellarSurfaceGeometry", "SolarPatchGeometry",
     "Trust1Geometry", "Trust2Geometry", "Trust6Geometry", "Trust7aGeometry",
     "Trust7bGeometry",
     "OffsetGeometryDecorator", "RotateGeometryDecorator",

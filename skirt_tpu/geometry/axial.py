@@ -372,3 +372,77 @@ class TTauriDiskGeometry(AxGeometry):
 
     def sigma_z(self) -> float:
         return 0.0  # inner hole contains the z-axis
+
+
+class MGEGeometry(AxGeometry):
+    """Multi-gaussian expansion geometry (Emsellem et al. 1994; Cappellari 2002).
+
+    rho(R,z) = sum_j rho_{0,j} exp(-R^2/(2 sigma_j^2) - z^2/(2 q_j^2 sigma_j^2))
+    with rho_{0,j} = M_j / ((2 pi)^{3/2} sigma_j^3 q_j).
+
+    `components` is an (N,3) array of rows (count N_j, scalelength in pixels,
+    apparent flattening q'_j); the intrinsic flattening is deprojected with
+    q_j = sqrt(q'_j^2 - cos^2 i)/sin i (Bacon 1985).
+    ref: SKIRTcore/MGEGeometry.cpp (setupSelfBefore, density,
+    generatePosition, SigmaR/SigmaZ).
+    """
+
+    def __init__(self, components, pixelscale: float, inclination: float):
+        comp = np.atleast_2d(np.asarray(components, dtype=np.float64))
+        if comp.shape[1] != 3:
+            raise ValueError("MGE components must be rows of (count, sigma_pix, q')")
+        if pixelscale <= 0:
+            raise ValueError("MGE pixel scale must be positive")
+        if not (0.0 < inclination <= np.pi / 2.0):
+            raise ValueError("MGE inclination must be in (0, pi/2]")
+        cosi, sini = np.cos(inclination), np.sin(inclination)
+        qapp = comp[:, 2]
+        if np.any(qapp * qapp <= cosi * cosi):
+            raise ValueError("apparent flattening incompatible with inclination"
+                             " (q'^2 must exceed cos^2 i)")
+        self.Mv = comp[:, 0] / comp[:, 0].sum()
+        self.sigmav = comp[:, 1] * float(pixelscale)
+        self.qv = np.sqrt(qapp * qapp - cosi * cosi) / sini
+        self._cum = jnp.asarray(np.cumsum(self.Mv), jnp.float32)
+        self._sig_d = jnp.asarray(self.sigmav, jnp.float32)
+        self._q_d = jnp.asarray(self.qv, jnp.float32)
+
+    @classmethod
+    def from_file(cls, path, pixelscale: float, inclination: float):
+        """Read the 3-column (N_j, sigma_pix, q'_j) MGE expansion file,
+        dropping consecutive duplicate rows as the reference does."""
+        rows = np.atleast_2d(np.loadtxt(path))
+        keep = np.ones(len(rows), dtype=bool)
+        keep[1:] = np.any(rows[1:] != rows[:-1], axis=1)
+        return cls(rows[keep], pixelscale, inclination)
+
+    def density_rz(self, R, z):
+        xp = array_namespace(R)
+        rho = xp.zeros_like(R)
+        for M, sigma, q in zip(self.Mv, self.sigmav, self.qv):
+            rho0 = M / ((2.0 * np.pi) ** 1.5 * sigma ** 3 * q)
+            m2 = R * R + (z * z) / (q * q)
+            rho = rho + rho0 * xp.exp(-0.5 * m2 / (sigma * sigma))
+        return rho
+
+    def generate_position(self, key, n: int):
+        k1, k2 = jax.random.split(key)
+        u = rng.uniform_open(k1, (n,))
+        j = jnp.clip(jnp.searchsorted(self._cum, u, side="left"),
+                     0, self._cum.shape[0] - 1)
+        sigma = self._sig_d[j]
+        q = self._q_d[j]
+        g = jax.random.normal(k2, (n, 3))
+        return jnp.stack([sigma * g[:, 0], sigma * g[:, 1],
+                          q * sigma * g[:, 2]], axis=-1)
+
+    def sigma_r(self) -> float:
+        return float(np.sum(self.Mv / (4.0 * np.pi * self.qv * self.sigmav ** 2)))
+
+    def sigma_x(self) -> float:
+        return 2.0 * self.sigma_r()
+
+    sigma_y = sigma_x
+
+    def sigma_z(self) -> float:
+        return float(np.sum(self.Mv / (2.0 * np.pi * self.sigmav ** 2)))

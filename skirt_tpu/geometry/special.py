@@ -168,3 +168,100 @@ class CubBackgroundGeometry(Geometry):
 
     sigma_y = sigma_x
     sigma_z = sigma_x
+
+
+class StellarSurfaceGeometry(Geometry):
+    """Outward cosine-law emission from the surface of a sphere (stellar
+    photosphere).
+
+    ref: StellarSurfaceGeometry.cpp — positions uniform on the sphere of
+    radius rstar; directions follow theta' = asin(sqrt(u)) about the outward
+    radial axis with p(k) = 4 cos(theta') outward, 0 inward; Sigma axes are
+    1/(2 pi rstar^2).
+    """
+
+    dimension = 1
+    is_isotropic = False
+
+    def __init__(self, radius: float):
+        if radius <= 0:
+            raise ValueError("stellar radius must be positive")
+        self.rstar = float(radius)
+
+    def density(self, pos):
+        xp = array_namespace(pos)
+        shape = np.shape(pos)[:-1] if xp is np else pos.shape[:-1]
+        return xp.zeros(shape, dtype=pos.dtype)
+
+    def generate_position(self, key, n: int):
+        return self.rstar * rng.isotropic_direction(key, (n,))
+
+    def generate_direction(self, key, ell, pos):
+        # theta' = asin(sqrt(u))  =>  cos(theta') = sqrt(1 - u)
+        k1, k2 = jax.random.split(key)
+        u = rng.uniform_open(k1, (pos.shape[0],))
+        cos_tp = jnp.sqrt(1.0 - u)
+        outward = pos / jnp.maximum(
+            jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-30)
+        return rng.direction_about_axis(k2, outward, cos_tp)
+
+    def direction_probability(self, ell, pos, direction):
+        outward = pos / jnp.maximum(
+            jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-30)
+        ct = jnp.sum(outward * direction, axis=-1)
+        return jnp.where(ct > 0, 4.0 * ct, 0.0)
+
+    def sigma_x(self) -> float:
+        return 1.0 / (2.0 * np.pi * self.rstar ** 2)
+
+    sigma_y = sigma_x
+    sigma_z = sigma_x
+
+
+class SolarPatchGeometry(Geometry):
+    """Upward cosine-law emission from a circular patch in the z=0 plane
+    (plane-parallel "solar surface" source for dusty-atmosphere setups).
+
+    ref: SolarPatchGeometry.cpp — uniform positions on the disc of radius
+    Rmax, directions theta = asin(sqrt(u)) about +z with p(k) = 4 k_z for
+    k_z > 0; SigmaZ = 1/(pi Rmax^2), SigmaX/Y formally infinite.
+    """
+
+    dimension = 2
+    is_isotropic = False
+
+    def __init__(self, patch_radius: float):
+        if patch_radius <= 0:
+            raise ValueError("patch radius must be positive")
+        self.Rmax = float(patch_radius)
+
+    def density(self, pos):
+        xp = array_namespace(pos)
+        shape = np.shape(pos)[:-1] if xp is np else pos.shape[:-1]
+        return xp.zeros(shape, dtype=pos.dtype)
+
+    def generate_position(self, key, n: int):
+        k1, k2 = jax.random.split(key)
+        R = self.Rmax * jnp.sqrt(rng.uniform_open(k1, (n,)))
+        phi = jax.random.uniform(k2, (n,), minval=0.0, maxval=2 * jnp.pi)
+        return jnp.stack([R * jnp.cos(phi), R * jnp.sin(phi),
+                          jnp.zeros_like(R)], axis=-1)
+
+    def generate_direction(self, key, ell, pos):
+        k1, k2 = jax.random.split(key)
+        u = rng.uniform_open(k1, (pos.shape[0],))
+        cos_tp = jnp.sqrt(1.0 - u)
+        up = jnp.zeros_like(pos).at[:, 2].set(1.0)
+        return rng.direction_about_axis(k2, up, cos_tp)
+
+    def direction_probability(self, ell, pos, direction):
+        kz = direction[..., 2]
+        return jnp.where(kz > 0, 4.0 * kz, 0.0)
+
+    def sigma_x(self) -> float:
+        return float("inf")
+
+    sigma_y = sigma_x
+
+    def sigma_z(self) -> float:
+        return 1.0 / (np.pi * self.Rmax ** 2)

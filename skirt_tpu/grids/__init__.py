@@ -43,8 +43,8 @@ try:
 except ImportError:
     pass
 try:
-    from .octree import OctreeGrid  # noqa: F401
-    __all__.append("OctreeGrid")
+    from .octree import OctreeGrid, BinTreeGrid, ParticleTreeGrid  # noqa: F401
+    __all__ += ["OctreeGrid", "BinTreeGrid", "ParticleTreeGrid"]
 except ImportError:
     pass
 try:

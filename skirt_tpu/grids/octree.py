@@ -123,6 +123,15 @@ class OctreeGrid:
                     next_frontier.append(base + octant)
             frontier = next_frontier
 
+        self._finalize(boxes_lo, boxes_hi, levels, children)
+
+    def _finalize(self, boxes_lo, boxes_hi, levels, children,
+                  linear_depth: int | None = None):
+        """Freeze the host-side tree topology into device arrays.
+
+        `linear_depth` is the tree depth in equivalent octree levels (for
+        the traversal step bound); defaults to the raw node depth.
+        """
         self.nnodes = len(boxes_lo)
         self.lo64 = np.array(boxes_lo)
         self.hi64 = np.array(boxes_hi)
@@ -145,8 +154,12 @@ class OctreeGrid:
         self.child = jnp.asarray(self.child64, jnp.int32)
         self.cellnum = jnp.asarray(cellnum, jnp.int32)
         self.node_of_cell = jnp.asarray(self.leaf_nodes, jnp.int32)
-        # traversal bound: crossing the domain can visit many leaves
-        self.max_steps = 4 * (1 << self.max_depth) + 8
+        # traversal bound: crossing the domain can visit many leaves,
+        # but never more than every cell
+        if linear_depth is None:
+            linear_depth = self.max_depth
+        self.max_steps = min(4 * (1 << min(linear_depth, 24)) + 8,
+                             2 * self.ncells + 8)
 
     # -- host metadata -----------------------------------------------------
 
@@ -252,3 +265,193 @@ class OctreeGrid:
             jnp.where(inside, t_exit, t),
         )
         return jnp.where(inside, ds, 0.0), new_state
+
+
+class BinTreeGrid(OctreeGrid):
+    """Adaptive k-d style binary tree: each refined node splits in two along
+    the axis `level % 3` at the midpoint (the reference's "Alternating"
+    direction method).
+
+    ref: SKIRTcore/BinTreeDustGrid.cpp + BinTreeNode.cpp:40-76 (split
+    direction cycling x,y,z with level).  Traversal reuses the octree's
+    exit-and-re-descend walk with a single-axis comparison per level.
+    """
+
+    def __init__(self, extent, density_fn=None, *, min_level: int = 6,
+                 max_level: int = 18, max_mass_fraction: float = 1e-6,
+                 samples_per_node: int = 100, seed: int = 9157,
+                 max_dens_disp_fraction: float = 0.0):
+        """Levels count binary splits: 3 binary levels = 1 octree level
+        (reference defaults scale the same way)."""
+        self.extent = np.asarray(extent, dtype=np.float64)
+        lo = self.extent[:3]
+        hi = self.extent[3:]
+        if np.any(hi <= lo):
+            raise ValueError("invalid extent")
+
+        rng_np = np.random.default_rng(seed)
+
+        boxes_lo = [lo.copy()]
+        boxes_hi = [hi.copy()]
+        levels = [0]
+        children = [-1]
+        axes = [0]
+
+        def node_mass(los, his):
+            n = los.shape[0]
+            s = samples_per_node
+            u = rng_np.uniform(size=(n, s, 3))
+            pos = los[:, None, :] + u * (his - los)[:, None, :]
+            rho = np.asarray(density_fn(pos.reshape(-1, 3))).reshape(n, s)
+            vol = np.prod(his - los, axis=1)
+            return rho.mean(axis=1) * vol, rho
+
+        total_mass = None
+        frontier = [0]
+        while frontier:
+            los = np.array([boxes_lo[i] for i in frontier])
+            his = np.array([boxes_hi[i] for i in frontier])
+            lvls = np.array([levels[i] for i in frontier])
+            if density_fn is not None and total_mass is None \
+                    and lvls.min() >= min_level:
+                masses, _ = node_mass(los, his)
+                total_mass = float(masses.sum())
+                if total_mass <= 0:
+                    total_mass = None
+            if density_fn is not None and total_mass:
+                masses, rhos = node_mass(los, his)
+                mass_frac = masses / total_mass
+                disp_ok = np.zeros(len(frontier), dtype=bool)
+                if max_dens_disp_fraction > 0:
+                    mean = rhos.mean(axis=1)
+                    disp = np.where(mean > 0,
+                                    rhos.std(axis=1) / np.maximum(mean, 1e-300),
+                                    0.0)
+                    disp_ok = disp > max_dens_disp_fraction
+                needs = (lvls < min_level) | (
+                    (lvls < max_level)
+                    & ((mass_frac > max_mass_fraction) | disp_ok))
+            else:
+                needs = lvls < min_level
+            next_frontier = []
+            for idx, parent in enumerate(frontier):
+                if not needs[idx]:
+                    continue
+                base = len(boxes_lo)
+                children[parent] = base
+                plo, phi = boxes_lo[parent], boxes_hi[parent]
+                ax = levels[parent] % 3
+                mid = 0.5 * (plo[ax] + phi[ax])
+                for half in range(2):
+                    clo = plo.copy()
+                    chi = phi.copy()
+                    if half == 0:
+                        chi[ax] = mid
+                    else:
+                        clo[ax] = mid
+                    boxes_lo.append(clo)
+                    boxes_hi.append(chi)
+                    levels.append(levels[parent] + 1)
+                    children.append(-1)
+                    axes.append((levels[parent] + 1) % 3)
+                    next_frontier.append(base + half)
+            frontier = next_frontier
+
+        # split axis of each *inner* node is its own level % 3
+        split_axis = np.array([lv % 3 for lv in levels], dtype=np.int64)
+        self._finalize(boxes_lo, boxes_hi, levels, children,
+                       linear_depth=-(-self.__maxlvl(levels) // 3))
+        self.split_axis = jnp.asarray(split_axis, jnp.int32)
+
+    @staticmethod
+    def __maxlvl(levels):
+        return max(levels)
+
+    def descend(self, pos):
+        root_lo = self.lo[0]
+        root_hi = self.hi[0]
+        inside = jnp.all((pos >= root_lo) & (pos <= root_hi), axis=-1)
+        node0 = jnp.where(inside, 0, -1)
+
+        def body(_i, node):
+            safe = jnp.maximum(node, 0)
+            child0 = self.child[safe]
+            is_inner = (node >= 0) & (child0 >= 0)
+            ax = self.split_axis[safe]
+            mid = jnp.take_along_axis(self.mid[safe], ax[..., None],
+                                      axis=-1)[..., 0]
+            pa = jnp.take_along_axis(pos, ax[..., None], axis=-1)[..., 0]
+            pick = (pa > mid).astype(jnp.int32)
+            return jnp.where(is_inner, child0 + pick, node)
+
+        return jax.lax.fori_loop(0, self.max_depth + 1, body, node0)
+
+
+class ParticleTreeGrid(OctreeGrid):
+    """Octree refined on particle occupancy: leaves subdivide until each
+    holds at most one particle (plus optional uniform extra levels), giving
+    resolution that follows an imported SPH particle distribution.
+
+    ref: SKIRTcore/ParticleTreeDustGrid.cpp:58-109 (insert particles one by
+    one, subdividing occupied leaves; `extraLevels` refines every leaf
+    further).
+    """
+
+    def __init__(self, extent, particles, *, extra_levels: int = 0,
+                 max_level: int = 16):
+        self.extent = np.asarray(extent, dtype=np.float64)
+        lo = self.extent[:3]
+        hi = self.extent[3:]
+        if np.any(hi <= lo):
+            raise ValueError("invalid extent")
+        pts = np.asarray(particles, dtype=np.float64).reshape(-1, 3)
+        inside = np.all((pts >= lo) & (pts <= hi), axis=1)
+        pts = pts[inside]
+
+        boxes_lo = [lo.copy()]
+        boxes_hi = [hi.copy()]
+        levels = [0]
+        children = [-1]
+
+        # breadth-first: subdivide any leaf holding >1 particle
+        frontier = [(0, np.arange(len(pts)))]
+        while frontier:
+            next_frontier = []
+            for node, idx in frontier:
+                if idx.size <= 1 or levels[node] >= max_level:
+                    continue
+                base = len(boxes_lo)
+                children[node] = base
+                plo, phi = boxes_lo[node], boxes_hi[node]
+                mid = 0.5 * (plo + phi)
+                p = pts[idx]
+                octant = ((p[:, 0] > mid[0]).astype(int)
+                          + 2 * (p[:, 1] > mid[1]).astype(int)
+                          + 4 * (p[:, 2] > mid[2]).astype(int))
+                for o in range(8):
+                    clo = np.where([o & 1, o & 2, o & 4], mid, plo)
+                    chi = np.where([o & 1, o & 2, o & 4], phi, mid)
+                    boxes_lo.append(clo.astype(np.float64))
+                    boxes_hi.append(chi.astype(np.float64))
+                    levels.append(levels[node] + 1)
+                    children.append(-1)
+                    next_frontier.append((base + o, idx[octant == o]))
+            frontier = next_frontier
+
+        # uniform extra refinement of every leaf (ref: extraLevels)
+        for _ in range(extra_levels):
+            leaves = [i for i, c in enumerate(children) if c < 0]
+            for node in leaves:
+                base = len(boxes_lo)
+                children[node] = base
+                plo, phi = boxes_lo[node], boxes_hi[node]
+                mid = 0.5 * (plo + phi)
+                for o in range(8):
+                    clo = np.where([o & 1, o & 2, o & 4], mid, plo)
+                    chi = np.where([o & 1, o & 2, o & 4], phi, mid)
+                    boxes_lo.append(clo.astype(np.float64))
+                    boxes_hi.append(chi.astype(np.float64))
+                    levels.append(levels[node] + 1)
+                    children.append(-1)
+
+        self._finalize(boxes_lo, boxes_hi, levels, children)

@@ -23,6 +23,7 @@ import numpy as np
 
 from . import geometry as geo
 from . import units as units_mod
+from .constants import M_SUN, PC
 from .engine.lifecycle import LifecycleOptions
 from .engine.pan import PanSimulation
 from .engine.simulation import OligoSimulation
@@ -168,6 +169,14 @@ def build_geometry(node: Node):
         return geo.SpheBackgroundGeometry(s("radius"))
     if n == "CubBackgroundGeometry":
         return geo.CubBackgroundGeometry(s("extent"))
+    if n == "StellarSurfaceGeometry":
+        return geo.StellarSurfaceGeometry(s("radius"))
+    if n == "SolarPatchGeometry":
+        return geo.SolarPatchGeometry(s("radius"))
+    if n == "MGEGeometry":
+        return geo.MGEGeometry.from_file(
+            node.attrs["filename"], pixelscale=s("pixelscale"),
+            inclination=s("inclination"))
     if n == "ReadFitsGeometry":
         return geo.ReadFitsGeometry(
             node.attrs["filename"], pixel_scale=s("pixelScale"),
@@ -369,9 +378,19 @@ def _mesh_from(node: Node | None, default_bins: int = 20):
     raise SkiParseError(f"unsupported mesh '{node.name}'")
 
 
-def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357):
+def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357,
+               particles=None):
     n = node.name
     s = node.scalar
+    if n == "ParticleTreeDustGrid":
+        if particles is None:
+            raise SkiParseError("ParticleTreeDustGrid requires a particle-"
+                                "based dust distribution (SPH import)")
+        from .grids.octree import ParticleTreeGrid
+        extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
+                  s("maxZ"))
+        return ParticleTreeGrid(extent, particles,
+                                extra_levels=int(s("extraLevels", 0)))
     if n == "CartesianDustGrid":
         xb = _mesh_from(node.child("meshX")).scaled(s("minX"), s("maxX"))
         yb = _mesh_from(node.child("meshY")).scaled(s("minY"), s("maxY"))
@@ -396,7 +415,7 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357):
         rb = _mesh_from(node.child("meshR")).scaled(0.0, s("maxR"))
         tb = _mesh_from(node.child("meshTheta"), 9).scaled(0.0, math.pi)
         return Sphere2DGrid(rb, tb)
-    if n in ("OctTreeDustGrid", "BinTreeDustGrid"):
+    if n == "OctTreeDustGrid":
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
                   s("maxZ"))
         return OctreeGrid(extent, dust_density_fn,
@@ -404,6 +423,15 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357):
                           max_level=int(s("maxLevel", 6)),
                           max_mass_fraction=s("maxMassFraction", 1e-6),
                           samples_per_node=int(s("sampleCount", 100)))
+    if n == "BinTreeDustGrid":
+        from .grids.octree import BinTreeGrid
+        extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
+                  s("maxZ"))
+        return BinTreeGrid(extent, dust_density_fn,
+                           min_level=int(s("minLevel", 6)),
+                           max_level=int(s("maxLevel", 18)),
+                           max_mass_fraction=s("maxMassFraction", 1e-6),
+                           samples_per_node=int(s("sampleCount", 100)))
     if n == "VoronoiDustGrid":
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
                   s("maxZ"))
@@ -496,6 +524,32 @@ def build_stellar_component(node: Node, wg):
             raise SkiParseError(
                 f"unsupported stellar normalization '{norm_node.name}'")
         return StellarComponent(g, sed, norm)
+    if n == "SPHStellarComp":
+        # ref: SPHStellarComp.cpp:135-183 — text file x,y,z,h (pc) + SED-
+        # family parameter columns; per-λ luminosity CDF over particles.
+        # Returns a *list* of spectrally-binned components (TPU re-design:
+        # sources/stellar.py::sph_stellar_components).
+        from .sources.sed_family import (BruzualCharlotSEDFamily,
+                                         MappingsSEDFamily)
+        from .sources.stellar import sph_stellar_components
+        fam_node = node.child("sedFamily")
+        fam_name = fam_node.name if fam_node is not None \
+            else "BruzualCharlotSEDFamily"
+        if fam_name == "MappingsSEDFamily":
+            family = MappingsSEDFamily()
+        elif fam_name == "BruzualCharlotSEDFamily":
+            family = BruzualCharlotSEDFamily()
+        else:
+            raise SkiParseError(f"unsupported SED family '{fam_name}'")
+        data = np.loadtxt(node.attrs["filename"], comments="#", ndmin=2)
+        need = 4 + family.nparams
+        if data.shape[1] < need:
+            raise SkiParseError(
+                f"SPH stellar file needs {need} columns for {fam_name}")
+        pos = data[:, :3] * PC
+        h = data[:, 3] * PC
+        L = family.luminosities(wg, data[:, 4:need])
+        return sph_stellar_components(pos, h, L, wg)
     raise SkiParseError(f"unsupported stellar component '{n}'")
 
 
@@ -516,8 +570,10 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
         int(random_node.scalar("seed", 4357)) if random_node else 4357
 
     ss_node = sim_node.child("stellarSystem")
-    comps = [build_stellar_component(c, wg)
-             for c in ss_node.children.get("components", [])]
+    comps = []
+    for c in ss_node.children.get("components", []):
+        built = build_stellar_component(c, wg)
+        comps.extend(built if isinstance(built, list) else [built])
     ss = StellarSystem(comps, emission_bias=ss_node.scalar("emissionBias", 0.5))
 
     # dust system (optional)
@@ -530,7 +586,50 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
             if dist_node else []
         dcomps = []
         amr_grid_source = None
+        sph_particles = None
+        prebuilt_grid = None
         if dist_node is not None and \
+                dist_node.name == "SPHDustDistribution":
+            # ref: SPHDustDistribution.hpp — text file x,y,z,h,M (pc/Msun)
+            # + dustFraction of the gas mass in dust + one dust mix
+            from .imports.sph import SPHParticleGeometry, load_sph_particles
+            ppos, ph, pm = load_sph_particles(dist_node.attrs["filename"])
+            frac = dist_node.scalar("dustFraction", 0.3)
+            geom = SPHParticleGeometry(ppos, ph, pm)
+            mix = build_mix(dist_node.child("dustMix"), wg)
+            dcomps.append(DustComponent(
+                geom, mix, DustMassNormalization(float(pm.sum()) * frac)))
+            sph_particles = ppos
+        elif dist_node is not None and \
+                dist_node.name == "VoronoiDustDistribution":
+            # ref: VoronoiDustDistribution.hpp — box extent + Voronoi mesh
+            # file (sites + cell-constant fields) + MeshDustComponent list
+            from .imports.voronoi import (VoronoiMeshGeometry,
+                                          load_voronoi_mesh)
+            from .grids.voronoi import VoronoiGrid
+            s = dist_node.scalar
+            extent = (s("minX"), s("minY"), s("minZ"),
+                      s("maxX"), s("maxY"), s("maxZ"))
+            mesh_node = dist_node.child("voronoiMeshFile")
+            mesh_file = mesh_node.attrs["filename"] if mesh_node else \
+                dist_node.attrs["filename"]
+            coord_units = mesh_node.scalar("coordinateUnits", PC) \
+                if mesh_node else PC
+            rho_units = s("densityUnits", M_SUN / PC ** 3)
+            sites, fields = load_voronoi_mesh(mesh_file, coord_units)
+            vgrid = VoronoiGrid(sites, extent)
+            for cn in comp_nodes:
+                col = int(cn.scalar("densityIndex", 0))
+                geom = VoronoiMeshGeometry(vgrid, fields[:, col])
+                mix = build_mix(cn.child("mix"), wg)
+                frac = cn.scalar("densityFraction", 1.0)
+                dcomps.append(DustComponent(
+                    geom, mix,
+                    DustMassNormalization(geom.file_mass * rho_units * frac)))
+            grid_node = ds_node.child("dustGrid")
+            if grid_node is None or grid_node.name == "VoronoiDustGrid":
+                prebuilt_grid = vgrid  # reuse the imported tessellation
+        elif dist_node is not None and \
                 dist_node.name == "AdaptiveMeshDustDistribution":
             # ref: AdaptiveMeshDustDistribution.hpp — extent + mesh file +
             # MeshDustComponent entries (densityIndex, densityFraction, mix)
@@ -582,13 +681,18 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                               samples_per_cell=int(
                                   ds_node.scalar("sampleCount", 100)))
         elif dcomps:
-            def total_density(pos):
-                tot = 0.0
-                for c in dcomps:
-                    tot = tot + c.mass() * np.asarray(c.geometry.density(pos))
-                return tot
-            grid = build_grid(ds_node.child("dustGrid"), total_density,
-                              rng_seed=the_seed)
+            if prebuilt_grid is not None:
+                grid = prebuilt_grid
+            else:
+                def total_density(pos):
+                    tot = 0.0
+                    for c in dcomps:
+                        tot = tot + c.mass() \
+                            * np.asarray(c.geometry.density(pos))
+                    return tot
+                grid = build_grid(ds_node.child("dustGrid"), total_density,
+                                  rng_seed=the_seed,
+                                  particles=sph_particles)
             dsys = DustSystem(grid, dcomps,
                               samples_per_cell=int(
                                   ds_node.scalar("sampleCount", 100)))

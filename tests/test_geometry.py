@@ -332,3 +332,59 @@ class TestTrustBenchmarks:
         s = np.asarray(g.generate_position(rng.root_key(24), 5000))
         rho_s = np.asarray(g.density(s.astype(np.float64)))
         assert (rho_s > 0).mean() > 0.99
+
+
+class TestSurfaceAndMGE:
+    def test_mge_density_and_sampling(self):
+        from skirt_tpu.geometry import MGEGeometry
+        comps = [(3.0, 2.0, 0.9), (1.0, 5.0, 0.7)]
+        g = MGEGeometry(comps, pixelscale=1.0, inclination=np.pi / 2)
+        # edge-on: intrinsic q equals apparent q
+        assert np.allclose(g.qv, [0.9, 0.7])
+        assert mc_total_mass(g, 20.0, n=400000) == pytest.approx(1.0, rel=0.08)
+        pos = np.asarray(g.generate_position(rng.root_key(3), 200000))
+        # var(x) = sum_j M_j sigma_j^2 ; var(z) = sum_j M_j (q_j sigma_j)^2
+        Mv, sv, qv = g.Mv, g.sigmav, g.qv
+        assert pos[:, 0].var() == pytest.approx(np.sum(Mv * sv**2), rel=0.03)
+        assert pos[:, 2].var() == pytest.approx(np.sum(Mv * (qv * sv)**2), rel=0.03)
+        # closed-form surface densities vs quadrature along the axes
+        zv = np.linspace(-60, 60, 20001)
+        line = np.stack([np.zeros_like(zv), np.zeros_like(zv), zv], axis=-1)
+        assert g.sigma_z() == pytest.approx(
+            np.trapezoid(g.density(line), zv), rel=1e-3)
+
+    def test_mge_deprojection_error(self):
+        from skirt_tpu.geometry import MGEGeometry
+        with pytest.raises(ValueError):
+            MGEGeometry([(1.0, 1.0, 0.5)], 1.0, np.deg2rad(10.0))
+
+    def test_stellar_surface(self):
+        from skirt_tpu.geometry import StellarSurfaceGeometry
+        g = StellarSurfaceGeometry(2.0)
+        pos = np.asarray(g.generate_position(rng.root_key(1), 50000))
+        assert np.allclose(np.linalg.norm(pos, axis=1), 2.0, atol=1e-3)
+        k = np.asarray(g.generate_direction(rng.root_key(2), 0,
+                                            jnp.asarray(pos)))
+        ct = np.sum(pos / 2.0 * k, axis=1)
+        # cosine-law: pdf(c)=2c on [0,1] => mean 2/3, all outward
+        assert ct.min() > 0
+        assert ct.mean() == pytest.approx(2.0 / 3.0, rel=0.01)
+        p = np.asarray(g.direction_probability(0, jnp.asarray(pos),
+                                               jnp.asarray(k)))
+        assert np.allclose(p, 4.0 * ct, atol=1e-4)
+        assert g.sigma_x() == pytest.approx(1.0 / (2 * np.pi * 4.0))
+
+    def test_solar_patch(self):
+        from skirt_tpu.geometry import SolarPatchGeometry
+        g = SolarPatchGeometry(3.0)
+        pos = np.asarray(g.generate_position(rng.root_key(1), 50000))
+        R = np.hypot(pos[:, 0], pos[:, 1])
+        assert np.all(pos[:, 2] == 0)
+        assert R.max() <= 3.0
+        # uniform over the disc: E[R] = 2/3 Rmax
+        assert R.mean() == pytest.approx(2.0, rel=0.01)
+        k = np.asarray(g.generate_direction(rng.root_key(2), 0,
+                                            jnp.asarray(pos)))
+        assert k[:, 2].min() > 0
+        assert k[:, 2].mean() == pytest.approx(2.0 / 3.0, rel=0.01)
+        assert g.sigma_z() == pytest.approx(1.0 / (np.pi * 9.0))

@@ -230,3 +230,175 @@ class TestAdaptiveMeshGrid:
         # 0.99 through the (i=0, j=1) leaf (rho = 3, x-fastest child
         # ordering), then 0.5 + 0.5 through the refined rho = 8 leaves
         assert float(tau[0]) == pytest.approx(0.99 * 3 + 1.0 * 8, rel=1e-3)
+
+
+SPH_SKI = """<?xml version="1.0" encoding="UTF-8"?>
+<skirt-simulation-hierarchy type="MonteCarloSimulation" format="6.1">
+  <OligoMonteCarloSimulation packages="500">
+    <units type="Units"><SIUnits/></units>
+    <wavelengthGrid type="OligoWavelengthGrid">
+      <OligoWavelengthGrid wavelengths="1 micron"/>
+    </wavelengthGrid>
+    <stellarSystem type="StellarSystem">
+      <StellarSystem>
+        <components type="StellarComp">
+          <OligoStellarComp luminosities="1e7">
+            <geometry type="Geometry"><PointGeometry/></geometry>
+          </OligoStellarComp>
+        </components>
+      </StellarSystem>
+    </stellarSystem>
+    <dustSystem type="OligoDustSystem">
+      <OligoDustSystem sampleCount="4">
+        <dustDistribution type="DustDistribution">
+          <SPHDustDistribution filename="__SPHFILE__" dustFraction="0.3">
+            <dustMix type="DustMix">
+              <SimpleOligoDustMix opacities="100 m2/kg" albedos="0.4" asymmetryParameters="0"/>
+            </dustMix>
+          </SPHDustDistribution>
+        </dustDistribution>
+        <dustGrid type="DustGrid">
+          <ParticleTreeDustGrid minX="-20 pc" maxX="20 pc" minY="-20 pc" maxY="20 pc" minZ="-20 pc" maxZ="20 pc" extraLevels="0"/>
+        </dustGrid>
+      </OligoDustSystem>
+    </dustSystem>
+    <instrumentSystem type="InstrumentSystem">
+      <InstrumentSystem>
+        <instruments type="Instrument">
+          <SEDInstrument instrumentName="sed" distance="1 Mpc" inclination="0 deg" azimuth="0 deg"/>
+        </instruments>
+      </InstrumentSystem>
+    </instrumentSystem>
+  </OligoMonteCarloSimulation>
+</skirt-simulation-hierarchy>
+"""
+
+VORO_SKI = """<?xml version="1.0" encoding="UTF-8"?>
+<skirt-simulation-hierarchy type="MonteCarloSimulation" format="6.1">
+  <OligoMonteCarloSimulation packages="500">
+    <units type="Units"><SIUnits/></units>
+    <wavelengthGrid type="OligoWavelengthGrid">
+      <OligoWavelengthGrid wavelengths="1 micron"/>
+    </wavelengthGrid>
+    <stellarSystem type="StellarSystem">
+      <StellarSystem>
+        <components type="StellarComp">
+          <OligoStellarComp luminosities="1e7">
+            <geometry type="Geometry"><PointGeometry/></geometry>
+          </OligoStellarComp>
+        </components>
+      </StellarSystem>
+    </stellarSystem>
+    <dustSystem type="OligoDustSystem">
+      <OligoDustSystem sampleCount="4">
+        <dustDistribution type="DustDistribution">
+          <VoronoiDustDistribution minX="-10 pc" maxX="10 pc" minY="-10 pc" maxY="10 pc" minZ="-10 pc" maxZ="10 pc" densityUnits="1">
+            <voronoiMeshFile type="VoronoiMeshFile">
+              <VoronoiMeshAsciiFile filename="__VOROFILE__" coordinateUnits="1 pc"/>
+            </voronoiMeshFile>
+            <components type="MeshDustComponent">
+              <MeshDustComponent densityIndex="0" densityFraction="1">
+                <mix type="DustMix">
+                  <SimpleOligoDustMix opacities="100 m2/kg" albedos="0" asymmetryParameters="0"/>
+                </mix>
+              </MeshDustComponent>
+            </components>
+          </VoronoiDustDistribution>
+        </dustDistribution>
+        <dustGrid type="DustGrid">
+          <VoronoiDustGrid/>
+        </dustGrid>
+      </OligoDustSystem>
+    </dustSystem>
+    <instrumentSystem type="InstrumentSystem">
+      <InstrumentSystem>
+        <instruments type="Instrument">
+          <SEDInstrument instrumentName="sed" distance="1 Mpc" inclination="0 deg" azimuth="0 deg"/>
+        </instruments>
+      </InstrumentSystem>
+    </instrumentSystem>
+  </OligoMonteCarloSimulation>
+</skirt-simulation-hierarchy>
+"""
+
+
+class TestImportSki:
+    """ref: SPHDustDistribution / VoronoiDustDistribution /
+    ParticleTreeDustGrid / SPHStellarComp ski elements."""
+
+    def test_sph_distribution_with_particle_tree(self, tmp_path):
+        from skirt_tpu.ski import load_ski
+        from skirt_tpu.grids.octree import ParticleTreeGrid
+        from skirt_tpu.log import SilentLog
+        rs = np.random.default_rng(5)
+        n = 40
+        rows = np.column_stack([
+            rs.normal(0, 3, (n, 3)),                  # x,y,z [pc]
+            np.full(n, 1.2),                          # h [pc]
+            rs.uniform(0.5, 2.0, n),                  # M [Msun]
+        ])
+        f = tmp_path / "gas.dat"
+        np.savetxt(f, rows)
+        ski = tmp_path / "sph.ski"
+        ski.write_text(SPH_SKI.replace("__SPHFILE__", str(f)))
+        sim = load_ski(str(ski), out_dir=str(tmp_path), log=SilentLog(),
+                       batch_size=1 << 10)
+        assert isinstance(sim.grid, ParticleTreeGrid)
+        from skirt_tpu.constants import M_SUN
+        want = 0.3 * rows[:, 4].sum() * M_SUN
+        assert sim.dust_system.components[0].mass() == pytest.approx(
+            want, rel=1e-6)
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        assert np.all(np.isfinite(F)) and F.sum() > 0
+
+    def test_voronoi_distribution_reuses_mesh(self, tmp_path):
+        from skirt_tpu.ski import load_ski
+        from skirt_tpu.grids.voronoi import VoronoiGrid
+        from skirt_tpu.log import SilentLog
+        rs = np.random.default_rng(11)
+        nsites = 24
+        sites = rs.uniform(-9, 9, (nsites, 3))       # pc
+        dens = rs.uniform(0.5, 1.5, nsites) * 1e-21  # SI (densityUnits=1)
+        f = tmp_path / "mesh.vor"
+        np.savetxt(f, np.column_stack([sites, dens]))
+        ski = tmp_path / "voro.ski"
+        ski.write_text(VORO_SKI.replace("__VOROFILE__", str(f)))
+        sim = load_ski(str(ski), out_dir=str(tmp_path), log=SilentLog(),
+                       batch_size=1 << 10)
+        assert isinstance(sim.grid, VoronoiGrid)
+        assert sim.grid.ncells == nsites
+        # absolute mass = sum rho_i V_i (densityUnits = 1 -> SI)
+        want = float((dens * sim.grid.cell_volumes()).sum())
+        assert sim.dust_system.components[0].mass() == pytest.approx(
+            want, rel=1e-6)
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        assert np.all(np.isfinite(F)) and F.sum() > 0
+
+    def test_sph_stellar_comp_mappings(self, tmp_path):
+        from skirt_tpu.ski import build_stellar_component, Node
+        from skirt_tpu.sources.sed_family import MappingsSEDFamily
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+        wg = LogWavelengthGrid(0.1e-6, 100e-6, 40)
+        rs = np.random.default_rng(2)
+        n = 12
+        rows = np.column_stack([
+            rs.normal(0, 50, (n, 3)),                 # x,y,z [pc]
+            np.full(n, 10.0),                         # h [pc]
+            rs.uniform(0.5, 2.0, n),                  # SFR [Msun/yr]
+            np.full(n, 0.0122),                       # Z
+            np.full(n, 5.0),                          # logC
+            np.full(n, 1e-12 * 1.38e-23 * 1e6),       # pressure [Pa]
+            rs.uniform(0.0, 1.0, n),                  # f_PDR
+        ])
+        f = tmp_path / "hii.dat"
+        np.savetxt(f, rows)
+        fam_node = Node("MappingsSEDFamily", {})
+        node = Node("SPHStellarComp", {"filename": str(f)},
+                    {"sedFamily": [fam_node]})
+        comps = build_stellar_component(node, wg)
+        assert isinstance(comps, list) and len(comps) >= 1
+        want = MappingsSEDFamily().luminosities(wg, rows[:, 4:9]).sum()
+        got = sum(float(np.asarray(c.luminosities).sum()) for c in comps)
+        assert got == pytest.approx(want, rel=1e-6)

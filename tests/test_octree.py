@@ -102,3 +102,79 @@ class TestTraversal:
         s, cell = traversal.propagate_to_tau(g, kapparho, pos, d,
                                              jnp.asarray([1.0], jnp.float32))
         assert float(s[0]) == pytest.approx(0.5, rel=1e-3)
+
+
+class TestBinTree:
+    def test_uniform_min_level_matches_octree(self):
+        from skirt_tpu.grids.octree import BinTreeGrid
+        # 6 binary levels == 2 octree levels: 4x4x4 leaves of equal volume
+        g = BinTreeGrid(EXTENT, None, min_level=6, max_level=6)
+        assert g.ncells == 64
+        np.testing.assert_allclose(g.cell_volumes(), (0.5) ** 3)
+
+    def test_chord_sums(self):
+        from skirt_tpu.grids.octree import BinTreeGrid
+        g = BinTreeGrid(EXTENT, None, min_level=9, max_level=9)
+        pos, d = random_rays(300, seed=3)
+
+        def seg(carry, cell, ds, t):
+            return carry + ds, jnp.ones_like(carry, dtype=bool)
+
+        total, _ = traversal.sweep(g, pos, d, seg, jnp.zeros(pos.shape[0]))
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        with np.errstate(divide="ignore"):
+            t2 = np.where(np.abs(dd) > 1e-12, (np.sign(dd) - p) / dd, np.inf)
+        expected = np.min(t2, axis=1)
+        np.testing.assert_allclose(np.asarray(total), expected, rtol=3e-3,
+                                   atol=2e-3)
+
+    def test_refinement_follows_density(self):
+        from skirt_tpu.grids.octree import BinTreeGrid
+
+        def rho(pos):
+            r2 = np.sum((pos - np.array([0.5, 0.5, 0.5])) ** 2, axis=-1)
+            return np.exp(-r2 / (2 * 0.05 ** 2))
+
+        g = BinTreeGrid(EXTENT, rho, min_level=6, max_level=15,
+                        max_mass_fraction=1e-3, samples_per_node=64)
+        vols = g.cell_volumes()
+        centers = g.cell_centers()
+        near = np.linalg.norm(centers - [0.5, 0.5, 0.5], axis=1) < 0.2
+        # refinement concentrates at the blob: cells there are much smaller
+        assert vols[near].mean() < 0.1 * vols[~near].mean()
+        assert g.max_depth > 6
+
+
+class TestParticleTree:
+    def test_leaf_occupancy_and_chords(self):
+        from skirt_tpu.grids.octree import ParticleTreeGrid
+        rs = np.random.default_rng(4)
+        pts = rs.normal(0, 0.3, (150, 3)).clip(-0.95, 0.95)
+        g = ParticleTreeGrid(EXTENT, pts)
+        # each particle sits in its own leaf
+        cells = np.asarray(g.locate(jnp.asarray(pts, jnp.float32)))
+        assert cells.min() >= 0
+        counts = np.bincount(cells, minlength=g.ncells)
+        assert counts.max() <= 1 or g.max_depth >= 16
+        # volumes tile the domain
+        assert g.cell_volumes().sum() == pytest.approx(8.0, rel=1e-9)
+        # chord sums across the adaptive grid
+        pos, d = random_rays(200, seed=5)
+
+        def seg(carry, cell, ds, t):
+            return carry + ds, jnp.ones_like(carry, dtype=bool)
+
+        total, _ = traversal.sweep(g, pos, d, seg, jnp.zeros(pos.shape[0]))
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        with np.errstate(divide="ignore"):
+            t2 = np.where(np.abs(dd) > 1e-12, (np.sign(dd) - p) / dd, np.inf)
+        expected = np.min(t2, axis=1)
+        np.testing.assert_allclose(np.asarray(total), expected, rtol=5e-3,
+                                   atol=3e-3)
+
+    def test_extra_levels(self):
+        from skirt_tpu.grids.octree import ParticleTreeGrid
+        pts = np.array([[0.5, 0.5, 0.5], [-0.5, -0.5, -0.5]])
+        g0 = ParticleTreeGrid(EXTENT, pts, extra_levels=0)
+        g1 = ParticleTreeGrid(EXTENT, pts, extra_levels=1)
+        assert g1.ncells == 8 * g0.ncells

@@ -224,6 +224,21 @@ class TestExtendedSkiElements:
                                 {"radius": "2 pc"}))
         assert isinstance(g, geo.SpheBackgroundGeometry)
 
+    def test_surface_and_mge_geometries(self, tmp_path):
+        from skirt_tpu.ski import build_geometry, Node
+        import skirt_tpu.geometry as geo
+        g = build_geometry(Node("StellarSurfaceGeometry", {"radius": "1 AU"}))
+        assert isinstance(g, geo.StellarSurfaceGeometry)
+        g = build_geometry(Node("SolarPatchGeometry", {"radius": "2 AU"}))
+        assert isinstance(g, geo.SolarPatchGeometry)
+        mge = tmp_path / "mge.dat"
+        mge.write_text("10 1.5 0.8\n5 4.0 0.9\n")
+        g = build_geometry(Node("MGEGeometry", {
+            "filename": str(mge), "pixelscale": "1 pc",
+            "inclination": "90 deg"}))
+        assert isinstance(g, geo.MGEGeometry)
+        assert len(g.Mv) == 2
+
     def test_instruments(self):
         from skirt_tpu.ski import build_instrument, Node
         ins = build_instrument(Node("PerspectiveInstrument", {
