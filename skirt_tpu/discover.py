@@ -229,6 +229,57 @@ SUPPORTED: dict[str, dict] = {
     "ThemisDustMix": {"kind": "dustMix",
                       "properties": ["hydrocarbonPops", "enstatitePops",
                                      "forsteritePops"]},
+    "ConfigurableDustMix": {"kind": "dustMix", "properties": [],
+                            "children": ["populations"]},
+    "DustMixPopulation": {"kind": "dustMixPopulation",
+                          "properties": ["subPops"],
+                          "children": ["composition", "sizeDistribution"]},
+    "DraineGraphiteGrainComposition": {"kind": "grainComposition",
+                                       "properties": []},
+    "DraineSilicateGrainComposition": {"kind": "grainComposition",
+                                       "properties": []},
+    "DraineNeutralPAHGrainComposition": {"kind": "grainComposition",
+                                         "properties": []},
+    "DraineIonizedPAHGrainComposition": {"kind": "grainComposition",
+                                         "properties": []},
+    "AmHydrocarbonGrainComposition": {"kind": "grainComposition",
+                                      "properties": []},
+    "EnstatiteGrainComposition": {"kind": "grainComposition",
+                                  "properties": ["type"]},
+    "ForsteriteGrainComposition": {"kind": "grainComposition",
+                                   "properties": ["type"]},
+    "TrustNeutralPAHGrainComposition": {"kind": "grainComposition",
+                                        "properties": []},
+    "DustEmGrainComposition": {"kind": "grainComposition",
+                               "properties": ["grainType",
+                                              "bulkMassDensity"]},
+    "FileGrainComposition": {"kind": "grainComposition",
+                             "properties": ["opticalFilename",
+                                            "calorimetricFilename",
+                                            "bulkMassDensity"]},
+    "PowerLawGrainSizeDistribution": {"kind": "grainSizeDistribution",
+                                      "properties": ["minSize", "maxSize",
+                                                     "exponent", "factor"]},
+    "LogNormalGrainSizeDistribution": {"kind": "grainSizeDistribution",
+                                       "properties": ["minSize", "maxSize",
+                                                      "centroid", "width",
+                                                      "factor"]},
+    "ModifiedLogNormalGrainSizeDistribution": {
+        "kind": "grainSizeDistribution",
+        "properties": ["minSize", "maxSize", "centroid", "width", "y0", "y1",
+                       "factor"]},
+    "ModifiedPowerLawGrainSizeDistribution": {
+        "kind": "grainSizeDistribution",
+        "properties": ["minSize", "maxSize", "alpha", "at", "gamma", "au",
+                       "zeta", "eta", "factor"]},
+    "SingleGrainSizeDistribution": {"kind": "grainSizeDistribution",
+                                    "properties": ["size", "factor"]},
+    "ZubkoGraphiteGrainSizeDistribution": {"kind": "grainSizeDistribution",
+                                           "properties": ["factor"]},
+    "ZubkoSilicateGrainSizeDistribution": {"kind": "grainSizeDistribution",
+                                           "properties": ["factor"]},
+    "ZubkoPAHGrainSizeDistribution": {"kind": "grainSizeDistribution",
+                                      "properties": ["factor"]},
     # grids
     "CartesianDustGrid": {"kind": "dustGrid",
                           "properties": ["minX", "maxX", "minY", "maxY",

@@ -76,9 +76,13 @@ def silicate_enthalpy(T):
 # optical data loader
 # ---------------------------------------------------------------------------
 
-def load_draine_optical(path: str):
+def load_draine_optical(path: str, cols: tuple = (0, 1, 2, 3)):
     """Read a Draine-format optical grid.
 
+    `cols` indexes the (wavelength, Qabs, Qsca, g) columns within each data
+    row — e.g. the TRUST tables carry (x, wave, Qabs, Qsca, Qext, g), i.e.
+    cols=(1, 2, 3, 5) (ref: GrainComposition::loadOpticalGrid skip flags,
+    GrainComposition.cpp:205-253).
     Returns (a [m], lam [m], Qabs[a, lam], Qsca[a, lam], g[a, lam]) with
     both axes ascending.
     """
@@ -95,6 +99,8 @@ def load_draine_optical(path: str):
     lam = None
     import re
     num = re.compile(r"-?\d+\.?\d*(?:[EeDd][+-]?\d+)?")
+    csel = list(cols)
+    need = max(csel) + 1
 
     def floats(line):
         # Fortran fixed-width output can fuse columns ("1.2E-12-3.4E-08")
@@ -103,7 +109,8 @@ def load_draine_optical(path: str):
 
     for r in range(nrad):
         av[r] = floats(lines[i])[0] * 1e-6; i += 1
-        block = np.array([floats(lines[i + k])[:4] for k in range(nwav)])
+        block = np.array([floats(lines[i + k])[:need] for k in range(nwav)])
+        block = block[:, csel]
         i += nwav
         order = np.argsort(block[:, 0])
         block = block[order]
@@ -126,10 +133,13 @@ class GrainComposition:
     name = "generic"
 
     def __init__(self, optical_file: str, enthalpy_fn, bulk_density: float,
-                 data_dir: str | None = None):
-        path = os.path.join(data_dir or DATA_DIR, optical_file)
-        self.a, self.lam, self.Qabs, self.Qsca, self.g = \
-            load_draine_optical(path)
+                 data_dir: str | None = None, preloaded=None):
+        if preloaded is not None:
+            self.a, self.lam, self.Qabs, self.Qsca, self.g = preloaded
+        else:
+            path = os.path.join(data_dir or DATA_DIR, optical_file)
+            self.a, self.lam, self.Qabs, self.Qsca, self.g = \
+                load_draine_optical(path)
         self.enthalpy = enthalpy_fn           # J/kg as function of T
         self.bulk_density = float(bulk_density)
 
@@ -300,6 +310,163 @@ class ForsteriteGrainComposition(GrainComposition):
                          density, data_dir)
 
 
+def _nonheader_lines(path: str):
+    return [ln for ln in open(path)
+            if ln.strip() and not ln.lstrip().startswith("#")]
+
+
+def load_dustem_optical(lambda_path: str, q_path: str, g_path: str):
+    """Read the DustEM three-file optical grid (LAMBDA/Q_*/G_* format).
+
+    ref: GrainComposition::loadOpticalGrid(resourceLambda, resourceQ,
+    resourceG) — LAMBDA.DAT: count + wavelengths [micron]; Q file: size
+    count + sizes [micron], then Nlambda rows x Na cols of Qabs followed by
+    the same block of Qsca; G file: same layout with one g block.
+    Returns (a [m], lam [m], Qabs[a,lam], Qsca[a,lam], g[a,lam]).
+    """
+    lam_lines = _nonheader_lines(lambda_path)
+    nlam = int(float(lam_lines[0].split()[0]))
+    lam = np.array([float(lam_lines[1 + k].split()[0])
+                    for k in range(nlam)]) * 1e-6
+
+    def read_blocks(path, nblocks):
+        lines = _nonheader_lines(path)
+        na = int(float(lines[0].split()[0]))
+        vals = []
+        for ln in lines[1:]:
+            vals.extend(float(x) for x in ln.split())
+        vals = np.asarray(vals)
+        need = na + nblocks * nlam * na
+        if vals.size < need:
+            raise ValueError(f"{path}: expected {need} values, got {vals.size}")
+        a = vals[:na] * 1e-6
+        blocks = [vals[na + b * nlam * na: na + (b + 1) * nlam * na]
+                  .reshape(nlam, na).T for b in range(nblocks)]
+        return a, blocks
+
+    a, (Qabs, Qsca) = read_blocks(q_path, 2)
+    a2, (g,) = read_blocks(g_path, 1)
+    if a2.size != a.size or not np.allclose(a, a2):
+        raise ValueError("DustEM Q and G files use different size grids")
+    return a, lam, Qabs, Qsca, g
+
+
+class DustEmGrainComposition(GrainComposition):
+    """Grain material defined by DustEM data tables (Compiègne et al. 2011).
+
+    ref: SKIRTcore/DustEmGrainComposition.cpp:25-36 — grainType selects
+    oprop/Q_<type>.DAT + G_<type>.DAT optical grids and hcap/C_<type>.DAT
+    log heat capacities; bulkMassDensity default 2240 kg/m3.
+    Available types in the data mount include Gra, aSil, PAH0, PAH1,
+    amCBE, amCBEx, and the DBP90/DL01/DL07 variants.
+    """
+
+    def __init__(self, grain_type: str = "Gra",
+                 bulk_density: float = 2240.0, data_dir=None):
+        base = data_dir or DATA_DIR
+        op = os.path.join(base, "GrainComposition/DustEM/oprop")
+        arrays = load_dustem_optical(
+            os.path.join(op, "LAMBDA.DAT"),
+            os.path.join(op, f"Q_{grain_type}.DAT"),
+            os.path.join(op, f"G_{grain_type}.DAT"))
+        heat = os.path.join(base,
+                            f"GrainComposition/DustEM/hcap/C_{grain_type}.DAT")
+        super().__init__("", load_log_heat_capacity(heat, bulk_density),
+                         bulk_density, preloaded=arrays)
+        self.name = f"DustEM_{grain_type}"
+
+
+def load_enthalpy_grid(path: str):
+    """Specific enthalpy h(T) from a two-column (T [K], h [erg/g]) grid.
+
+    ref: GrainComposition::loadEnthalpyGrid (x1e-4 converts erg/g -> J/kg).
+    """
+    lines = _nonheader_lines(path)
+    n = int(float(lines[0].split()[0]))
+    T = np.empty(n)
+    h = np.empty(n)
+    for t in range(n):
+        vals = lines[1 + t].split()
+        T[t] = float(vals[0])
+        h[t] = float(vals[1]) * 1e-4
+
+    def enthalpy(Tq):
+        Tq = np.asarray(Tq, np.float64)
+        return np.interp(np.clip(Tq, T[0], T[-1]), T, h)
+
+    return enthalpy
+
+
+class FileGrainComposition(GrainComposition):
+    """Grain material from user files: Draine-format optical grid + a
+    (T, enthalpy [erg/g]) calorimetry grid.
+
+    ref: SKIRTcore/FileGrainComposition.cpp:23-24.
+    """
+
+    name = "File"
+
+    def __init__(self, optical_filename: str, calorimetric_filename: str,
+                 bulk_density: float):
+        super().__init__(optical_filename,
+                         load_enthalpy_grid(calorimetric_filename),
+                         bulk_density, data_dir="")
+
+
+class TrustNeutralPAHGrainComposition(GrainComposition):
+    """TRUST benchmark neutral PAH (Li & Draine 2001 / Draine & Li 2007).
+
+    ref: SKIRTcore/TrustNeutralPAHGrainComposition.cpp:28-29 — optical
+    table PAH_28_1201_neu.dat (columns x, wave, Qabs, Qsca, Qext, g) +
+    graphitic calorimetry grid; bulk 2240 kg/m3.
+    """
+
+    name = "Trust_Neutral_PAH"
+
+    def __init__(self, data_dir=None):
+        base = data_dir or DATA_DIR
+        arrays = load_draine_optical(
+            os.path.join(base, "GrainComposition/Trust/PAH_28_1201_neu.dat"),
+            cols=(1, 2, 3, 5))
+        heat = load_enthalpy_grid(os.path.join(
+            base, "GrainComposition/Trust/Graphitic_Calorimetry_1000.dat"))
+        super().__init__("", heat, 2240.0, preloaded=arrays)
+
+
+def _gated_composition(clsname: str, missing: str):
+    """Composition whose data tables are absent from the partial mount."""
+
+    class _Gated(GrainComposition):
+        name = clsname
+
+        def __init__(self, *a, **k):
+            raise FileNotFoundError(
+                f"{clsname} requires the resource '{missing}', which is not "
+                "present in this partial dat/ mount (.MISSING_LARGE_BLOBS); "
+                "provide the file and use FileGrainComposition instead")
+
+    _Gated.__name__ = clsname
+    return _Gated
+
+
+# data for these reference compositions is absent from the partial mount:
+# the optical tables live in dat/GrainComposition/{Other,Min,Trust} blobs
+# that were not shipped (only calorimetry files are present).
+MieSilicateGrainComposition = _gated_composition(
+    "MieSilicateGrainComposition",
+    "GrainComposition/Other/MieAmorphousSilicate.dat")
+MinSilicateGrainComposition = _gated_composition(
+    "MinSilicateGrainComposition", "GrainComposition/Min/aSil_Min2007.dat")
+TrustGraphiteGrainComposition = _gated_composition(
+    "TrustGraphiteGrainComposition", "GrainComposition/Trust/Gra.dat")
+TrustSilicateGrainComposition = _gated_composition(
+    "TrustSilicateGrainComposition", "GrainComposition/Trust/suvSil.dat")
+PolarizedGraphiteGrainComposition = _gated_composition(
+    "PolarizedGraphiteGrainComposition", "Graphite_STOKES_Sxx.DAT")
+PolarizedSilicateGrainComposition = _gated_composition(
+    "PolarizedSilicateGrainComposition", "Silicate_STOKES_Sxx.DAT")
+
+
 # ---------------------------------------------------------------------------
 # size distributions
 # ---------------------------------------------------------------------------
@@ -348,6 +515,25 @@ class LogNormalGrainSizeDistribution(GrainSizeDistribution):
         x = np.log(np.maximum(a, 1e-300) / self.a0)
         val = self.factor / a * np.exp(-0.5 * (x / self.width) ** 2)
         return np.where((a >= self.amin) & (a <= self.amax), val, 0.0)
+
+
+class ModifiedLogNormalGrainSizeDistribution(LogNormalGrainSizeDistribution):
+    """Log-normal with a linear-in-ln(a) mixing term M(a) = y0 + (y1-y0)
+    ln(a/amin)/ln(amax/amin).
+
+    ref: ModifiedLogNormalGrainSizeDistribution.cpp:47-51.
+    """
+
+    def __init__(self, amin, amax, a0, width, y0=1.0, y1=1.0, factor=1.0):
+        super().__init__(amin, amax, a0, width, factor)
+        self.y0 = float(y0)
+        self.y1 = float(y1)
+
+    def dnda(self, a):
+        a = np.asarray(a, dtype=np.float64)
+        M = self.y0 + (self.y1 - self.y0) * np.log(
+            np.maximum(a, 1e-300) / self.amin) / np.log(self.amax / self.amin)
+        return super().dnda(a) * M
 
 
 class ModifiedPowerLawGrainSizeDistribution(GrainSizeDistribution):

@@ -343,7 +343,95 @@ def build_mix(node: Node, wg):
             wg, graphite_bins=int(node.scalar("graphitePops", 5)),
             silicate_bins=int(node.scalar("silicatePops", 5)),
             pah_bins=int(node.scalar("PAHPops", 3)))
+    if n == "ConfigurableDustMix":
+        # ref: ConfigurableDustMix.hpp — DustMixPopulation entries of
+        # (composition, sizeDistribution, subPops)
+        from .media.grains import MultiGrainDustMix
+        entries = []
+        for pn in node.children.get("populations", []):
+            comp = build_grain_composition(pn.child("composition"))
+            dist = build_size_distribution(pn.child("sizeDistribution"))
+            entries.append((comp, dist, int(pn.scalar("subPops", 5))))
+        if not entries:
+            raise SkiParseError("ConfigurableDustMix needs populations")
+        return MultiGrainDustMix(wg, entries)
     raise SkiParseError(f"unsupported dust mix '{n}'")
+
+
+def build_grain_composition(node: Node):
+    """ref: the GrainComposition registry
+    (Discover/RegisterSimulationItems.cpp:383-399)."""
+    from .media import grains as gr
+    n = node.name
+    simple = {
+        "DraineGraphiteGrainComposition": gr.DraineGraphiteGrainComposition,
+        "DraineSilicateGrainComposition": gr.DraineSilicateGrainComposition,
+        "DraineNeutralPAHGrainComposition":
+            gr.DraineNeutralPAHGrainComposition,
+        "DraineIonizedPAHGrainComposition":
+            gr.DraineIonizedPAHGrainComposition,
+        "AmHydrocarbonGrainComposition": gr.AmHydrocarbonGrainComposition,
+        "TrustNeutralPAHGrainComposition": gr.TrustNeutralPAHGrainComposition,
+        "MieSilicateGrainComposition": gr.MieSilicateGrainComposition,
+        "MinSilicateGrainComposition": gr.MinSilicateGrainComposition,
+        "TrustGraphiteGrainComposition": gr.TrustGraphiteGrainComposition,
+        "TrustSilicateGrainComposition": gr.TrustSilicateGrainComposition,
+        "PolarizedGraphiteGrainComposition":
+            gr.PolarizedGraphiteGrainComposition,
+        "PolarizedSilicateGrainComposition":
+            gr.PolarizedSilicateGrainComposition,
+    }.get(n)
+    if simple is not None:
+        return simple()
+    if n in ("EnstatiteGrainComposition", "ForsteriteGrainComposition"):
+        cls = getattr(gr, n)
+        return cls(grain_type=node.get("type", "Amorphous").lower())
+    if n == "DustEmGrainComposition":
+        return gr.DustEmGrainComposition(
+            grain_type=node.get("grainType", "Gra"),
+            bulk_density=node.scalar("bulkMassDensity", 2240.0))
+    if n == "FileGrainComposition":
+        return gr.FileGrainComposition(
+            node.attrs["opticalFilename"],
+            node.attrs["calorimetricFilename"],
+            node.scalar("bulkMassDensity"))
+    raise SkiParseError(f"unsupported grain composition '{n}'")
+
+
+def build_size_distribution(node: Node):
+    """ref: the GrainSizeDistribution registry
+    (Discover/RegisterSimulationItems.cpp:402-410)."""
+    from .media import grains as gr
+    n = node.name
+    s = node.scalar
+    C = s("factor", 1.0)
+    if n == "PowerLawGrainSizeDistribution":
+        return gr.PowerLawGrainSizeDistribution(
+            s("minSize", 5e-9), s("maxSize", 250e-9),
+            s("exponent", 3.5), C)
+    if n == "LogNormalGrainSizeDistribution":
+        return gr.LogNormalGrainSizeDistribution(
+            s("minSize"), s("maxSize"), s("centroid", 1e-9),
+            s("width", 0.4), C)
+    if n == "ModifiedLogNormalGrainSizeDistribution":
+        return gr.ModifiedLogNormalGrainSizeDistribution(
+            s("minSize"), s("maxSize"), s("centroid", 1e-9),
+            s("width", 0.4), s("y0", 1.0), s("y1", 1.0), C)
+    if n == "ModifiedPowerLawGrainSizeDistribution":
+        return gr.ModifiedPowerLawGrainSizeDistribution(
+            s("minSize"), s("maxSize"), alpha=s("alpha", 3.5),
+            turnoff=s("at", 0.1e-6), scale_exp=s("gamma", 3.0),
+            zeta=s("zeta", 0.0), eta=s("eta", 1.0), au=s("au", 0.1e-6),
+            factor=C)
+    if n == "SingleGrainSizeDistribution":
+        return gr.SingleGrainSizeDistribution(s("size"), C)
+    if n == "ZubkoGraphiteGrainSizeDistribution":
+        return gr.ZubkoGraphiteGrainSizeDistribution(C)
+    if n == "ZubkoSilicateGrainSizeDistribution":
+        return gr.ZubkoSilicateGrainSizeDistribution(C)
+    if n == "ZubkoPAHGrainSizeDistribution":
+        return gr.ZubkoPAHGrainSizeDistribution(C)
+    raise SkiParseError(f"unsupported grain size distribution '{n}'")
 
 
 def build_dust_normalization(node: Node):

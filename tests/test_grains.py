@@ -215,3 +215,66 @@ class TestThemisDustMix:
         assert ThemisDustMix._dnda_silicate(np.array([5e-6]))[0] == 0.0
         # hydrocarbon distribution has the steep a^-5 nano-grain part
         assert dh[0] > 0
+
+
+class TestDustEmAndTrust:
+    def test_dustem_graphite_loads(self):
+        from skirt_tpu.media.grains import DustEmGrainComposition
+        c = DustEmGrainComposition("Gra")
+        assert c.a.shape == (50,) and c.lam.shape == (800,)
+        # file spot value: Qabs(a_min, lambda_min) = 1.8217e-2
+        assert c.Qabs[0, 0] == pytest.approx(1.8217e-2, rel=1e-5)
+        T = np.array([10.0, 100.0, 1000.0])
+        h = c.enthalpy(T)
+        assert np.all(np.diff(h) > 0)
+
+    def test_trust_neutral_pah_loads(self):
+        from skirt_tpu.media.grains import TrustNeutralPAHGrainComposition
+        p = TrustNeutralPAHGrainComposition()
+        assert p.a.shape[0] == 28 and p.lam.shape[0] == 1201
+        assert np.all(np.isfinite(p.Qabs)) and np.all(p.Qabs >= 0)
+        assert np.all(np.abs(p.g) <= 1)
+
+    def test_gated_compositions_raise(self):
+        from skirt_tpu.media import grains as gr
+        for cls in (gr.MieSilicateGrainComposition,
+                    gr.MinSilicateGrainComposition,
+                    gr.TrustGraphiteGrainComposition,
+                    gr.TrustSilicateGrainComposition,
+                    gr.PolarizedGraphiteGrainComposition,
+                    gr.PolarizedSilicateGrainComposition):
+            with pytest.raises(FileNotFoundError):
+                cls()
+
+    def test_modified_log_normal(self):
+        from skirt_tpu.media.grains import (
+            LogNormalGrainSizeDistribution,
+            ModifiedLogNormalGrainSizeDistribution)
+        a = np.logspace(-9, -7, 64)
+        ln = LogNormalGrainSizeDistribution(1e-9, 1e-7, 1e-8, 0.4)
+        same = ModifiedLogNormalGrainSizeDistribution(
+            1e-9, 1e-7, 1e-8, 0.4, 1.0, 1.0)
+        np.testing.assert_allclose(same.dnda(a), ln.dnda(a))
+        ramp = ModifiedLogNormalGrainSizeDistribution(
+            1e-9, 1e-7, 1e-8, 0.4, 0.0, 2.0)
+        # M ramps 0 -> 2 in ln a: midpoint (a0 = geometric mean) matches
+        mid = np.array([np.sqrt(1e-9 * 1e-7)])
+        np.testing.assert_allclose(ramp.dnda(mid), ln.dnda(mid), rtol=1e-12)
+
+    def test_configurable_mix_from_ski(self):
+        from skirt_tpu.ski import build_mix, Node
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+        wg = LogWavelengthGrid(0.2e-6, 50e-6, 16)
+        pop = Node("DustMixPopulation", {"subPops": "2"}, {
+            "composition": [Node("DustEmGrainComposition",
+                                 {"grainType": "aSil",
+                                  "bulkMassDensity": "3500 kg/m3"})],
+            "sizeDistribution": [Node("PowerLawGrainSizeDistribution",
+                                      {"minSize": "10 nm",
+                                       "maxSize": "200 nm",
+                                       "exponent": "3.5"})],
+        })
+        mix = build_mix(Node("ConfigurableDustMix", {},
+                             {"populations": [pop]}), wg)
+        k = np.asarray(mix.kappaabs)
+        assert k.shape == (16,) and np.all(np.isfinite(k)) and np.all(k > 0)
