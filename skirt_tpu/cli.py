@@ -92,6 +92,16 @@ def main(argv=None):
         log.info(f"Constructing a simulation from ski file '{path}'...")
         packets = 1.0 if args.emulate else args.packets
         try:
+            if path.endswith(".fski"):
+                # ref: FitSkirtMain.cpp / FitSkirtCommandLineHandler —
+                # fski batch runs drive the GA fit scheme
+                from .fit.fski import load_fski
+                scheme = load_fski(path, out_dir=args.output, log=log,
+                                   packets=packets)
+                with log.timer(f"fit scheme {prefix}"):
+                    best, chi2 = scheme.run()
+                log.success(f"best chi2 {chi2:.6g} at {best}")
+                continue
             if args.report:
                 from .discover import latex_report
                 from .ski import parse_ski

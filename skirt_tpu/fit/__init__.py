@@ -10,8 +10,10 @@ from .convolution import GaussianKernel, FitsKernel, convolve
 from .reference_image import ReferenceImage
 from .ga import SteadyStateGA
 from .scheme import FitScheme
+from .fski import load_fski, parse_fski, substitute_labels, template_labels
 
 __all__ = [
     "ParameterRange", "GaussianKernel", "FitsKernel", "convolve",
     "ReferenceImage", "SteadyStateGA", "FitScheme",
+    "load_fski", "parse_fski", "substitute_labels", "template_labels",
 ]

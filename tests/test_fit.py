@@ -137,3 +137,121 @@ class TestBatchedEvaluation:
         # identical seeds -> identical GA trajectory
         assert c1 == pytest.approx(c2)
         assert p1["w"] == pytest.approx(p2["w"])
+
+
+FSKI_TEMPLATE_SKI = """<?xml version="1.0" encoding="UTF-8"?>
+<skirt-simulation-hierarchy type="MonteCarloSimulation" format="6.1">
+  <OligoMonteCarloSimulation packages="1500">
+    <units type="Units"><SIUnits/></units>
+    <wavelengthGrid type="OligoWavelengthGrid">
+      <OligoWavelengthGrid wavelengths="1 micron"/>
+    </wavelengthGrid>
+    <stellarSystem type="StellarSystem">
+      <StellarSystem>
+        <components type="StellarComp">
+          <OligoStellarComp luminosities="1e7">
+            <geometry type="Geometry">
+              <ExpDiskGeometry radialScale="1 pc" axialScale="[hz:0.3 pc]"/>
+            </geometry>
+          </OligoStellarComp>
+        </components>
+      </StellarSystem>
+    </stellarSystem>
+    <instrumentSystem type="InstrumentSystem">
+      <InstrumentSystem>
+        <instruments type="Instrument">
+          <FrameInstrument instrumentName="img" distance="100 pc" inclination="90 deg" fieldOfViewX="6 pc" pixelsX="12" fieldOfViewY="3 pc" pixelsY="12"/>
+        </instruments>
+      </InstrumentSystem>
+    </instrumentSystem>
+  </OligoMonteCarloSimulation>
+</skirt-simulation-hierarchy>
+"""
+
+FSKI = """<?xml version="1.0" encoding="UTF-8"?>
+<skirt-simulation-hierarchy type="FitScheme" format="6.1">
+  <OligoFitScheme fixedSeed="true">
+    <units type="Units"><SIUnits/></units>
+    <simulation type="AdjustableSkirtSimulation">
+      <AdjustableSkirtSimulation skiName="template.ski"/>
+    </simulation>
+    <parameterRanges type="ParameterRanges">
+      <ParameterRanges>
+        <ranges type="ParameterRange">
+          <ParameterRange label="hz" quantityType="length" minimumValue="0.1 pc" maximumValue="0.8 pc"/>
+        </ranges>
+      </ParameterRanges>
+    </parameterRanges>
+    <referenceImages type="ReferenceImages">
+      <ReferenceImages>
+        <images type="ReferenceImage">
+          <ReferenceImage path="ref.fits" minLuminosities="0.1" maxLuminosities="100">
+            <convolution type="Convolution">
+              <Convolution fwhm="1.2" dimension="4"/>
+            </convolution>
+          </ReferenceImage>
+        </images>
+      </ReferenceImages>
+    </referenceImages>
+    <optim type="Optimization">
+      <Optimization popsize="4" generations="2" pmut="0.1" pcross="0.65"/>
+    </optim>
+  </OligoFitScheme>
+</skirt-simulation-hierarchy>
+"""
+
+
+class TestLabelSubstitution:
+    def test_labels_and_defaults(self):
+        from skirt_tpu.fit import substitute_labels, template_labels
+        text = 'a="[alpha:3 pc]" b="[beta:0.5]" a2="[alpha:3 pc]"'
+        labels = template_labels(text)
+        assert labels == {"alpha": "3 pc", "beta": "0.5"}
+        # defaults survive when no replacement is given
+        assert substitute_labels(text) == 'a="3 pc" b="0.5" a2="3 pc"'
+        out = substitute_labels(text, {"alpha": 1.5e10})
+        assert out.count("1.5000000000e+10") == 2 and '"0.5"' in out
+
+    def test_unbalanced_brackets_raise(self):
+        from skirt_tpu.fit import substitute_labels
+        from skirt_tpu.ski import SkiParseError
+        import pytest as _pytest
+        for bad in ("x=[a:1", "x=[a:1][", "x=[no_colon]"):
+            with _pytest.raises(SkiParseError):
+                substitute_labels(bad)
+
+
+class TestFskiEndToEnd:
+    def test_fski_fit_runs(self, tmp_path):
+        from skirt_tpu.fit.fski import load_fski
+        from skirt_tpu.fit.convolution import convolve, GaussianKernel
+        from skirt_tpu.io.fits import write_fits
+        from skirt_tpu.log import SilentLog
+
+        (tmp_path / "template.ski").write_text(FSKI_TEMPLATE_SKI)
+        write_fits(str(tmp_path / "ref.fits"), np.ones((12, 12)))
+        (tmp_path / "model.fski").write_text(FSKI)
+
+        scheme = load_fski(str(tmp_path / "model.fski"),
+                           out_dir=str(tmp_path), log=SilentLog())
+        assert [r.label for r in scheme.ranges] == ["hz"]
+        assert scheme.ga.popsize == 4 and scheme.generations == 2
+
+        # make the reference the truth at hz = 0.3 pc, luminosity x 5
+        from skirt_tpu.constants import PC
+        truth = scheme.simulate({"hz": 0.3 * PC})
+        frame = truth[0][0]
+        assert frame.shape == (12, 12) and frame.sum() > 0
+        ref_img = 5.0 * convolve(frame, GaussianKernel(1.2, 4))
+        write_fits(str(tmp_path / "ref.fits"), ref_img)
+
+        scheme = load_fski(str(tmp_path / "model.fski"),
+                           out_dir=str(tmp_path), log=SilentLog())
+        best, chi2 = scheme.run()
+        assert np.isfinite(chi2)
+        assert 0.1 * PC <= best["hz"] <= 0.8 * PC
+        assert (tmp_path / "model_best.dat").exists()
+        # luminosity sub-fit recovers the scale at the truth
+        _, lums = scheme.reference_images[0].chi2(
+            scheme.simulate({"hz": 0.3 * PC})[0])
+        assert lums[0] == pytest.approx(5.0, rel=0.05)
