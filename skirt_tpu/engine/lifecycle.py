@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from .. import rng
 from . import traversal
+from . import vector_traversal as vt
 
 
 @dataclass(frozen=True)
@@ -92,13 +93,17 @@ def make_peel_off(grid, dust_system, instrument, rho_path_map=None):
             safe = jnp.clip(c, 0)
             tau = 0.0
             kr_local = 0.0
+            kext_t = jnp.asarray(dust_system.kappaext)
+            rho_t = jnp.asarray(dust_system.rho)
+            rmap = jnp.asarray(rho_path_map)
             for h in range(dust_system.ncomp):
-                kh = dust_system.kappaext[h, ell]
-                tau = tau + rho_path_map[h, safe] * kh
-                kr_local = kr_local + dust_system.rho[h, safe] * kh
+                kh = kext_t[h, ell]
+                tau = tau + rmap[h, safe] * kh
+                kr_local = kr_local + rho_t[h, safe] * kh
             # first-order in-cell correction: the map holds tau from the
             # cell center; shift by the projected offset times local kappa*rho
-            delta = jnp.sum((centers[safe] - pos) * kobs, axis=-1)
+            delta = jnp.sum((jnp.asarray(centers)[safe] - pos) * kobs,
+                            axis=-1)
             tau = jnp.maximum(tau + kr_local * delta, 0.0)
             tau = jnp.where(c >= 0, tau, 0.0)
         else:
@@ -120,10 +125,12 @@ def make_peel_off(grid, dust_system, instrument, rho_path_map=None):
 
 
 def _centers_cache(grid):
-    """Device array of cell centers, cached on the grid object."""
-    if not hasattr(grid, "_centers_dev"):
-        grid._centers_dev = jnp.asarray(grid.cell_centers(), jnp.float32)
-    return grid._centers_dev
+    """Cell centers cached on the grid object (numpy: traced consumers
+    wrap with jnp.asarray so the constant inlines as an HLO literal)."""
+    if not hasattr(grid, "_centers_np"):
+        import numpy as np
+        grid._centers_np = np.asarray(grid.cell_centers(), np.float32)
+    return grid._centers_np
 
 
 def compute_rho_path_maps(grid, dust_system, instrument, chunk: int = 65536):
@@ -141,7 +148,8 @@ def compute_rho_path_maps(grid, dust_system, instrument, chunk: int = 65536):
         rho_h = dust_system.rho[h]
 
         def kr(cell, rho_h=rho_h):
-            return jnp.where(cell >= 0, rho_h[jnp.clip(cell, 0)], 0.0)
+            return jnp.where(cell >= 0, jnp.asarray(rho_h)[jnp.clip(cell, 0)],
+                             0.0)
 
         vals = []
         for i in range(0, ncells, chunk):
@@ -150,7 +158,7 @@ def compute_rho_path_maps(grid, dust_system, instrument, chunk: int = 65536):
             p = traversal.optical_depth(grid, kr, pos, kobs)
             vals.append(np.asarray(p))
         out[h] = np.concatenate(vals)
-    return jnp.asarray(out)
+    return out
 
 
 def make_lifecycle(grid, dust_system, stellar_system, instruments,
@@ -193,6 +201,14 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     if mueller is not None:
         from ..media import polarization as pol
 
+    # fully-batched all-crossings traversal (vector_traversal.py): no
+    # sequential stepping at all — the default whenever the grid can
+    # enumerate its surface crossings in closed form
+    use_vector = (grid is not None and ds is not None
+                  and hasattr(grid, "crossings")
+                  and hasattr(grid, "locate_batched")
+                  and not options.continuous_scattering)
+
     # path-record mode (ref: DustGridPath): vectorize per-segment physics
     # over an (S, N) buffer and drop the second (propagation) traversal;
     # auto-enabled for grids with bounded small step counts
@@ -200,10 +216,12 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                        else (grid is not None
                              and getattr(grid, "max_steps", 1 << 30) <= 160))
     use_path_record = bool(use_path_record) and grid is not None \
-        and not options.continuous_scattering
+        and not options.continuous_scattering and not use_vector
 
     # exact-mode distant instruments with the same observer direction share
-    # one peel-off traversal (common case: SED + frame of the same view)
+    # one peel-off traversal (common case: SED + frame of the same view).
+    # In vector mode EVERY exact distant instrument joins a group (its tau
+    # comes from a batched record-paths pass instead of a streaming sweep).
     import numpy as _np
     _shared_leader = {}
     _dir_groups = {}
@@ -213,9 +231,41 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             key = tuple(_np.round(_np.asarray(_ins.kobs, _np.float64), 12))
             _dir_groups.setdefault(key, []).append(_i)
     for _g in _dir_groups.values():
-        if len(_g) > 1:
+        if len(_g) > 1 or use_vector:
             for _i in _g:
                 _shared_leader[_i] = _g[0]
+
+    def rows_kappas(cells, ksca_pk, kext_pk, want_sca=True):
+        """Batched per-segment (kappasca*rho, kappaext*rho) over (N, S) rows.
+
+        ref: DustSystem::ksca_kext — same sum over components, but the
+        cell-id rows come from a recorded path so every rho gather is
+        independent and batchable.
+        """
+        safe = jnp.clip(cells, 0)
+        rho_t = jnp.asarray(ds.rho)
+        ksca = 0.0
+        kext = 0.0
+        for h in range(ds.ncomp):
+            rho_r = rho_t[h][safe]
+            if want_sca:
+                ksca = ksca + ksca_pk[h][:, None] * rho_r
+            kext = kext + kext_pk[h][:, None] * rho_r
+        valid = cells >= 0
+        kext = jnp.where(valid, kext, 0.0)
+        if not want_sca:
+            return kext
+        return jnp.where(valid, ksca, 0.0), kext
+
+    def vector_taus(pos, kext_pk):
+        """Peel-off optical depths toward every leader instrument, batched."""
+        taus = {}
+        for lead in sorted(set(_shared_leader.values())):
+            kobs = instruments[lead].observer_direction(pos)
+            cells, ds_seg, _ = vt.record_paths(grid, pos, kobs)
+            kext_rows = rows_kappas(cells, None, kext_pk, want_sca=False)
+            taus[lead] = jnp.sum(kext_rows * ds_seg, axis=1)
+        return taus
 
     def shared_taus(pos, kapparho, active):
         """tau per group leader, computed once per event."""
@@ -263,8 +313,11 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         anisotropic = (comp is not None and stellar_system is not None
                        and not stellar_system.is_isotropic)
         if emission_peeloff and state_in is None:
-            taus0 = shared_taus(pos, kapparho_pk, alive) \
-                if (_shared_leader and ds is not None) else {}
+            if _shared_leader and ds is not None:
+                taus0 = vector_taus(pos, kext_pk) if use_vector \
+                    else shared_taus(pos, kapparho_pk, alive)
+            else:
+                taus0 = {}
             for i, peel in enumerate(peels):
                 contribution = jnp.where(alive, L, 0.0)
                 if anisotropic:
@@ -310,128 +363,189 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
 
             # -- traverse + absorb (ref: simulateescapeandabsorption) ------
             continuous = options.continuous_scattering and scattering_peeloff
-            state0 = begin_traversal(grid, pos, direction)
-            path = None
-            carry0 = dict(tau=jnp.zeros(n, jnp.float32),
-                          Lsca=jnp.zeros(n, jnp.float32), labs=labs_c)
-            if continuous:
-                carry0["ins"] = ins_tallies
-
-            def seg(carry, cell, ds_len, t_exit):
-                ksca, kext = ds.ksca_kext_from(cell, ksca_pk, kext_pk)
-                dtau = kext * ds_len
-                albedo = jnp.where(kext > 0,
-                                   ksca / jnp.maximum(kext, 1e-37), 0.0)
-                expfac = jnp.exp(-carry["tau"]) * (-jnp.expm1(-dtau))
-                Lint = jnp.where(alive, L, 0.0) * expfac
-                new = dict(carry)
-                new["Lsca"] = carry["Lsca"] + albedo * Lint
+            if use_vector:
+                # batched all-crossings pass: record, then vectorized
+                # per-segment physics (zero sequential steps)
+                cells_r, ds_r, te_r = vt.record_paths(grid, pos, direction)
+                ksca_rows, kext_rows = rows_kappas(cells_r, ksca_pk, kext_pk)
+                dtau_r = kext_rows * ds_r
+                cum_r = jnp.cumsum(dtau_r, axis=1)
+                cum_prev_r = cum_r - dtau_r
+                albedo_rows = jnp.where(
+                    kext_rows > 0,
+                    ksca_rows / jnp.maximum(kext_rows, 1e-37), 0.0)
+                expfac_r = jnp.exp(-cum_prev_r) * (-jnp.expm1(-dtau_r))
+                Lint_r = jnp.where(alive, L, 0.0)[:, None] * expfac_r
                 if labs is not None:
-                    idx = jnp.where(cell >= 0, cell * nlambda + ell, -1)
-                    new["labs"] = carry["labs"].at[idx].add(
-                        (1.0 - albedo) * Lint, mode="drop")
-                new["tau"] = carry["tau"] + dtau
+                    idx_r = jnp.where(cells_r >= 0,
+                                      cells_r * nlambda + ell[:, None], -1)
+                    labs_c = labs_c.at[idx_r].add(
+                        (1.0 - albedo_rows) * Lint_r, mode="drop")
+                taupath = cum_r[:, -1]
+                L = jnp.where(alive, jnp.sum(albedo_rows * Lint_r, axis=1), L)
+
+                # termination (ref: dostellaremissionchunk :289)
+                alive = alive & (L > 0) & jnp.logical_not(
+                    (L <= Lthreshold) & (nscatt >= options.min_scatt_events))
+                alive = alive & (taupath > 0)
+
+                # propagate (ref: simulatepropagation)
+                xi = options.scatt_bias
+                u1 = rng.uniform_open(jax.random.fold_in(k1, 0), (n,))
+                u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
+                tau_exp = rng.expon_cutoff(u2, taupath)
+                if xi == 0.0:
+                    tau = tau_exp
+                    weight = jnp.ones(n, jnp.float32)
+                else:
+                    tau_uni = u2 * taupath
+                    tau = jnp.where(u1 < xi, tau_uni, tau_exp)
+                    p = -jnp.exp(-tau) / jnp.expm1(
+                        -jnp.maximum(taupath, 1e-30))
+                    qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
+                    weight = p / jnp.maximum(qq, 1e-37)
+                L = jnp.where(alive, L * weight, L)
+
+                s, cell_at = vt.invert_tau(cum_r, ds_r, te_r, cells_r, tau)
+                new_pos = pos + s[:, None] * direction
+                pos = jnp.where(alive[:, None], new_pos, pos)
+            else:
+                state0 = begin_traversal(grid, pos, direction)
+                path = None
+                carry0 = dict(tau=jnp.zeros(n, jnp.float32),
+                              Lsca=jnp.zeros(n, jnp.float32), labs=labs_c)
                 if continuous:
-                    # ref: continuouspeeloffscattering — peel-off from this
-                    # path segment with weight albedo*exp(-tau0)*(1-e^-dtau);
-                    # the segment midpoint stands in for the reference's
-                    # random in-segment position (sub-cell pixel assignment)
-                    s_mid = t_exit - 0.5 * ds_len
-                    seg_pos = pos + s_mid[:, None] * direction
-                    t2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
-                    for i, peel in enumerate(peels):
-                        kobs_i = instruments[i].observer_direction(seg_pos)
-                        cosalpha = jnp.sum(direction * kobs_i, axis=-1)
-                        w = ds.phase_value(cell, ell, cosalpha)
-                        # ref factor: albedo * exp(-tau0) * (1 - e^-dtau)
-                        contribution = jnp.where(
-                            alive & (cell >= 0), L * albedo * expfac * w, 0.0)
-                        new["ins"][i] = peel(new["ins"][i], seg_pos, ell,
-                                             contribution, t2, cell=cell)
-                return new, jnp.ones(n, bool)
+                    carry0["ins"] = ins_tallies
 
-            if use_path_record:
-                # same streaming absorption sweep, but record per-step
-                # (cumtau, ds, t_exit) rows so propagation inverts from the
-                # recording instead of re-traversing (ref: DustGridPath
-                # record-and-replay; gathers dominate TPU traversal cost,
-                # and this halves the per-event gather-sweep count)
-                def seg_rec(carry, cell, ds_len, t_exit):
-                    new, cont = seg(carry, cell, ds_len, t_exit)
-                    return new, cont, new["tau"]
+                def seg(carry, cell, ds_len, t_exit):
+                    ksca, kext = ds.ksca_kext_from(cell, ksca_pk, kext_pk)
+                    dtau = kext * ds_len
+                    albedo = jnp.where(kext > 0,
+                                       ksca / jnp.maximum(kext, 1e-37), 0.0)
+                    expfac = jnp.exp(-carry["tau"]) * (-jnp.expm1(-dtau))
+                    Lint = jnp.where(alive, L, 0.0) * expfac
+                    new = dict(carry)
+                    new["Lsca"] = carry["Lsca"] + albedo * Lint
+                    if labs is not None:
+                        idx = jnp.where(cell >= 0, cell * nlambda + ell, -1)
+                        new["labs"] = carry["labs"].at[idx].add(
+                            (1.0 - albedo) * Lint, mode="drop")
+                    new["tau"] = carry["tau"] + dtau
+                    if continuous:
+                        # ref: continuouspeeloffscattering — peel-off from
+                        # this path segment with weight
+                        # albedo*exp(-tau0)*(1-e^-dtau); the segment midpoint
+                        # stands in for the reference's random in-segment
+                        # position (sub-cell pixel assignment)
+                        s_mid = t_exit - 0.5 * ds_len
+                        seg_pos = pos + s_mid[:, None] * direction
+                        t2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
+                        for i, peel in enumerate(peels):
+                            kobs_i = instruments[i].observer_direction(
+                                seg_pos)
+                            cosalpha = jnp.sum(direction * kobs_i, axis=-1)
+                            w = ds.phase_value(cell, ell, cosalpha)
+                            # ref: albedo * exp(-tau0) * (1 - e^-dtau)
+                            contribution = jnp.where(
+                                alive & (cell >= 0),
+                                L * albedo * expfac * w, 0.0)
+                            new["ins"][i] = peel(new["ins"][i], seg_pos, ell,
+                                                 contribution, t2, cell=cell)
+                    return new, jnp.ones(n, bool)
 
-                carry, path = traversal.sweep_tau_recorded(
-                    grid, pos, direction, seg_rec, carry0, state0=state0,
-                    active=alive)
-            else:
-                carry, _ = traversal.sweep(grid, pos, direction, seg, carry0,
-                                           state0=state0, active=alive)
-            taupath = carry["tau"]
-            labs_c = carry["labs"]
-            if continuous:
-                ins_tallies = carry["ins"]
-            L = jnp.where(alive, carry["Lsca"], L)
+                if use_path_record:
+                    # same streaming absorption sweep, but record per-step
+                    # (cumtau, ds, t_exit) rows so propagation inverts from
+                    # the recording instead of re-traversing (ref:
+                    # DustGridPath record-and-replay; gathers dominate TPU
+                    # traversal cost, and this halves the per-event
+                    # gather-sweep count)
+                    def seg_rec(carry, cell, ds_len, t_exit):
+                        new, cont = seg(carry, cell, ds_len, t_exit)
+                        return new, cont, new["tau"]
 
-            # -- termination (ref: dostellaremissionchunk :289) ------------
-            alive = alive & (L > 0) & jnp.logical_not(
-                (L <= Lthreshold) & (nscatt >= options.min_scatt_events))
-            alive = alive & (taupath > 0)
+                    carry, path = traversal.sweep_tau_recorded(
+                        grid, pos, direction, seg_rec, carry0, state0=state0,
+                        active=alive)
+                else:
+                    carry, _ = traversal.sweep(grid, pos, direction, seg,
+                                               carry0, state0=state0,
+                                               active=alive)
+                taupath = carry["tau"]
+                labs_c = carry["labs"]
+                if continuous:
+                    ins_tallies = carry["ins"]
+                L = jnp.where(alive, carry["Lsca"], L)
 
-            # -- propagate (ref: simulatepropagation) ----------------------
-            xi = options.scatt_bias
-            u1 = rng.uniform_open(jax.random.fold_in(k1, 0), (n,))
-            u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
-            tau_exp = rng.expon_cutoff(u2, taupath)
-            if xi == 0.0:
-                tau = tau_exp
-                weight = jnp.ones(n, jnp.float32)
-            else:
-                tau_uni = u2 * taupath
-                tau = jnp.where(u1 < xi, tau_uni, tau_exp)
-                p = -jnp.exp(-tau) / jnp.expm1(-jnp.maximum(taupath, 1e-30))
-                qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
-                weight = p / jnp.maximum(qq, 1e-37)
-            L = jnp.where(alive, L * weight, L)
+                # -- termination (ref: dostellaremissionchunk :289) --------
+                alive = alive & (L > 0) & jnp.logical_not(
+                    (L <= Lthreshold) & (nscatt >= options.min_scatt_events))
+                alive = alive & (taupath > 0)
 
-            if use_path_record:
-                # vectorized inverse lookup in the recorded rows
-                # (ref: DustGridPath::pathlength)
-                cum_b, ds_b, te_b = path
-                i_hit = jnp.clip(
-                    jnp.sum((cum_b < tau[None, :]).astype(jnp.int32),
-                            axis=0), 0, cum_b.shape[0] - 1)
+                # -- propagate (ref: simulatepropagation) ------------------
+                xi = options.scatt_bias
+                u1 = rng.uniform_open(jax.random.fold_in(k1, 0), (n,))
+                u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
+                tau_exp = rng.expon_cutoff(u2, taupath)
+                if xi == 0.0:
+                    tau = tau_exp
+                    weight = jnp.ones(n, jnp.float32)
+                else:
+                    tau_uni = u2 * taupath
+                    tau = jnp.where(u1 < xi, tau_uni, tau_exp)
+                    p = -jnp.exp(-tau) / jnp.expm1(
+                        -jnp.maximum(taupath, 1e-30))
+                    qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
+                    weight = p / jnp.maximum(qq, 1e-37)
+                L = jnp.where(alive, L * weight, L)
 
-                def _take(a, idx):
-                    return jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+                if use_path_record:
+                    # vectorized inverse lookup in the recorded rows
+                    # (ref: DustGridPath::pathlength)
+                    cum_b, ds_b, te_b = path
+                    i_hit = jnp.clip(
+                        jnp.sum((cum_b < tau[None, :]).astype(jnp.int32),
+                                axis=0), 0, cum_b.shape[0] - 1)
 
-                cum_h = _take(cum_b, i_hit)
-                cum_prev = jnp.where(
-                    i_hit > 0,
-                    _take(cum_b, jnp.maximum(i_hit - 1, 0)), 0.0)
-                dtau_h = cum_h - cum_prev
-                frac = jnp.where(dtau_h > 0,
-                                 (tau - cum_prev)
-                                 / jnp.maximum(dtau_h, 1e-30), 0.0)
-                te_h = _take(te_b, i_hit)
-                ds_h = _take(ds_b, i_hit)
-                s = (te_h - ds_h) + jnp.clip(frac, 0.0, 1.0) * ds_h
-                # the cell is constant across the hit segment: locate at
-                # the segment midpoint (robust against border landing)
-                mid = te_h - 0.5 * ds_h
-                cell_at = grid.locate(pos + mid[:, None] * direction)
-            else:
-                s, cell_at = traversal.propagate_to_tau(
-                    grid, kapparho_pk, pos, direction, tau,
-                    state0=begin_traversal(grid, pos, direction),
-                    active=alive)
-            new_pos = pos + s[:, None] * direction
-            pos = jnp.where(alive[:, None], new_pos, pos)
+                    def _pick(a, idx):
+                        # masked sum: take_along_axis is a slow per-lane
+                        # gather on TPU
+                        sel = jax.lax.broadcasted_iota(
+                            jnp.int32, a.shape, 0) == idx[None, :]
+                        return jnp.sum(jnp.where(sel, a, 0), axis=0)
+
+                    cum_h = _pick(cum_b, i_hit)
+                    cum_prev = jnp.where(
+                        i_hit > 0,
+                        _pick(cum_b, jnp.maximum(i_hit - 1, 0)), 0.0)
+                    dtau_h = cum_h - cum_prev
+                    frac = jnp.where(dtau_h > 0,
+                                     (tau - cum_prev)
+                                     / jnp.maximum(dtau_h, 1e-30), 0.0)
+                    te_h = _pick(te_b, i_hit)
+                    ds_h = _pick(ds_b, i_hit)
+                    s = (te_h - ds_h) + jnp.clip(frac, 0.0, 1.0) * ds_h
+                    # the cell is constant across the hit segment: locate at
+                    # the segment midpoint (robust against border landing)
+                    mid = te_h - 0.5 * ds_h
+                    cell_at = grid.locate(pos + mid[:, None] * direction)
+                else:
+                    s, cell_at = traversal.propagate_to_tau(
+                        grid, kapparho_pk, pos, direction, tau,
+                        state0=begin_traversal(grid, pos, direction),
+                        active=alive)
+                new_pos = pos + s[:, None] * direction
+                pos = jnp.where(alive[:, None], new_pos, pos)
 
             # -- scattering peel-off (ref: peeloffscattering) --------------
             if scattering_peeloff and not continuous:
                 tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
-                taus_s = shared_taus(pos, kapparho_pk, alive) \
-                    if _shared_leader else {}
+                if not _shared_leader:
+                    taus_s = {}
+                elif use_vector:
+                    taus_s = vector_taus(pos, kext_pk)
+                else:
+                    taus_s = shared_taus(pos, kapparho_pk, alive)
                 for i, peel in enumerate(peels):
                     kobs = instruments[i].observer_direction(pos)
                     cosalpha = jnp.sum(direction * kobs, axis=-1)
@@ -447,7 +561,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                         S11, S12, S33, S34 = mueller.lookup(ell, theta)
                         pdeg = jnp.sqrt(st["q"] ** 2 + st["u"] ** 2)
                         pang = 0.5 * jnp.arctan2(st["u"], st["q"])
-                        w = mueller.pfnorm[ell] * (
+                        w = jnp.asarray(mueller.pfnorm)[ell] * (
                             S11 + pdeg * S12 * jnp.cos(2.0 * (phi - pang)))
                         qr, ur = pol.rotate_stokes(st["q"], st["u"], phi)
                         _, q2, u2_, v2 = pol.apply_mueller(

@@ -145,8 +145,8 @@ class PanSimulation(OligoSimulation):
         V = self.dust_system.volumes
         with np.errstate(divide="ignore"):
             inv = 1.0 / (4.0 * np.pi * V * rho)
-        self._inv4pivrho = jnp.asarray(
-            np.where(np.isfinite(inv), inv, 0.0), jnp.float32)
+        self._inv4pivrho = np.asarray(
+            np.where(np.isfinite(inv), inv, 0.0), np.float32)
 
     # ------------------------------------------------------------------
 
@@ -161,7 +161,7 @@ class PanSimulation(OligoSimulation):
         if self.transient is not None and labs_full is not None:
             frac = self._transient_fractions(labs_full)
         elif self.dust_system.ncomp == 1:
-            absorbed_per_mass = labs_bol_dev * self._inv4pivrho
+            absorbed_per_mass = labs_bol_dev * jnp.asarray(self._inv4pivrho)
             frac = self.emissivity.emissivity_fractions(absorbed_per_mass)
         else:
             frac = self._multicomp_fractions(labs_bol_dev)

@@ -1,0 +1,89 @@
+"""Fully-batched path recording via the all-crossings formulation.
+
+ref: SKIRTcore/CartesianDustGrid.cpp:136-220 walks a ray wall-by-wall in a
+sequential DDA loop; SKIRTcore/DustGridPath.hpp records the segments.
+
+TPU re-design: a sequential per-cell walk serializes one tiny gather per
+step — measured ~1 ms per step at 131k lanes on TPU v5e, because dependent
+gathers cannot be batched.  For border-structured grids the full crossing
+set is known UP FRONT: every grid surface yields a closed-form ray
+parameter.  So instead of walking, we (1) compute ALL wall-crossing
+parameters in one batched op, (2) sort them per lane (XLA's per-lane sort
+measures ~0.06 ms for (131k, 96)), and (3) derive segment lengths and cell
+ids from consecutive crossing pairs with arithmetic + *batched* gathers.
+There is no sequential loop at all, and every memory op is vectorized.
+
+A grid opts in by providing
+  crossings(pos, direction) -> (t_all (N, S), t_start (N,), t_stop (N,))
+    unsorted candidate crossing parameters (use BIG for non-crossings) and
+    the entry/exit parameters of the domain (0/0 for rays that miss), and
+  locate_batched(points (..., 3)) -> (...,) int32 cell ids (-1 outside)
+    with purely batched ops (no per-lane binary-search loops).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_BIG = 3.4e38
+
+
+def record_paths(grid, pos, direction):
+    """Record the full traversal path of every lane, without stepping.
+
+    Returns (cells, ds, t_exit), each (N, S): per-segment cell id (-1 for
+    zero-length padding segments), segment length, and ray parameter at the
+    segment exit.  Segments are sorted along the ray; padding segments have
+    ds == 0 and contribute nothing downstream.
+    """
+    t_all, t_start, t_stop = grid.crossings(pos, direction)
+    t = jnp.clip(t_all, t_start[:, None], t_stop[:, None])
+    ts = jnp.sort(t, axis=-1)
+    ds = ts[:, 1:] - ts[:, :-1]
+    mid = ts[:, :-1] + 0.5 * ds
+    pmid = pos[:, None, :] + mid[..., None] * direction[:, None, :]
+    cells = grid.locate_batched(pmid)
+    cells = jnp.where(ds > 0, cells, -1)
+    return cells, ds, ts[:, 1:]
+
+
+def masked_row_pick(rows, i_hit):
+    """rows (N, S) -> (N,) value at per-lane column i_hit.
+
+    jnp.take_along_axis lowers to a slow per-lane gather on TPU (measured
+    6 ms for 131k rows); a one-hot masked sum is ~100x faster.
+    """
+    S = rows.shape[1]
+    sel = jnp.arange(S, dtype=jnp.int32)[None, :] == i_hit[:, None]
+    return jnp.sum(jnp.where(sel, rows, 0), axis=1)
+
+
+def masked_row_pick_int(rows, i_hit, fill=-1):
+    S = rows.shape[1]
+    sel = jnp.arange(S, dtype=jnp.int32)[None, :] == i_hit[:, None]
+    picked = jnp.sum(jnp.where(sel, rows, 0), axis=1)
+    any_sel = jnp.any(sel, axis=1)
+    return jnp.where(any_sel, picked, fill)
+
+
+def invert_tau(cum, ds, t_exit, cells, tau):
+    """Path position where cumulative optical depth reaches `tau`.
+
+    ref: DustGridPath::pathlength (DustGridPath.hpp:117-168) — the inverse
+    lookup in the recorded path, vectorized over lanes with masked-sum row
+    picks.  Returns (s, cell_at).
+    """
+    S = cum.shape[1]
+    i_hit = jnp.clip(
+        jnp.sum((cum < tau[:, None]).astype(jnp.int32), axis=1), 0, S - 1)
+    cum_h = masked_row_pick(cum, i_hit)
+    cum_prev = jnp.where(i_hit > 0,
+                         masked_row_pick(cum, jnp.maximum(i_hit - 1, 0)), 0.0)
+    dtau_h = cum_h - cum_prev
+    frac = jnp.where(dtau_h > 0,
+                     (tau - cum_prev) / jnp.maximum(dtau_h, 1e-30), 0.0)
+    te_h = masked_row_pick(t_exit, i_hit)
+    ds_h = masked_row_pick(ds, i_hit)
+    s = (te_h - ds_h) + jnp.clip(frac, 0.0, 1.0) * ds_h
+    cell_at = masked_row_pick_int(cells, i_hit)
+    return s, cell_at

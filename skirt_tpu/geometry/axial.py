@@ -403,9 +403,10 @@ class MGEGeometry(AxGeometry):
         self.Mv = comp[:, 0] / comp[:, 0].sum()
         self.sigmav = comp[:, 1] * float(pixelscale)
         self.qv = np.sqrt(qapp * qapp - cosi * cosi) / sini
-        self._cum = jnp.asarray(np.cumsum(self.Mv), jnp.float32)
-        self._sig_d = jnp.asarray(self.sigmav, jnp.float32)
-        self._q_d = jnp.asarray(self.qv, jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self._cum = np.asarray(np.cumsum(self.Mv), np.float32)
+        self._sig_d = np.asarray(self.sigmav, np.float32)
+        self._q_d = np.asarray(self.qv, np.float32)
 
     @classmethod
     def from_file(cls, path, pixelscale: float, inclination: float):
@@ -428,10 +429,11 @@ class MGEGeometry(AxGeometry):
     def generate_position(self, key, n: int):
         k1, k2 = jax.random.split(key)
         u = rng.uniform_open(k1, (n,))
-        j = jnp.clip(jnp.searchsorted(self._cum, u, side="left"),
-                     0, self._cum.shape[0] - 1)
-        sigma = self._sig_d[j]
-        q = self._q_d[j]
+        cum = jnp.asarray(self._cum)
+        j = jnp.clip(jnp.searchsorted(cum, u, side="left"),
+                     0, cum.shape[0] - 1)
+        sigma = jnp.asarray(self._sig_d)[j]
+        q = jnp.asarray(self._q_d)[j]
         g = jax.random.normal(k2, (n, 3))
         return jnp.stack([sigma * g[:, 0], sigma * g[:, 1],
                           q * sigma * g[:, 2]], axis=-1)

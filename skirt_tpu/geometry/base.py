@@ -35,20 +35,23 @@ class InverseCdf:
     """Tabulated inverse CDF: maps u in [0,1] to x; device-side sampling."""
 
     def __init__(self, xv: np.ndarray, cdfv: np.ndarray, total: float):
-        self.xv = jnp.asarray(xv, dtype=jnp.float32)
-        self.cdfv = jnp.asarray(cdfv, dtype=jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self.xv = np.asarray(xv, dtype=np.float32)
+        self.cdfv = np.asarray(cdfv, dtype=np.float32)
         # float64 copies for host-side quadrature checks
         self.xv64 = np.asarray(xv)
         self.cdfv64 = np.asarray(cdfv)
         self.total = float(total)
 
     def sample(self, u):
-        i = jnp.clip(jnp.searchsorted(self.cdfv, u, side="right") - 1,
-                     0, self.cdfv.shape[0] - 2)
-        c0 = self.cdfv[i]
-        c1 = self.cdfv[i + 1]
+        cdfv = jnp.asarray(self.cdfv)
+        xv = jnp.asarray(self.xv)
+        i = jnp.clip(jnp.searchsorted(cdfv, u, side="right") - 1,
+                     0, cdfv.shape[0] - 2)
+        c0 = cdfv[i]
+        c1 = cdfv[i + 1]
         t = (u - c0) / jnp.where(c1 == c0, 1.0, c1 - c0)
-        return self.xv[i] + jnp.clip(t, 0.0, 1.0) * (self.xv[i + 1] - self.xv[i])
+        return xv[i] + jnp.clip(t, 0.0, 1.0) * (xv[i + 1] - xv[i])
 
 
 def build_inverse_cdf(pdf, xmin: float, xmax: float, n: int = 8192,

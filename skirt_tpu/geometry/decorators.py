@@ -244,8 +244,9 @@ class CombineGeometryDecorator(_Decorator):
         self.weights = w / w.sum()
         self.base = self.parts[0]
         self.dimension = 3
-        self._cdf = jnp.asarray(np.concatenate([[0.0], np.cumsum(self.weights)]),
-                                jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self._cdf = np.asarray(np.concatenate([[0.0], np.cumsum(self.weights)]),
+                               np.float32)
 
     def density(self, pos):
         rho = 0.0
@@ -256,7 +257,8 @@ class CombineGeometryDecorator(_Decorator):
     def generate_position(self, key, n: int):
         ks = jax.random.split(key, len(self.parts) + 1)
         u = rng.uniform_open(ks[0], (n,))
-        which = jnp.clip(jnp.searchsorted(self._cdf, u, side="right") - 1,
+        which = jnp.clip(jnp.searchsorted(jnp.asarray(self._cdf), u,
+                                          side="right") - 1,
                          0, len(self.parts) - 1)
         samples = [g.generate_position(ks[i + 1], n) for i, g in enumerate(self.parts)]
         out = samples[0]
@@ -293,13 +295,13 @@ class ClumpyGeometryDecorator(_Decorator):
         self.kernel = kernel or CubicSplineSmoothingKernel()
         self.cutoff = bool(cutoff)
         key = rng.root_key(seed)
-        self.centers = jnp.asarray(
-            np.asarray(geometry.generate_position(key, self.N)), jnp.float32)
+        self.centers = np.asarray(
+            np.asarray(geometry.generate_position(key, self.N)), np.float32)
 
     def density(self, pos):
         xp = array_namespace(pos)
         rho_smooth = (1.0 - self.f) * self.base.density(pos)
-        centers = np.asarray(self.centers) if xp is np else self.centers
+        centers = self.centers if xp is np else jnp.asarray(self.centers)
         # vectorized kernel sum over all clumps: (..., N)
         diff = pos[..., None, :] - xp.asarray(centers, dtype=pos.dtype)
         d = xp.sqrt(xp.sum(diff * diff, axis=-1)) / self.h
@@ -315,7 +317,7 @@ class ClumpyGeometryDecorator(_Decorator):
         which = jax.random.randint(k2, (n,), 0, self.N)
         u = self.kernel.generate_radius(rng.uniform_open(k3, (n,)))
         d = rng.isotropic_direction(k4, (n,))
-        clumpy = self.centers[which] + (u * self.h)[:, None] * d
+        clumpy = jnp.asarray(self.centers)[which] + (u * self.h)[:, None] * d
         use_clump = jax.random.uniform(k5, (n,)) < self.f
         return jnp.where(use_clump[:, None], clumpy, smooth)
 

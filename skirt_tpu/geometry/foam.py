@@ -57,11 +57,12 @@ class FoamGeometry(Geometry):
         if self.total <= 0:
             raise ValueError("density integrates to zero over the extent")
         self.norm = 1.0 / self.total
-        self._cdf = jnp.asarray(
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self._cdf = np.asarray(
             np.concatenate([[0.0], np.cumsum(masses / self.total)]),
-            jnp.float32)
-        self._lo_dev = jnp.asarray(lo, jnp.float32)
-        self._hi_dev = jnp.asarray(hi, jnp.float32)
+            np.float32)
+        self._lo_dev = np.asarray(lo, np.float32)
+        self._hi_dev = np.asarray(hi, np.float32)
         self._maxrho = np.asarray(max_rho)
         self._meanrho = np.asarray(mean_rho)
 
@@ -76,10 +77,13 @@ class FoamGeometry(Geometry):
         refined by the octree to the requested resolution)."""
         k1, k2 = jax.random.split(key)
         u = rng.uniform_open(k1, (n,))
-        i = jnp.clip(jnp.searchsorted(self._cdf, u, side="right") - 1,
-                     0, self._lo_dev.shape[0] - 1)
+        lo_d = jnp.asarray(self._lo_dev)
+        hi_d = jnp.asarray(self._hi_dev)
+        i = jnp.clip(jnp.searchsorted(jnp.asarray(self._cdf), u,
+                                      side="right") - 1,
+                     0, lo_d.shape[0] - 1)
         w = jax.random.uniform(k2, (n, 3), dtype=jnp.float32)
-        return self._lo_dev[i] + w * (self._hi_dev[i] - self._lo_dev[i])
+        return lo_d[i] + w * (hi_d[i] - lo_d[i])
 
     def sigma_x(self) -> float:
         lo, hi = self.extent[:3], self.extent[3:]
@@ -121,8 +125,8 @@ class ReadFitsGeometry(Geometry):
         # factor integrates to 1 as exp(-|z|/hz)/(2 hz)
         self.sigma = self.img / total
         flat = (self.img / self.img.sum()).ravel()
-        self._cdf = jnp.asarray(np.concatenate([[0.0], np.cumsum(flat)]),
-                                jnp.float32)
+        self._cdf = np.asarray(np.concatenate([[0.0], np.cumsum(flat)]),
+                               np.float32)
 
     def _pixel_of(self, x, y):
         i = np.floor((x - self.cx) / self.ps + self.nx / 2.0).astype(int)
@@ -144,7 +148,8 @@ class ReadFitsGeometry(Geometry):
     def generate_position(self, key, n: int):
         k1, k2, k3 = jax.random.split(key, 3)
         u = rng.uniform_open(k1, (n,))
-        pix = jnp.clip(jnp.searchsorted(self._cdf, u, side="right") - 1,
+        pix = jnp.clip(jnp.searchsorted(jnp.asarray(self._cdf), u,
+                                        side="right") - 1,
                        0, self.nx * self.ny - 1)
         i = pix % self.nx
         j = pix // self.nx

@@ -140,18 +140,49 @@ class AdaptiveMeshGrid:
             np.argsort(self.cellnum64[leaf_mask])]
         self.ncells = self.leaf_nodes.size
 
-        # device tables
-        self.lo = jnp.asarray(self.lo64, jnp.float32)
-        self.hi = jnp.asarray(self.hi64, jnp.float32)
-        self.nsub = jnp.asarray(self.nsub64, jnp.int32)
-        self.child_base = jnp.asarray(self.child_base64, jnp.int32)
-        self.child_table = jnp.asarray(self.child_table64, jnp.int32)
-        self.cellnum = jnp.asarray(self.cellnum64, jnp.int32)
-        self.node_of_cell = jnp.asarray(self.leaf_nodes, jnp.int32)
+        # numpy on purpose, exposed via jnp-wrapping properties (axon:
+        # jnp closure constants poison dispatch — grids/cartesian.py note)
+        self._lo_np = np.asarray(self.lo64, np.float32)
+        self._hi_np = np.asarray(self.hi64, np.float32)
+        self._nsub_np = np.asarray(self.nsub64, np.int32)
+        self._child_base_np = np.asarray(self.child_base64, np.int32)
+        self._child_table_np = np.asarray(self.child_table64, np.int32)
+        self._cellnum_np = np.asarray(self.cellnum64, np.int32)
+        self._node_of_cell_np = np.asarray(self.leaf_nodes, np.int32)
 
         # bound on cells crossed per chord: depth * max linear resolution
         res = self.nsub64.max(axis=0).sum() if self.nsub64.size else 3
         self.max_steps = int(4 * res * max(self.max_depth, 1) + 16)
+
+    # -- device-array views --------------------------------------------------
+
+    @property
+    def lo(self):
+        return jnp.asarray(self._lo_np)
+
+    @property
+    def hi(self):
+        return jnp.asarray(self._hi_np)
+
+    @property
+    def nsub(self):
+        return jnp.asarray(self._nsub_np)
+
+    @property
+    def child_base(self):
+        return jnp.asarray(self._child_base_np)
+
+    @property
+    def child_table(self):
+        return jnp.asarray(self._child_table_np)
+
+    @property
+    def cellnum(self):
+        return jnp.asarray(self._cellnum_np)
+
+    @property
+    def node_of_cell(self):
+        return jnp.asarray(self._node_of_cell_np)
 
     # -- host metadata -----------------------------------------------------
 

@@ -51,9 +51,14 @@ class CartesianGrid:
         self.ny = self.yb64.size - 1
         self.nz = self.zb64.size - 1
         self.ncells = self.nx * self.ny * self.nz
-        self.xb = jnp.asarray(self.xb64, jnp.float32)
-        self.yb = jnp.asarray(self.yb64, jnp.float32)
-        self.zb = jnp.asarray(self.zb64, jnp.float32)
+        # stored as NUMPY on purpose: device-array constants captured by a
+        # jitted function permanently degrade the axon TPU runtime to a
+        # ~100 ms-per-dispatch slow path (measured: experiments/
+        # microbench_capture.py); numpy constants are inlined as HLO
+        # literals and stay fast
+        self.xb = np.asarray(self.xb64, np.float32)
+        self.yb = np.asarray(self.yb64, np.float32)
+        self.zb = np.asarray(self.zb64, np.float32)
         self.max_steps = self.nx + self.ny + self.nz + 4
 
         # uniform-spacing fast path: border lookups become arithmetic
@@ -114,10 +119,12 @@ class CartesianGrid:
         iz = cells % self.nz
         iy = (cells // self.nz) % self.ny
         ix = cells // (self.ny * self.nz)
+        xb, yb, zb = (jnp.asarray(self.xb), jnp.asarray(self.yb),
+                      jnp.asarray(self.zb))
         u = jax.random.uniform(key, (cells.shape[0], 3), dtype=jnp.float32)
-        x = self.xb[ix] + u[:, 0] * (self.xb[ix + 1] - self.xb[ix])
-        y = self.yb[iy] + u[:, 1] * (self.yb[iy + 1] - self.yb[iy])
-        z = self.zb[iz] + u[:, 2] * (self.zb[iz + 1] - self.zb[iz])
+        x = xb[ix] + u[:, 0] * (xb[ix + 1] - xb[ix])
+        y = yb[iy] + u[:, 1] * (yb[iy + 1] - yb[iy])
+        z = zb[iz] + u[:, 2] * (zb[iz + 1] - zb[iz])
         return jnp.stack([x, y, z], axis=-1)
 
     # -- device-side protocol ---------------------------------------------
@@ -231,12 +238,72 @@ class CartesianGrid:
             border = jnp.float32(self._lo[axis]) \
                 + nxt.astype(jnp.float32) * jnp.float32(self._dx[axis])
         else:
-            border = borders[nxt]
+            border = jnp.asarray(borders)[nxt]
         t = (border - o) / jnp.where(jnp.abs(d) > 1e-30, d, jnp.float32(1e-30))
         return jnp.where(jnp.abs(d) > 1e-30, t, _BIG)
 
     def position_at(self, origin, direction, t):
         return origin + t[..., None] * direction
+
+    # -- batched all-crossings traversal (engine/vector_traversal.py) ------
+
+    def crossings(self, pos, direction):
+        """All candidate wall-crossing ray parameters, unsorted.
+
+        Returns (t_all (N, S), t_start (N,), t_stop (N,)) with
+        S = nx+ny+nz+3; non-crossings (rays parallel to an axis) are BIG
+        and rays that miss the box get t_start = t_stop = 0.
+        """
+        borders = (self.xb, self.yb, self.zb)
+        t_parts = []
+        t_near = jnp.full(pos.shape[:-1], -_BIG, pos.dtype)
+        t_far = jnp.full(pos.shape[:-1], _BIG, pos.dtype)
+        for axis in range(3):
+            b = jnp.asarray(borders[axis])
+            oa = pos[..., axis]
+            da = direction[..., axis]
+            moving = jnp.abs(da) > 1e-30
+            inv = 1.0 / jnp.where(moving, da, 1.0)
+            t = (b[None, :] - oa[:, None]) * inv[:, None]
+            t_parts.append(jnp.where(moving[:, None], t, _BIG))
+            tlo = t[:, 0]
+            thi = t[:, -1]
+            near = jnp.minimum(tlo, thi)
+            far = jnp.maximum(tlo, thi)
+            in_slab = (oa >= b[0]) & (oa <= b[-1])
+            near = jnp.where(moving, near, jnp.where(in_slab, -_BIG, _BIG))
+            far = jnp.where(moving, far, jnp.where(in_slab, _BIG, -_BIG))
+            t_near = jnp.maximum(t_near, near)
+            t_far = jnp.minimum(t_far, far)
+        t_start = jnp.maximum(t_near, 0.0)
+        hit = (t_start <= t_far) & (t_far > 0)
+        t_start = jnp.where(hit, t_start, 0.0)
+        t_stop = jnp.where(hit, t_far, 0.0)
+        return jnp.concatenate(t_parts, axis=-1), t_start, t_stop
+
+    def _locate_axis(self, axis, x):
+        """Batched per-axis cell index (arithmetic when uniform)."""
+        borders = (self.xb, self.yb, self.zb)[axis]
+        n = (self.nx, self.ny, self.nz)[axis]
+        if self._uniform[axis]:
+            rel = (x - jnp.float32(self._lo[axis])) \
+                * jnp.float32(1.0 / self._dx[axis])
+            idx = jnp.floor(rel).astype(jnp.int32)
+        else:
+            # compare-all beats searchsorted's sequential binary search
+            idx = jnp.sum((x[..., None] >= jnp.asarray(borders)[None, :]),
+                          axis=-1).astype(jnp.int32) - 1
+        return jnp.where((idx >= 0) & (idx < n), idx, -1)
+
+    def locate_batched(self, points):
+        """Flat cell ids for arbitrary-shaped point batches (-1 outside)."""
+        ix = self._locate_axis(0, points[..., 0])
+        iy = self._locate_axis(1, points[..., 1])
+        iz = self._locate_axis(2, points[..., 2])
+        ok = (ix >= 0) & (iy >= 0) & (iz >= 0)
+        return jnp.where(ok, self.flatten_index(jnp.clip(ix, 0),
+                                                jnp.clip(iy, 0),
+                                                jnp.clip(iz, 0)), -1)
 
 
 class TwoPhaseGrid(CartesianGrid):

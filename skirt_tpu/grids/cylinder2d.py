@@ -45,12 +45,25 @@ class Cylinder2DGrid:
         self.ncells = self.nr * self.nz
         # scale so radii are O(1) in device math
         self.scale = float(self.rb64[-1])
-        self.rb = jnp.asarray(self.rb64 / self.scale, jnp.float32)
-        self.rb2 = self.rb * self.rb
-        self.zb = jnp.asarray(self.zb64 / self.scale, jnp.float32)
+        # numpy on purpose (axon — grids/cartesian.py note)
+        self._rb_np = np.asarray(self.rb64 / self.scale, np.float32)
+        self._rb2_np = self._rb_np * self._rb_np
+        self._zb_np = np.asarray(self.zb64 / self.scale, np.float32)
         self.max_steps = 2 * self.nr + self.nz + 4
 
     # -- host-side metadata -----------------------------------------------
+
+    @property
+    def rb(self):
+        return jnp.asarray(self._rb_np)
+
+    @property
+    def rb2(self):
+        return jnp.asarray(self._rb2_np)
+
+    @property
+    def zb(self):
+        return jnp.asarray(self._zb_np)
 
     def bounding_box(self):
         R = self.rb64[-1]

@@ -147,19 +147,47 @@ class OctreeGrid:
         cellnum[self.leaf_nodes] = np.arange(self.ncells)
         self.cellnum64 = cellnum
 
-        # device arrays
-        self.lo = jnp.asarray(self.lo64, jnp.float32)
-        self.hi = jnp.asarray(self.hi64, jnp.float32)
-        self.mid = jnp.asarray(0.5 * (self.lo64 + self.hi64), jnp.float32)
-        self.child = jnp.asarray(self.child64, jnp.int32)
-        self.cellnum = jnp.asarray(cellnum, jnp.int32)
-        self.node_of_cell = jnp.asarray(self.leaf_nodes, jnp.int32)
+        # numpy on purpose, exposed via jnp-wrapping properties: device
+        # -array constants captured by jitted closures poison the axon
+        # runtime (see grids/cartesian.py note)
+        self._lo_np = np.asarray(self.lo64, np.float32)
+        self._hi_np = np.asarray(self.hi64, np.float32)
+        self._mid_np = np.asarray(0.5 * (self.lo64 + self.hi64), np.float32)
+        self._child_np = np.asarray(self.child64, np.int32)
+        self._cellnum_np = np.asarray(cellnum, np.int32)
+        self._node_of_cell_np = np.asarray(self.leaf_nodes, np.int32)
         # traversal bound: crossing the domain can visit many leaves,
         # but never more than every cell
         if linear_depth is None:
             linear_depth = self.max_depth
         self.max_steps = min(4 * (1 << min(linear_depth, 24)) + 8,
                              2 * self.ncells + 8)
+
+    # -- device-array views (traced access inlines HLO literals) ------------
+
+    @property
+    def lo(self):
+        return jnp.asarray(self._lo_np)
+
+    @property
+    def hi(self):
+        return jnp.asarray(self._hi_np)
+
+    @property
+    def mid(self):
+        return jnp.asarray(self._mid_np)
+
+    @property
+    def child(self):
+        return jnp.asarray(self._child_np)
+
+    @property
+    def cellnum(self):
+        return jnp.asarray(self._cellnum_np)
+
+    @property
+    def node_of_cell(self):
+        return jnp.asarray(self._node_of_cell_np)
 
     # -- host metadata -----------------------------------------------------
 
@@ -361,7 +389,11 @@ class BinTreeGrid(OctreeGrid):
         split_axis = np.array([lv % 3 for lv in levels], dtype=np.int64)
         self._finalize(boxes_lo, boxes_hi, levels, children,
                        linear_depth=-(-self.__maxlvl(levels) // 3))
-        self.split_axis = jnp.asarray(split_axis, jnp.int32)
+        self._split_axis_np = np.asarray(split_axis, np.int32)
+
+    @property
+    def split_axis(self):
+        return jnp.asarray(self._split_axis_np)
 
     @staticmethod
     def __maxlvl(levels):

@@ -36,9 +36,19 @@ class Sphere1DGrid:
         self.nr = rb.size - 1
         self.ncells = self.nr
         self.scale = float(rb[-1])
-        self.rb = jnp.asarray(rb / self.scale, jnp.float32)
-        self.rb2 = self.rb * self.rb
+        # numpy on purpose, jnp-wrapping properties (axon: jnp closure
+        # constants poison dispatch — grids/cartesian.py note)
+        self._rb_np = np.asarray(rb / self.scale, np.float32)
+        self._rb2_np = self._rb_np * self._rb_np
         self.max_steps = 2 * self.nr + 4
+
+    @property
+    def rb(self):
+        return jnp.asarray(self._rb_np)
+
+    @property
+    def rb2(self):
+        return jnp.asarray(self._rb2_np)
 
     def bounding_box(self):
         R = self.rb64[-1]

@@ -46,14 +46,27 @@ class Sphere2DGrid:
         self.nt = tb.size - 1
         self.ncells = self.nr * self.nt
         self.scale = float(rb[-1])
-        self.rb = jnp.asarray(rb / self.scale, jnp.float32)
-        self.rb2 = self.rb * self.rb
+        # numpy on purpose (axon — grids/cartesian.py note)
+        self._rb_np = np.asarray(rb / self.scale, np.float32)
+        self._rb2_np = self._rb_np * self._rb_np
         # cone parameters: cos(theta_k); interior borders only (k=1..nt-1)
-        self.costb = jnp.asarray(np.cos(tb), jnp.float32)
+        self._costb_np = np.asarray(np.cos(tb), np.float32)
         self.costb64 = np.cos(tb)
         self.max_steps = 2 * self.nr + 2 * self.nt + 8
 
     # -- host metadata -----------------------------------------------------
+
+    @property
+    def rb(self):
+        return jnp.asarray(self._rb_np)
+
+    @property
+    def rb2(self):
+        return jnp.asarray(self._rb2_np)
+
+    @property
+    def costb(self):
+        return jnp.asarray(self._costb_np)
 
     def bounding_box(self):
         R = self.rb64[-1]

@@ -112,15 +112,40 @@ class VoronoiGrid:
         self.bb_lo64 = bb_lo
         self.bb_hi64 = bb_hi
 
-        # --- device arrays (domain-scaled) -------------------------------
+        # --- numpy tables exposed via jnp-wrapping properties (axon:
+        # jnp closure constants poison dispatch — grids/cartesian.py note)
         inv = 1.0 / self.scale
-        self.sites = jnp.asarray(sites * inv, jnp.float32)
-        self.nbrs = jnp.asarray(nbrs, jnp.int32)
-        self.lo = jnp.asarray(lo * inv, jnp.float32)
-        self.hi = jnp.asarray(hi * inv, jnp.float32)
-        self.bb_lo = jnp.asarray(bb_lo * inv, jnp.float32)
-        self.bb_hi = jnp.asarray(bb_hi * inv, jnp.float32)
+        self._sites_np = np.asarray(sites * inv, np.float32)
+        self._nbrs_np = np.asarray(nbrs, np.int32)
+        self._lo_np = np.asarray(lo * inv, np.float32)
+        self._hi_np = np.asarray(hi * inv, np.float32)
+        self._bb_lo_np = np.asarray(bb_lo * inv, np.float32)
+        self._bb_hi_np = np.asarray(bb_hi * inv, np.float32)
         self.max_steps = 8 * int(np.ceil(self.ncells ** (1.0 / 3.0))) + 16
+
+    @property
+    def sites(self):
+        return jnp.asarray(self._sites_np)
+
+    @property
+    def nbrs(self):
+        return jnp.asarray(self._nbrs_np)
+
+    @property
+    def lo(self):
+        return jnp.asarray(self._lo_np)
+
+    @property
+    def hi(self):
+        return jnp.asarray(self._hi_np)
+
+    @property
+    def bb_lo(self):
+        return jnp.asarray(self._bb_lo_np)
+
+    @property
+    def bb_hi(self):
+        return jnp.asarray(self._bb_hi_np)
 
     # -- host metadata -----------------------------------------------------
 

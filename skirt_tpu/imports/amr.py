@@ -88,9 +88,10 @@ class AdaptiveMeshGeometry(Geometry):
         centers = 0.5 * (self.lo + self.hi)
         self._tree = cKDTree(centers)
         self._maxdiag = float(np.linalg.norm(self.hi - self.lo, axis=1).max())
-        self._lo_dev = jnp.asarray(self.lo, jnp.float32)
-        self._hi_dev = jnp.asarray(self.hi, jnp.float32)
-        self._cdf_dev = jnp.asarray(self._mass_cdf, jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self._lo_dev = np.asarray(self.lo, np.float32)
+        self._hi_dev = np.asarray(self.hi, np.float32)
+        self._cdf_dev = np.asarray(self._mass_cdf, np.float32)
 
     @classmethod
     def from_file(cls, path: str, extent, density_column: int = 0):
@@ -122,10 +123,13 @@ class AdaptiveMeshGeometry(Geometry):
     def generate_position(self, key, n: int):
         k1, k2 = jax.random.split(key)
         u = rng.uniform_open(k1, (n,))
-        i = jnp.clip(jnp.searchsorted(self._cdf_dev, u, side="right") - 1,
+        lo_d = jnp.asarray(self._lo_dev)
+        hi_d = jnp.asarray(self._hi_dev)
+        i = jnp.clip(jnp.searchsorted(jnp.asarray(self._cdf_dev), u,
+                                      side="right") - 1,
                      0, self.lo.shape[0] - 1)
         w = jax.random.uniform(k2, (n, 3), dtype=jnp.float32)
-        return self._lo_dev[i] + w * (self._hi_dev[i] - self._lo_dev[i])
+        return lo_d[i] + w * (hi_d[i] - lo_d[i])
 
     def sigma_x(self) -> float:
         span_lo = self.lo.min(axis=0)

@@ -59,10 +59,11 @@ class SPHParticleGeometry(Geometry):
         self._tree = cKDTree(self.pos)
         self._hmax = float(self.h.max())
         # device arrays for sampling
-        self._pos_dev = jnp.asarray(self.pos, jnp.float32)
-        self._h_dev = jnp.asarray(self.h, jnp.float32)
-        self._cdf = jnp.asarray(
-            np.concatenate([[0.0], np.cumsum(self._w)]), jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self._pos_dev = np.asarray(self.pos, np.float32)
+        self._h_dev = np.asarray(self.h, np.float32)
+        self._cdf = np.asarray(
+            np.concatenate([[0.0], np.cumsum(self._w)]), np.float32)
 
     def density(self, pos):
         """Normalized density (1/m^3): host NumPy path only (setup time)."""
@@ -88,11 +89,13 @@ class SPHParticleGeometry(Geometry):
         """Particle selection by mass + kernel-radius offset (exact)."""
         k1, k2, k3, k4 = jax.random.split(key, 4)
         u = rng.uniform_open(k1, (n,))
-        i = jnp.clip(jnp.searchsorted(self._cdf, u, side="right") - 1,
+        i = jnp.clip(jnp.searchsorted(jnp.asarray(self._cdf), u,
+                                      side="right") - 1,
                      0, self.pos.shape[0] - 1)
         r = self.kernel.generate_radius(rng.uniform_open(k2, (n,)))
         d = rng.isotropic_direction(k3, (n,))
-        return self._pos_dev[i] + (r * self._h_dev[i])[:, None] * d
+        return jnp.asarray(self._pos_dev)[i] \
+            + (r * jnp.asarray(self._h_dev)[i])[:, None] * d
 
     def sigma_x(self) -> float:
         # column through the origin along x, by quadrature of the host density

@@ -59,8 +59,9 @@ class VoronoiMeshGeometry(Geometry):
             raise ValueError("imported Voronoi density field has zero mass")
         self.file_mass = total
         self._rho = vals / total                 # normalized density per cell
-        self._cum = jnp.asarray(np.cumsum(masses) / total, jnp.float32)
-        self._rho_dev = jnp.asarray(self._rho, jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self._cum = np.asarray(np.cumsum(masses) / total, np.float32)
+        self._rho_dev = np.asarray(self._rho, np.float32)
 
     def density(self, pos):
         xp = array_namespace(pos)
@@ -73,12 +74,13 @@ class VoronoiMeshGeometry(Geometry):
             return (rho * inside).reshape(np.shape(pos)[:-1])
         cells = self.grid.locate(pos)
         safe = jnp.maximum(cells, 0)
-        return jnp.where(cells >= 0, self._rho_dev[safe], 0.0)
+        return jnp.where(cells >= 0, jnp.asarray(self._rho_dev)[safe], 0.0)
 
     def generate_position(self, key, n: int):
         k1, k2 = jax.random.split(key)
         u = jax.random.uniform(k1, (n,), dtype=jnp.float32)
-        cells = jnp.clip(jnp.searchsorted(self._cum, u, side="left"),
+        cells = jnp.clip(jnp.searchsorted(jnp.asarray(self._cum), u,
+                                          side="left"),
                          0, self.grid.ncells - 1)
         return self.grid.random_position_in_cell_dev(k2, cells)
 

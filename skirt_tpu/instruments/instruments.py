@@ -50,7 +50,8 @@ class DistantInstrument:
         self.ky = np.array([-cp * ct * cpa - sp * spa,
                             -sp * ct * cpa + cp * spa,
                             st * cpa])
-        self.kobs_dev = jnp.asarray(self.kobs, jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self.kobs_dev = np.asarray(self.kobs, np.float32)
 
     # -- device-side -------------------------------------------------------
 
@@ -59,7 +60,7 @@ class DistantInstrument:
 
         Constant for distant instruments (ref: DistantInstrument::bfkobs).
         """
-        return jnp.broadcast_to(self.kobs_dev, pos.shape)
+        return jnp.broadcast_to(jnp.asarray(self.kobs_dev), pos.shape)
 
     def project(self, pos):
         """Model position -> detector-plane (xp, yp).
@@ -73,6 +74,21 @@ class DistantInstrument:
         xp = cpa * xpp - spa * ypp
         yp = spa * xpp + cpa * ypp
         return xp, yp
+
+
+def _bin_sum(values, ell, nlambda, mask=None):
+    """Per-wavelength-bin sum as a matvec (tree reduction).
+
+    A scatter-add into a handful of bins collides on every lane and XLA
+    serializes it, so float32 error grows ~N*eps (and it is slow); the
+    one-hot matvec reduces pairwise: error ~sqrt(N)*eps and it rides the
+    hardware reduction units.  ref: LockFree::add tallies
+    (SKIRTcore/SimpleInstrument.cpp:34-49) done the TPU way.
+    """
+    oh = (ell[:, None] == jnp.arange(nlambda, dtype=ell.dtype)[None, :])
+    if mask is not None:
+        values = jnp.where(mask, values, 0.0)
+    return oh.astype(values.dtype).T @ values
 
 
 class SEDInstrument(DistantInstrument):
@@ -89,9 +105,10 @@ class SEDInstrument(DistantInstrument):
         return {"Ftot": jnp.zeros((self.nlambda,), jnp.float32)}
 
     def detect(self, tallies, pos, ell, contribution, tags=None):
-        """Scatter the (already extincted) contributions into the tallies."""
+        """Accumulate the (already extincted) contributions into the tallies."""
         tallies = dict(tallies)
-        tallies["Ftot"] = tallies["Ftot"].at[ell].add(contribution, mode="drop")
+        tallies["Ftot"] = tallies["Ftot"] + _bin_sum(contribution, ell,
+                                                     self.nlambda)
         return tallies
 
     # -- output ------------------------------------------------------------
@@ -160,7 +177,8 @@ class SimpleInstrument(FrameInstrument):
 
     def detect(self, tallies, pos, ell, contribution, tags=None):
         tallies = super().detect(tallies, pos, ell, contribution, tags)
-        tallies["Ftot"] = tallies["Ftot"].at[ell].add(contribution, mode="drop")
+        tallies["Ftot"] = tallies["Ftot"] + _bin_sum(contribution, ell,
+                                                     self.nlambda)
         return tallies
 
     def write(self, accumulated, wavelength_grid, units: Units, out_dir: str,
@@ -221,7 +239,7 @@ class FullInstrument(SimpleInstrument):
 
         def add(t, key_f, key_F, mask, value):
             t[key_f] = t[key_f].at[jnp.where(mask, idx, -1)].add(value, mode="drop")
-            t[key_F] = t[key_F].at[jnp.where(mask, ell, -1)].add(value, mode="drop")
+            t[key_F] = t[key_F] + _bin_sum(value, ell, self.nlambda, mask)
             return t
 
         t = dict(tallies)
@@ -248,7 +266,7 @@ class FullInstrument(SimpleInstrument):
                                         ("fV", "FV", v)):
                 val = contribution * ratio
                 t[key_f] = t[key_f].at[idx].add(val, mode="drop")
-                t[key_F] = t[key_F].at[ell].add(val, mode="drop")
+                t[key_F] = t[key_F] + _bin_sum(val, ell, self.nlambda)
         return t
 
     def write(self, accumulated, wavelength_grid, units: Units, out_dir: str,

@@ -39,25 +39,31 @@ class MultiFrameInstrument(DistantInstrument):
         self._npix = [f.nx * f.ny for f in self.frames]
         self._offsets = np.concatenate([[0], np.cumsum(self._npix)])
         # device-side per-frame constants indexed by ell
-        self.psx = jnp.asarray([f.fov_x / f.nx for f in self.frames], jnp.float32)
-        self.psy = jnp.asarray([f.fov_y / f.ny for f in self.frames], jnp.float32)
-        self.xmin = jnp.asarray([f.center_x - f.fov_x / 2 for f in self.frames],
-                                jnp.float32)
-        self.ymin = jnp.asarray([f.center_y - f.fov_y / 2 for f in self.frames],
-                                jnp.float32)
-        self.nxs = jnp.asarray([f.nx for f in self.frames], jnp.int32)
-        self.nys = jnp.asarray([f.ny for f in self.frames], jnp.int32)
-        self.offsets_dev = jnp.asarray(self._offsets[:-1], jnp.int32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self.psx = np.asarray([f.fov_x / f.nx for f in self.frames], np.float32)
+        self.psy = np.asarray([f.fov_y / f.ny for f in self.frames], np.float32)
+        self.xmin = np.asarray([f.center_x - f.fov_x / 2 for f in self.frames],
+                               np.float32)
+        self.ymin = np.asarray([f.center_y - f.fov_y / 2 for f in self.frames],
+                               np.float32)
+        self.nxs = np.asarray([f.nx for f in self.frames], np.int32)
+        self.nys = np.asarray([f.ny for f in self.frames], np.int32)
+        self.offsets_dev = np.asarray(self._offsets[:-1], np.int32)
 
     def zero_tallies(self):
         return {"ftot": jnp.zeros((int(self._offsets[-1]),), jnp.float32)}
 
     def detect(self, tallies, pos, ell, contribution, tags=None):
         xp, yp = self.project(pos)
-        i = jnp.floor((xp - self.xmin[ell]) / self.psx[ell]).astype(jnp.int32)
-        j = jnp.floor((yp - self.ymin[ell]) / self.psy[ell]).astype(jnp.int32)
-        ok = (i >= 0) & (i < self.nxs[ell]) & (j >= 0) & (j < self.nys[ell])
-        idx = jnp.where(ok, self.offsets_dev[ell] + i + self.nxs[ell] * j, -1)
+        xmin = jnp.asarray(self.xmin)[ell]
+        ymin = jnp.asarray(self.ymin)[ell]
+        nxs = jnp.asarray(self.nxs)[ell]
+        nys = jnp.asarray(self.nys)[ell]
+        i = jnp.floor((xp - xmin) / jnp.asarray(self.psx)[ell]).astype(jnp.int32)
+        j = jnp.floor((yp - ymin) / jnp.asarray(self.psy)[ell]).astype(jnp.int32)
+        ok = (i >= 0) & (i < nxs) & (j >= 0) & (j < nys)
+        idx = jnp.where(ok, jnp.asarray(self.offsets_dev)[ell] + i + nxs * j,
+                        -1)
         tallies = dict(tallies)
         tallies["ftot"] = tallies["ftot"].at[idx].add(contribution, mode="drop")
         return tallies

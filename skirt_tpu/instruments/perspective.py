@@ -45,29 +45,32 @@ class PerspectiveInstrument:
         self.ky = ky
         self.kz = -n  # viewing direction from the eye
 
-        self.eye_dev = jnp.asarray(self.eye, jnp.float32)
-        self.kx_dev = jnp.asarray(kx, jnp.float32)
-        self.ky_dev = jnp.asarray(ky, jnp.float32)
-        self.kz_dev = jnp.asarray(self.kz, jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch);
+        # device methods wrap with jnp.asarray (inlined HLO literals)
+        self.eye_dev = np.asarray(self.eye, np.float32)
+        self.kx_dev = np.asarray(kx, np.float32)
+        self.ky_dev = np.asarray(ky, np.float32)
+        self.kz_dev = np.asarray(self.kz, np.float32)
 
     # -- device-side -------------------------------------------------------
 
     def observer_direction(self, pos):
         """Unit vector from each position toward the eye (ref: bfkobs)."""
-        rel = self.eye_dev - pos
+        rel = jnp.asarray(self.eye_dev) - pos
         d = jnp.linalg.norm(rel, axis=-1, keepdims=True)
         return rel / jnp.maximum(d, 1e-30)
 
     def observer_distance(self, pos):
         """Path-length cap for extinction: the axial eye distance."""
-        rel = pos - self.eye_dev
-        return jnp.maximum(jnp.sum(rel * self.kz_dev, axis=-1), 0.0)
+        rel = pos - jnp.asarray(self.eye_dev)
+        return jnp.maximum(jnp.sum(rel * jnp.asarray(self.kz_dev), axis=-1),
+                           0.0)
 
     def _project(self, pos):
-        rel = pos - self.eye_dev
-        xe = jnp.sum(rel * self.kx_dev, axis=-1)
-        ye = jnp.sum(rel * self.ky_dev, axis=-1)
-        ze = jnp.sum(rel * self.kz_dev, axis=-1)
+        rel = pos - jnp.asarray(self.eye_dev)
+        xe = jnp.sum(rel * jnp.asarray(self.kx_dev), axis=-1)
+        ye = jnp.sum(rel * jnp.asarray(self.ky_dev), axis=-1)
+        ze = jnp.sum(rel * jnp.asarray(self.kz_dev), axis=-1)
         return xe, ye, ze
 
     def pixel(self, pos):

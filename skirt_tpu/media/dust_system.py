@@ -126,12 +126,18 @@ class DustSystem:
         self.rho64 = rho                               # (Ncomp, Ncells) kg/m^3
         self.masses = np.array([c.mass() for c in self.components])
 
-        # device arrays
-        self.rho = jnp.asarray(rho, jnp.float32)
-        self.kappaext = jnp.stack([c.mix.kappaext for c in self.components])
-        self.kappasca = jnp.stack([c.mix.kappasca for c in self.components])
-        self.kappaabs = jnp.stack([c.mix.kappaabs for c in self.components])
-        self.g = jnp.stack([c.mix.g for c in self.components])
+        # numpy on purpose: jnp constants captured by jitted closures
+        # poison the axon runtime (see grids/cartesian.py note); traced code
+        # wraps these with jnp.asarray so they inline as HLO literals
+        self.rho = np.asarray(rho, np.float32)
+        self.kappaext = np.stack([np.asarray(c.mix.kappaext, np.float32)
+                                  for c in self.components])
+        self.kappasca = np.stack([np.asarray(c.mix.kappasca, np.float32)
+                                  for c in self.components])
+        self.kappaabs = np.stack([np.asarray(c.mix.kappaabs, np.float32)
+                                  for c in self.components])
+        self.g = np.stack([np.asarray(c.mix.g, np.float32)
+                           for c in self.components])
 
     @property
     def mueller(self):
@@ -187,7 +193,8 @@ class DustSystem:
             safe = jnp.clip(cell, 0)
             kr = 0.0
             for h in range(self.ncomp):
-                kr = kr + self.kappaext[h, ell] * self.rho[h, safe]
+                kr = kr + jnp.asarray(self.kappaext)[h, ell] \
+                * jnp.asarray(self.rho)[h, safe]
             return jnp.where(cell >= 0, kr, 0.0)
         return fn
 
@@ -198,16 +205,19 @@ class DustSystem:
         The per-wavelength gathers are loop-invariant (ell is fixed per
         packet), and gathers dominate the TPU traversal cost.
         """
-        return ([self.kappasca[h, ell] for h in range(self.ncomp)],
-                [self.kappaext[h, ell] for h in range(self.ncomp)])
+        ksca = jnp.asarray(self.kappasca)
+        kext = jnp.asarray(self.kappaext)
+        return ([ksca[h, ell] for h in range(self.ncomp)],
+                [kext[h, ell] for h in range(self.ncomp)])
 
     def ksca_kext_from(self, cell, ksca_pk, kext_pk):
         """Like ksca_kext but with prefetched per-packet kappas."""
         safe = jnp.clip(cell, 0)
+        rho = jnp.asarray(self.rho)
         ksca = 0.0
         kext = 0.0
         for h in range(self.ncomp):
-            rho_h = self.rho[h, safe]
+            rho_h = rho[h, safe]
             ksca = ksca + ksca_pk[h] * rho_h
             kext = kext + kext_pk[h] * rho_h
         valid = cell >= 0
@@ -217,21 +227,25 @@ class DustSystem:
         """kapparho closure with prefetched per-packet kappas."""
         def fn(cell):
             safe = jnp.clip(cell, 0)
+            rho = jnp.asarray(self.rho)
             kr = 0.0
             for h in range(self.ncomp):
-                kr = kr + kext_pk[h] * self.rho[h, safe]
+                kr = kr + kext_pk[h] * rho[h, safe]
             return jnp.where(cell >= 0, kr, 0.0)
         return fn
 
     def ksca_kext(self, cell, ell):
         """Per-packet (kappasca*rho, kappaext*rho) summed over components."""
         safe = jnp.clip(cell, 0)
+        rho = jnp.asarray(self.rho)
+        ksca_t = jnp.asarray(self.kappasca)
+        kext_t = jnp.asarray(self.kappaext)
         ksca = 0.0
         kext = 0.0
         for h in range(self.ncomp):
-            rho_h = self.rho[h, safe]
-            ksca = ksca + self.kappasca[h, ell] * rho_h
-            kext = kext + self.kappaext[h, ell] * rho_h
+            rho_h = rho[h, safe]
+            ksca = ksca + ksca_t[h, ell] * rho_h
+            kext = kext + kext_t[h, ell] * rho_h
         valid = cell >= 0
         return jnp.where(valid, ksca, 0.0), jnp.where(valid, kext, 0.0)
 
@@ -247,7 +261,9 @@ class DustSystem:
     def _component_weights(self, cell, ell):
         """Per-component scattering weights kappasca_h * rho_h (list of arrays)."""
         safe = jnp.clip(cell, 0)
-        return [self.kappasca[h, ell] * self.rho[h, safe]
+        ksca_t = jnp.asarray(self.kappasca)
+        rho = jnp.asarray(self.rho)
+        return [ksca_t[h, ell] * rho[h, safe]
                 for h in range(self.ncomp)]
 
     def phase_value(self, cell, ell, cosalpha):
@@ -273,14 +289,14 @@ class DustSystem:
         probability ∝ kappasca_h * rho_h.
         """
         if self.ncomp == 1:
-            return self.g[0, ell]
+            return jnp.asarray(self.g)[0, ell]
         import jax
         wv = self._component_weights(cell, ell)
         total = sum(wv)
         u = jax.random.uniform(key, ell.shape) * jnp.maximum(total, 1e-30)
-        g = self.g[0, ell]
+        g = jnp.asarray(self.g)[0, ell]
         acc = wv[0]
         for h in range(1, self.ncomp):
-            g = jnp.where(u > acc, self.g[h, ell], g)
+            g = jnp.where(u > acc, jnp.asarray(self.g)[h, ell], g)
             acc = acc + wv[h]
         return g

@@ -45,13 +45,14 @@ class GreyBodyEmissivity:
         self.Tv64 = Tv
         self.planckabs64 = planckabs
 
-        self.Tv = jnp.asarray(Tv, jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self.Tv = np.asarray(Tv, np.float32)
         # log-space for dynamic range (planckabs spans ~1e-30..1e10)
-        self.log_planckabs = jnp.asarray(
-            np.log(np.maximum(planckabs, 1e-300)), jnp.float32)
-        self.Btab = jnp.asarray(Btab, jnp.float32)
-        self.kappaabs = mix.kappaabs
-        self.dlambda = jnp.asarray(dlam, jnp.float32)
+        self.log_planckabs = np.asarray(
+            np.log(np.maximum(planckabs, 1e-300)), np.float32)
+        self.Btab = np.asarray(Btab, np.float32)
+        self.kappaabs = np.asarray(mix.kappaabs, np.float32)
+        self.dlambda = np.asarray(dlam, np.float32)
 
     def equilibrium_T(self, absorbed_per_mass):
         """Equilibrium temperature for absorbed power per unit dust mass.
@@ -60,12 +61,14 @@ class GreyBodyEmissivity:
         ref: DustMix::equilibrium + invplanckabs.
         """
         la = jnp.log(jnp.maximum(absorbed_per_mass, 1e-37))
-        i = jnp.clip(jnp.searchsorted(self.log_planckabs, la, side="right") - 1,
-                     0, self.log_planckabs.shape[0] - 2)
-        l0 = self.log_planckabs[i]
-        l1 = self.log_planckabs[i + 1]
+        lp = jnp.asarray(self.log_planckabs)
+        Tv = jnp.asarray(self.Tv)
+        i = jnp.clip(jnp.searchsorted(lp, la, side="right") - 1,
+                     0, lp.shape[0] - 2)
+        l0 = lp[i]
+        l1 = lp[i + 1]
         t = jnp.clip((la - l0) / jnp.maximum(l1 - l0, 1e-30), 0.0, 1.0)
-        return self.Tv[i] + t * (self.Tv[i + 1] - self.Tv[i])
+        return Tv[i] + t * (Tv[i + 1] - Tv[i])
 
     def emissivity_fractions(self, absorbed_per_mass):
         """Normalized per-bin emission fractions for each input cell.
@@ -75,13 +78,15 @@ class GreyBodyEmissivity:
         ref: GreyBodyDustEmissivity::emissivity + DustLib normalization.
         """
         la = jnp.log(jnp.maximum(absorbed_per_mass, 1e-37))
-        i = jnp.clip(jnp.searchsorted(self.log_planckabs, la, side="right") - 1,
-                     0, self.log_planckabs.shape[0] - 2)
-        l0 = self.log_planckabs[i]
-        l1 = self.log_planckabs[i + 1]
+        lp = jnp.asarray(self.log_planckabs)
+        Btab = jnp.asarray(self.Btab)
+        i = jnp.clip(jnp.searchsorted(lp, la, side="right") - 1,
+                     0, lp.shape[0] - 2)
+        l0 = lp[i]
+        l1 = lp[i + 1]
         t = jnp.clip((la - l0) / jnp.maximum(l1 - l0, 1e-30), 0.0, 1.0)
         # interpolate the Planck table rows, then weight by kappaabs dlambda
-        B = self.Btab[i] + t[..., None] * (self.Btab[i + 1] - self.Btab[i])
-        j = B * self.kappaabs * self.dlambda
+        B = Btab[i] + t[..., None] * (Btab[i + 1] - Btab[i])
+        j = B * jnp.asarray(self.kappaabs) * jnp.asarray(self.dlambda)
         total = jnp.sum(j, axis=-1, keepdims=True)
         return j / jnp.maximum(total, 1e-37)

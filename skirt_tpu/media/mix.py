@@ -46,11 +46,13 @@ class DustMix:
                                      self.kappasca64 / self.kappaext64, 0.0)
         self.g64 = np.asarray(g, dtype=np.float64)
 
-        self.kappaabs = jnp.asarray(self.kappaabs64, jnp.float32)
-        self.kappasca = jnp.asarray(self.kappasca64, jnp.float32)
-        self.kappaext = jnp.asarray(self.kappaext64, jnp.float32)
-        self.albedo = jnp.asarray(self.albedo64, jnp.float32)
-        self.g = jnp.asarray(self.g64, jnp.float32)
+        # numpy on purpose: jnp constants captured by jitted closures
+        # poison the axon runtime (see grids/cartesian.py note)
+        self.kappaabs = np.asarray(self.kappaabs64, np.float32)
+        self.kappasca = np.asarray(self.kappasca64, np.float32)
+        self.kappaext = np.asarray(self.kappaext64, np.float32)
+        self.albedo = np.asarray(self.albedo64, np.float32)
+        self.g = np.asarray(self.g64, np.float32)
 
     # -- scattering (device side) -----------------------------------------
 
@@ -60,7 +62,7 @@ class DustMix:
         ref: SKIRTcore/DustMix.cpp:648-671 phaseFunctionValue:
         (1-g^2) / (1 + g^2 - 2 g cos a)^{3/2}.
         """
-        g = self.g[ell]
+        g = jnp.asarray(self.g)[ell]
         t = 1.0 + g * g - 2.0 * g * cosalpha
         return (1.0 - g) * (1.0 + g) / jnp.sqrt(t * t * t)
 
@@ -70,7 +72,7 @@ class DustMix:
         ref: SKIRTcore/DustMix.cpp scatteringDirectionAndPolarization (the
         unpolarized branch): f = (1-g^2)/(1-g+2gX), cos t = (1+g^2-f^2)/2g.
         """
-        g = self.g[ell]
+        g = jnp.asarray(self.g)[ell]
         u = rng.uniform_open(key, ell.shape)
         f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u)
         cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(jnp.abs(g) < 1e-6, 1.0, g))

@@ -89,11 +89,12 @@ class MuellerTables:
         self.thetav64 = np.asarray(thetav, dtype=np.float64)
         self.ntheta = self.thetav64.size
         S11 = np.asarray(S11, dtype=np.float64)
-        self.S11 = jnp.asarray(S11, jnp.float32)
-        self.S12 = jnp.asarray(S12, jnp.float32)
-        self.S33 = jnp.asarray(S33, jnp.float32)
-        self.S34 = jnp.asarray(S34, jnp.float32)
-        self.thetav = jnp.asarray(self.thetav64, jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self.S11 = np.asarray(S11, np.float32)
+        self.S12 = np.asarray(S12, np.float32)
+        self.S33 = np.asarray(S33, np.float32)
+        self.S34 = np.asarray(S34, np.float32)
+        self.thetav = np.asarray(self.thetav64, np.float32)
 
         # per-wavelength theta CDF ~ S11 sin(theta) (ref: DustMix.cpp:716)
         w = S11 * np.sin(self.thetav64)[None, :]
@@ -102,12 +103,12 @@ class MuellerTables:
                                         * np.diff(self.thetav64), axis=1)],
                              axis=1)
         total = cdf[:, -1:]
-        self.theta_cdf = jnp.asarray(cdf / np.maximum(total, 1e-300),
-                                     jnp.float32)
+        self.theta_cdf = np.asarray(cdf / np.maximum(total, 1e-300),
+                                    np.float32)
         # phase function normalization: mean of S11 over solid angle = 1/N
         # (ref: _pfnormv) — N = 2 / int S11 sin dtheta
-        self.pfnorm = jnp.asarray(
-            2.0 / np.maximum(total[:, 0], 1e-300), jnp.float32)
+        self.pfnorm = np.asarray(
+            2.0 / np.maximum(total[:, 0], 1e-300), np.float32)
 
     def theta_index(self, theta):
         """ref: DustMix.cpp indexForTheta."""
@@ -118,21 +119,24 @@ class MuellerTables:
     def sample_theta(self, key, ell):
         """Sample theta from the S11 sin(theta) distribution per packet."""
         u = rng.uniform_open(key, ell.shape)
-        rows = self.theta_cdf[ell]                    # (N, ntheta)
+        rows = jnp.asarray(self.theta_cdf)[ell]       # (N, ntheta)
         i = jnp.clip(jnp.sum((rows <= u[:, None]).astype(jnp.int32), axis=1) - 1,
                      0, self.ntheta - 2)
-        c0 = jnp.take_along_axis(rows, i[:, None], axis=1)[:, 0]
-        c1 = jnp.take_along_axis(rows, (i + 1)[:, None], axis=1)[:, 0]
+        sel0 = jnp.arange(rows.shape[1])[None, :] == i[:, None]
+        sel1 = jnp.arange(rows.shape[1])[None, :] == (i + 1)[:, None]
+        c0 = jnp.sum(jnp.where(sel0, rows, 0), axis=1)
+        c1 = jnp.sum(jnp.where(sel1, rows, 0), axis=1)
         t = (u - c0) / jnp.maximum(c1 - c0, 1e-30)
-        return self.thetav[i] + t * (self.thetav[i + 1] - self.thetav[i])
+        tv = jnp.asarray(self.thetav)
+        return tv[i] + t * (tv[i + 1] - tv[i])
 
     def sample_phi(self, key, ell, theta, pol_degree, pol_angle):
         """Sample phi from 1 + p (S12/S11) cos(2(phi - gamma)) by Newton
         inversion of the analytic CDF (ref: DustMix::samplePhi).
         """
         t = self.theta_index(theta)
-        S11 = self.S11[ell, t]
-        S12 = self.S12[ell, t]
+        S11 = jnp.asarray(self.S11)[ell, t]
+        S12 = jnp.asarray(self.S12)[ell, t]
         ratio = jnp.where(S11 > 0, S12 / jnp.maximum(S11, 1e-30), 0.0)
         a = pol_degree * ratio
         u = rng.uniform_open(key, ell.shape)
@@ -148,8 +152,8 @@ class MuellerTables:
 
     def lookup(self, ell, theta):
         t = self.theta_index(theta)
-        return (self.S11[ell, t], self.S12[ell, t],
-                self.S33[ell, t], self.S34[ell, t])
+        return (jnp.asarray(self.S11)[ell, t], jnp.asarray(self.S12)[ell, t],
+                jnp.asarray(self.S33)[ell, t], jnp.asarray(self.S34)[ell, t])
 
 
 def thomson_mueller(nlambda: int, ntheta: int = 181) -> MuellerTables:

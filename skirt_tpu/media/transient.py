@@ -74,18 +74,19 @@ class _PopulationTables:
             CR[i] = np.sum(sigma * Btab[i] * dlam) / (Hv[i] - Hv[i - 1])
 
         self.Tv = Tv
-        self.Tv_dev = jnp.asarray(Tv, jnp.float32)
-        self.HR = jnp.asarray(HR, jnp.float32)
-        self.ELL = jnp.asarray(np.maximum(ELL, 0), jnp.int32)
-        self.ELL_valid = jnp.asarray(ELL >= 0)
-        self.CR = jnp.asarray(CR, jnp.float32)
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self.Tv_dev = np.asarray(Tv, np.float32)
+        self.HR = np.asarray(HR, np.float32)
+        self.ELL = np.asarray(np.maximum(ELL, 0), np.int32)
+        self.ELL_valid = np.asarray(ELL >= 0)
+        self.CR = np.asarray(CR, np.float32)
         # emission table: sigma_abs(ell) * B_i(ell), scaled per grain
-        self.emis = jnp.asarray(sigma[None, :] * Btab, jnp.float32)  # (NT, Nl)
+        self.emis = np.asarray(sigma[None, :] * Btab, np.float32)  # (NT, Nl)
         # per-grain equilibrium solve table: planckabs(T_i) = int sigma B dlam
         planckabs = np.einsum("l,il,l->i", sigma, Btab, dlam)
-        self.log_planckabs = jnp.asarray(
-            np.log(np.maximum(planckabs, 1e-300)), jnp.float32)
-        self.sigma_dlam = jnp.asarray(sigma * dlam, jnp.float32)
+        self.log_planckabs = np.asarray(
+            np.log(np.maximum(planckabs, 1e-300)), np.float32)
+        self.sigma_dlam = np.asarray(sigma * dlam, np.float32)
 
 
 class TransientEmissivity:
@@ -104,7 +105,7 @@ class TransientEmissivity:
         for tab, p in zip(self.pops, mix.populations):
             # number of grains of this population per kg of total dust
             tab.grains_per_kg_dust = (p.mu / mix.mu) / p.mean_mass
-        self.dlambda = jnp.asarray(mix.wavelength_grid.dlambdav, jnp.float32)
+        self.dlambda = np.asarray(mix.wavelength_grid.dlambdav, np.float32)
 
     def _probabilities(self, tab: _PopulationTables, J):
         """Occupation probabilities for a chunk of cells.
@@ -115,8 +116,9 @@ class TransientEmissivity:
         C = J.shape[0]
         NT = self.NT
         # transition matrix: A[f, i] = HR[f, i] * J[ell(f, i)] for f > i
-        Jg = J[:, tab.ELL.reshape(-1)].reshape(C, NT, NT)
-        A = tab.HR[None] * jnp.where(tab.ELL_valid[None], Jg, 0.0)
+        Jg = J[:, jnp.asarray(tab.ELL).reshape(-1)].reshape(C, NT, NT)
+        A = jnp.asarray(tab.HR)[None] * jnp.where(
+            jnp.asarray(tab.ELL_valid)[None], Jg, 0.0)
         # cumulative over f (reversed cumsum along axis 1)
         B = jnp.flip(jnp.cumsum(jnp.flip(A, axis=1), axis=1), axis=1)
 
@@ -126,7 +128,7 @@ class TransientEmissivity:
         def body(i, P):
             mask = (jnp.arange(NT) < i).astype(jnp.float32)
             s = jnp.einsum("cj,cj->c", B[:, i, :], P * mask[None, :])
-            Pi = s / jnp.maximum(tab.CR[i], 1e-37)
+            Pi = s / jnp.maximum(jnp.asarray(tab.CR)[i], 1e-37)
             P = P.at[:, i].set(Pi)
             # rescale to avoid overflow (ref: calcprobs rescale)
             big = Pi > 1e10
@@ -145,18 +147,20 @@ class TransientEmissivity:
         Batched replacement for TDE_Calculator::addequilibrium: the
         equilibrium emissivity is a lerp of adjacent Btab rows.
         """
-        absorbed = J @ tab.sigma_dlam                      # (C,)
+        absorbed = J @ jnp.asarray(tab.sigma_dlam)         # (C,)
         la = jnp.log(jnp.maximum(absorbed, 1e-37))
-        i = jnp.clip(jnp.searchsorted(tab.log_planckabs, la, side="right") - 1,
-                     0, tab.log_planckabs.shape[0] - 2)
-        l0 = tab.log_planckabs[i]
-        l1 = tab.log_planckabs[i + 1]
+        lp = jnp.asarray(tab.log_planckabs)
+        i = jnp.clip(jnp.searchsorted(lp, la, side="right") - 1,
+                     0, lp.shape[0] - 2)
+        l0 = lp[i]
+        l1 = lp[i + 1]
         t = jnp.clip((la - l0) / jnp.maximum(l1 - l0, 1e-30), 0.0, 1.0)
         NT = self.NT
         W = (jnp.zeros((J.shape[0], NT), jnp.float32)
              .at[jnp.arange(J.shape[0]), i].set(1.0 - t)
              .at[jnp.arange(J.shape[0]), i + 1].set(t))
-        Teq = tab.Tv_dev[i] + t * (tab.Tv_dev[i + 1] - tab.Tv_dev[i])
+        Tvd = jnp.asarray(tab.Tv_dev)
+        Teq = Tvd[i] + t * (Tvd[i + 1] - Tvd[i])
         return Teq, W
 
     def emissivity_per_mass(self, J):
@@ -176,18 +180,19 @@ class TransientEmissivity:
             # support range of the transient distribution
             thresh = 1e-20 * jnp.max(P, axis=1, keepdims=True)
             covered = P > thresh
-            Tmin = jnp.min(jnp.where(covered, tab.Tv_dev[None, :], jnp.inf),
+            Tvd = jnp.asarray(tab.Tv_dev)
+            Tmin = jnp.min(jnp.where(covered, Tvd[None, :], jnp.inf),
                            axis=1)
-            Tmax = jnp.max(jnp.where(covered, tab.Tv_dev[None, :], -jnp.inf),
+            Tmax = jnp.max(jnp.where(covered, Tvd[None, :], -jnp.inf),
                            axis=1)
             use_eq = ((Tmax - Tmin < self.DELTA_T_EQ)
                       | (Teq < Tmin) | (Teq > Tmax))
             Psel = jnp.where(use_eq[:, None], W, P)
-            e = e + tab.grains_per_kg_dust * (Psel @ tab.emis)
+            e = e + tab.grains_per_kg_dust * (Psel @ jnp.asarray(tab.emis))
         return e
 
     def fractions_from_J(self, J):
         """Normalized per-bin emission fractions (rows sum to 1)."""
-        e = self.emissivity_per_mass(J) * self.dlambda
+        e = self.emissivity_per_mass(J) * jnp.asarray(self.dlambda)
         total = jnp.sum(e, axis=1, keepdims=True)
         return e / jnp.maximum(total, 1e-37)

@@ -79,9 +79,11 @@ def make_slab_optical_depth(mesh: Mesh, grid, kapparho_of_cell,
     single-device traversal.optical_depth to float32 accuracy.
     """
     ndev = mesh.devices.size
-    planes = jnp.asarray(slab_planes(grid, ndev), jnp.float32)
+    import numpy as np
+    planes_np = np.asarray(slab_planes(grid, ndev), np.float32)
 
     def per_device(pos, direction):
+        planes = jnp.asarray(planes_np)
         idx = jax.lax.axis_index(SLAB_AXIS)
         xlo = planes[idx]
         xhi = planes[idx + 1]

@@ -154,11 +154,12 @@ class StellarSystem:
         self.Ltot = float(self.Lv.sum())
         with np.errstate(invalid="ignore", divide="ignore"):
             cdf = np.cumsum(Lvv, axis=0) / np.where(self.Lv > 0, self.Lv, 1.0)
-        self.comp_cdf = jnp.asarray(
+        # numpy on purpose (axon: jnp closure constants poison dispatch)
+        self.comp_cdf = np.asarray(
             np.concatenate([np.zeros((1, self.Lv.size)), cdf], axis=0).T,
-            jnp.float32)                                           # (Nl, Ncomp+1)
-        self.Lvv_dev = jnp.asarray(Lvv, jnp.float32)
-        self.Lv_dev = jnp.asarray(self.Lv, jnp.float32)
+            np.float32)                                            # (Nl, Ncomp+1)
+        self.Lvv_dev = np.asarray(Lvv, np.float32)
+        self.Lv_dev = np.asarray(self.Lv, np.float32)
 
     def luminosity(self, ell: int) -> float:
         return float(self.Lv[ell])
@@ -202,15 +203,15 @@ class StellarSystem:
         h_uni = jnp.clip((self.ncomp * X / xi).astype(jnp.int32), 0, self.ncomp - 1)
         # luminosity branch: CDF per wavelength
         Xl = (X - xi) / (1.0 - xi)
-        cdf_rows = self.comp_cdf[ell]                    # (N, Ncomp+1)
+        cdf_rows = jnp.asarray(self.comp_cdf)[ell]       # (N, Ncomp+1)
         h_lum = jnp.clip(
             jnp.sum((cdf_rows[:, 1:-1] <= Xl[:, None]).astype(jnp.int32), axis=1),
             0, self.ncomp - 1)
         h = jnp.where(X < xi, h_uni, h_lum)
 
         # compensating weight: 1 / (1 - xi + xi * Lmean / Lh)
-        Lh = self.Lvv_dev[h, ell]
-        Lmean = self.Lv_dev[ell] / self.ncomp
+        Lh = jnp.asarray(self.Lvv_dev)[h, ell]
+        Lmean = jnp.asarray(self.Lv_dev)[ell] / self.ncomp
         weight = 1.0 / (1.0 - xi + xi * Lmean / jnp.maximum(Lh, 1e-37))
         weight = jnp.where(Lh > 0, weight, 0.0)
 
