@@ -33,6 +33,10 @@ def main():
     from __graft_entry__ import _build
 
     # env overrides for profiling experiments (defaults = headline config)
+    # NOTE on sizing: throughput is currently flat in batch size (the
+    # lifecycle is gather-bound, cost scales ~linearly with N), so the
+    # batch is kept modest; dispatches > ~2 minutes can crash the tunneled
+    # TPU worker.
     packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "17"))
     run_batch, zero_tallies, ell, L0 = _build(
         nlambda=int(os.environ.get("BENCH_NLAMBDA", "4")),
@@ -46,21 +50,36 @@ def main():
 
     key = jax.random.key(4357)
 
-    fn = jax.jit(lambda k, e, l: run_batch(k, e, l, zero_tallies()))
+    # amortize the fixed per-dispatch latency (dominant on the tunneled
+    # TPU) by folding several batches into one compiled call
+    from skirt_tpu.engine.lifecycle import make_multibatch
+    nbatches = int(os.environ.get("BENCH_DISPATCH_BATCHES", "1"))
+    run_many = make_multibatch(run_batch, nbatches)
+    fn = jax.jit(lambda k, e, l: run_many(k, e, l, zero_tallies()))
+
+    def sync(o):
+        # jax.block_until_ready is a NO-OP on the tunneled (axon) TPU
+        # backend — it returns before execution finishes and would time
+        # only the enqueue.  A device-to-host fetch of a small output leaf
+        # is the only reliable barrier: the leaf's value requires the whole
+        # dispatched program (all folded batches) to have completed.
+        return float(np.asarray(o["instruments"][0]["Ftot"]).sum())
 
     # warm up / compile
     out = fn(key, ell, L0)
-    jax.block_until_ready(out)
+    sync(out)
 
-    # timed runs
+    # timed runs: enqueue nrep dispatches (they execute back-to-back on
+    # device), then fetch once — the fetch waits for the last program
     nrep = 5
     t0 = time.perf_counter()
     for i in range(nrep):
         out = fn(jax.random.fold_in(key, i), ell, L0)
-    jax.block_until_ready(out)
+    total = sync(out)
     dt = time.perf_counter() - t0
+    assert np.isfinite(total)
 
-    pps = packets * nrep / dt
+    pps = packets * nbatches * nrep / dt
     baseline = 1.6e6
     print(json.dumps({
         "metric": "photon_packets_per_second_per_chip",

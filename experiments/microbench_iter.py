@@ -12,13 +12,20 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _sync(out):
+    # block_until_ready is a NO-OP on the tunneled axon backend; a
+    # device-to-host fetch is the only reliable execution barrier
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf).ravel()[:1]
+
+
 def timeit(fn, *args, nrep=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(nrep):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / nrep
 
 
@@ -26,7 +33,7 @@ def main():
     S = 85
     ncells = 32 * 32 * 16
     nl = 4
-    for logn in (17, 19):
+    for logn in (20, 22):
         n = 1 << logn
         key = jax.random.key(0)
         t = jax.random.uniform(key, (n, S), jnp.float32)

@@ -51,6 +51,32 @@ class LifecycleOptions:
                                      # 3*S*N words)
 
 
+def make_multibatch(run_batch, nbatches: int, key_fn=None):
+    """Fold `nbatches` lifecycle batches into ONE jittable dispatch.
+
+    Dispatch latency (host -> device, or host -> tunnel -> device) is a
+    fixed cost per jit call; at production batch sizes it rivals the
+    compute itself.  This wrapper runs `nbatches` consecutive batches in a
+    single `lax.fori_loop`, re-deriving each batch's RNG key with
+    `key_fn(key, b)` (default: `jax.random.fold_in`) and accumulating the
+    tallies functionally — the per-batch results are identical to
+    `nbatches` separate dispatches with the same keys, up to float32
+    accumulation order.
+
+    Returns run_many(key, ell, L0, tallies) -> tallies.
+    """
+    import jax as _jax
+
+    kf = key_fn if key_fn is not None else _jax.random.fold_in
+
+    def run_many(key, ell, L0, tallies):
+        def body(b, t):
+            return run_batch(kf(key, b), ell, L0, t)
+        return _jax.lax.fori_loop(0, nbatches, body, tallies)
+
+    return run_many
+
+
 def begin_traversal(grid, pos, direction):
     """Traversal state from an arbitrary position: inside -> start, outside
     -> advance to the domain entry (ref: DustGridPath::moveInside)."""

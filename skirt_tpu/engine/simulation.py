@@ -39,7 +39,8 @@ class OligoSimulation:
                  prefix: str = "skirt_tpu", write_convergence: bool = False,
                  write_density: bool = False, write_depth_map: bool = False,
                  checkpoint_every: int = 0,
-                 use_mesh: bool | None = None, compaction_iterations: int = 0):
+                 use_mesh: bool | None = None, compaction_iterations: int = 0,
+                 dispatch_batches: int = 8):
         self.stellar_system = stellar_system
         self.instruments = list(instruments)
         self.dust_system = dust_system
@@ -73,10 +74,26 @@ class OligoSimulation:
                          if dust_system is not None else None)
         self._run_batch = None
         if grid is not None or True:
-            self._run_batch = jax.jit(make_lifecycle(
+            self._lifecycle = make_lifecycle(
                 grid, dust_system, stellar_system, self.instruments,
-                self.options, self.nlambda, mueller=self._mueller),
-                donate_argnums=(3,))
+                self.options, self.nlambda, mueller=self._mueller)
+            self._run_batch = jax.jit(self._lifecycle, donate_argnums=(3,))
+
+        # fold several launch batches into one compiled dispatch: the fixed
+        # per-dispatch latency (host->device, worse over network-attached
+        # accelerators) otherwise rivals the per-batch compute itself
+        self.dispatch_batches = max(int(dispatch_batches), 1)
+        self._run_group = None
+        if self.dispatch_batches > 1:
+            from .lifecycle import make_multibatch
+
+            def grouped(key_p, ell, L0, tallies, b0):
+                run_many = make_multibatch(
+                    self._lifecycle, self.dispatch_batches,
+                    key_fn=lambda k, i: jax.random.fold_in(k, b0 + i))
+                return run_many(key_p, ell, L0, tallies)
+
+            self._run_group = jax.jit(grouped, donate_argnums=(3,))
         self._run_batch_io = None
         self._resume_batch = None
         if self.compaction_k > 0 and dust_system is not None:
@@ -261,16 +278,31 @@ class OligoSimulation:
 
         t0 = time.perf_counter()
         total = 0
-        for b, ell, L0 in self._batches():
-            if b < start_batch:
-                continue
-            bkey = rng.event_key(key, phase_tag, b)
-            if self._run_batch_sharded is not None \
-                    and ell.shape[0] % self._ndev == 0:
-                tallies = self._run_batch_sharded(bkey, ell, L0)
+        batches = [bt for bt in self._batches() if bt[0] >= start_batch]
+        pos = 0
+        while pos < len(batches):
+            b, ell, L0 = batches[pos]
+            K = self.dispatch_batches
+            # group K consecutive same-shape batches into one dispatch
+            # (the final batch may be ragged and runs singly)
+            can_group = (self._run_group is not None
+                         and self._run_batch_sharded is None
+                         and pos + K <= len(batches)
+                         and batches[pos + K - 1][1].shape[0]
+                         == ell.shape[0])
+            if can_group:
+                key_p = rng.event_key(key, phase_tag)
+                tallies = self._run_group(key_p, ell, L0, tallies, b)
+                nproc = K
             else:
-                tallies = self._run_batch(bkey, ell, L0, tallies)
-            total += ell.shape[0]
+                bkey = rng.event_key(key, phase_tag, b)
+                if self._run_batch_sharded is not None \
+                        and ell.shape[0] % self._ndev == 0:
+                    tallies = self._run_batch_sharded(bkey, ell, L0)
+                else:
+                    tallies = self._run_batch(bkey, ell, L0, tallies)
+                nproc = 1
+            total += sum(batches[pos + j][1].shape[0] for j in range(nproc))
             # drain to host in float64 and reset device tallies to preserve
             # precision across many batches
             for i, t in enumerate(tallies["instruments"]):
@@ -285,8 +317,11 @@ class OligoSimulation:
             dt = time.perf_counter() - t0
             self.log.info(f"Launched {total:,} photon packages "
                           f"({total / max(dt, 1e-9):,.0f} pps)")
-            if self.checkpoint_every and (b + 1) % self.checkpoint_every == 0:
-                self._save_checkpoint(ckpt_path, b + 1, acc)
+            bend = b + nproc
+            if self.checkpoint_every and \
+                    (bend // self.checkpoint_every) > (b // self.checkpoint_every):
+                self._save_checkpoint(ckpt_path, bend, acc)
+            pos += nproc
         if self.checkpoint_every and os.path.exists(ckpt_path):
             os.remove(ckpt_path)  # phase complete
         return acc

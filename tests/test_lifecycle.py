@@ -239,3 +239,61 @@ class TestSharedPeelOffTau:
         # image totals consistent with the SED instrument
         F_img = np.asarray(both["instruments"][1]["Ftot"])
         np.testing.assert_allclose(F_img, F_shared, rtol=1e-5)
+
+
+class TestMultibatch:
+    """make_multibatch folds K batches into one dispatch; tallies must
+    equal K sequential dispatches with the same per-batch keys."""
+
+    def test_equals_sequential(self):
+        import jax
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle,
+                                                make_multibatch)
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.instruments import SEDInstrument
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem)
+        from skirt_tpu.media.mix import DustMix
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        mix = DustMix(wg, np.array([60.0]), np.array([40.0]), np.array([0.4]))
+        comp = DustComponent(UniformSphereGeometry(0.8), mix,
+                             DustMassNormalization(0.02))
+        dsys = DustSystem(grid, [comp], samples_per_cell=4)
+        ins = SEDInstrument("sed", 100.0, 1, inclination=0.6)
+
+        n = 2048
+        K = 3
+        ell = jnp.zeros(n, jnp.int32)
+        L0 = jnp.full((n,), 1.0 / n, jnp.float32)
+        opts = LifecycleOptions(store_absorption=True)
+        run = make_lifecycle(grid, dsys, ss, [ins], opts, 1)
+
+        def zeros():
+            return {"instruments": [ins.zero_tallies()],
+                    "labs": jnp.zeros(grid.ncells, jnp.float32)}
+
+        key = rng.root_key(11)
+        seq = zeros()
+        runj = jax.jit(run)
+        for bi in range(K):
+            seq = runj(jax.random.fold_in(key, bi), ell, L0, seq)
+
+        many = jax.jit(
+            lambda k, e, l, t: make_multibatch(run, K)(k, e, l, t))(
+                key, ell, L0, zeros())
+        np.testing.assert_allclose(
+            np.asarray(many["instruments"][0]["Ftot"]),
+            np.asarray(seq["instruments"][0]["Ftot"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(many["labs"]),
+                                   np.asarray(seq["labs"]), rtol=1e-5,
+                                   atol=1e-12)
