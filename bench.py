@@ -46,6 +46,8 @@ def main():
         store_absorption=os.environ.get("BENCH_ABS", "1") == "1",
         fast_peeloff=os.environ.get("BENCH_FAST", "0") == "1",
         max_scatt=int(os.environ.get("BENCH_MAXSCATT", "64")),
+        density_mode=os.environ.get("BENCH_DENSITY_MODE", "analytic"),
+        deposition=os.environ.get("BENCH_DEPOSITION", "sampled"),
     )
 
     key = jax.random.key(4357)

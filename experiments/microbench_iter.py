@@ -33,7 +33,7 @@ def main():
     S = 85
     ncells = 32 * 32 * 16
     nl = 4
-    for logn in (20, 22):
+    for logn in (20,):
         n = 1 << logn
         key = jax.random.key(0)
         t = jax.random.uniform(key, (n, S), jnp.float32)

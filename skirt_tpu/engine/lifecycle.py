@@ -41,6 +41,18 @@ class LifecycleOptions:
                                      # instruments (gather replaces a
                                      # traversal per peel-off; cell-scale
                                      # approximation, exact by default)
+    deposition: str = "path"         # absorption-tally estimator:
+                                     # 'path' = per-segment deposit (the
+                                     # reference's analytic path estimator,
+                                     # simulateescapeandabsorption) —
+                                     # scatter-bound on TPU ((N,S) random
+                                     # updates); 'sampled' = unbiased
+                                     # single-segment deposit per event
+                                     # (segment drawn proportional to its
+                                     # absorbed energy, whole-path energy
+                                     # deposited there) — (N,) updates,
+                                     # ~S times cheaper, higher per-cell
+                                     # variance
     path_record: bool | None = None  # record each event's path into (S, N)
                                      # buffers (ref: DustGridPath) so
                                      # absorption + propagation inversion
@@ -235,6 +247,17 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                   and hasattr(grid, "locate_batched")
                   and not options.continuous_scattering)
 
+    # analytic-density fast path: rho evaluated at segment midpoints with
+    # elementwise math instead of per-cell table gathers (the dominant
+    # lifecycle cost on TPU); requires the all-crossings vector mode
+    analytic = bool(ds is not None and getattr(ds, "analytic", False))
+    if analytic and not use_vector:
+        raise ValueError("density_mode='analytic' requires a grid with "
+                         "batched crossings (vector traversal) and no "
+                         "continuous_scattering")
+    if options.deposition not in ("path", "sampled"):
+        raise ValueError("deposition must be 'path' or 'sampled'")
+
     # path-record mode (ref: DustGridPath): vectorize per-segment physics
     # over an (S, N) buffer and drop the second (propagation) traversal;
     # auto-enabled for grids with bounded small step counts
@@ -288,8 +311,14 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         taus = {}
         for lead in sorted(set(_shared_leader.values())):
             kobs = instruments[lead].observer_direction(pos)
-            cells, ds_seg, _ = vt.record_paths(grid, pos, kobs)
-            kext_rows = rows_kappas(cells, None, kext_pk, want_sca=False)
+            if analytic:
+                _, ds_seg, _, mid = vt.record_paths(
+                    grid, pos, kobs, want_cells=False, want_mid=True)
+                kext_rows = ds.analytic_rows(pos, kobs, mid, None, kext_pk,
+                                             want_sca=False)
+            else:
+                cells, ds_seg, _ = vt.record_paths(grid, pos, kobs)
+                kext_rows = rows_kappas(cells, None, kext_pk, want_sca=False)
             taus[lead] = jnp.sum(kext_rows * ds_seg, axis=1)
         return taus
 
@@ -391,9 +420,22 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             continuous = options.continuous_scattering and scattering_peeloff
             if use_vector:
                 # batched all-crossings pass: record, then vectorized
-                # per-segment physics (zero sequential steps)
-                cells_r, ds_r, te_r = vt.record_paths(grid, pos, direction)
-                ksca_rows, kext_rows = rows_kappas(cells_r, ksca_pk, kext_pk)
+                # per-segment physics (zero sequential steps).  Cell-id
+                # rows (a large gather downstream) are only materialized
+                # when the path-deposition tally needs them.
+                want_cells = (not analytic) or (
+                    labs is not None and options.deposition == "path")
+                cells_r, ds_r, te_r, mid_r = vt.record_paths(
+                    grid, pos, direction, want_cells=want_cells,
+                    want_mid=True)
+                if analytic:
+                    ksca_rows, kext_rows = ds.analytic_rows(
+                        pos, direction, mid_r, ksca_pk, kext_pk)
+                    ksca_rows = jnp.where(ds_r > 0, ksca_rows, 0.0)
+                    kext_rows = jnp.where(ds_r > 0, kext_rows, 0.0)
+                else:
+                    ksca_rows, kext_rows = rows_kappas(cells_r, ksca_pk,
+                                                       kext_pk)
                 dtau_r = kext_rows * ds_r
                 cum_r = jnp.cumsum(dtau_r, axis=1)
                 cum_prev_r = cum_r - dtau_r
@@ -402,11 +444,30 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     ksca_rows / jnp.maximum(kext_rows, 1e-37), 0.0)
                 expfac_r = jnp.exp(-cum_prev_r) * (-jnp.expm1(-dtau_r))
                 Lint_r = jnp.where(alive, L, 0.0)[:, None] * expfac_r
-                if labs is not None:
+                if labs is not None and options.deposition == "path":
                     idx_r = jnp.where(cells_r >= 0,
                                       cells_r * nlambda + ell[:, None], -1)
                     labs_c = labs_c.at[idx_r].add(
                         (1.0 - albedo_rows) * Lint_r, mode="drop")
+                elif labs is not None:
+                    # sampled deposition: draw one segment with probability
+                    # proportional to its absorbed energy, deposit the
+                    # whole-path absorbed energy there (unbiased; (N,)
+                    # scatter instead of (N,S))
+                    w_r = (1.0 - albedo_rows) * Lint_r
+                    cw = jnp.cumsum(w_r, axis=1)
+                    D = cw[:, -1]
+                    ud = rng.uniform_open(jax.random.fold_in(k1, 2), (n,))
+                    target = ud * D
+                    i_dep = jnp.clip(
+                        jnp.sum((cw < target[:, None]).astype(jnp.int32),
+                                axis=1), 0, cw.shape[1] - 1)
+                    mid_dep = vt.masked_row_pick(mid_r, i_dep)
+                    cell_dep = grid.locate(pos + mid_dep[:, None] * direction)
+                    idx_dep = jnp.where((cell_dep >= 0) & (D > 0),
+                                        cell_dep * nlambda + ell, -1)
+                    labs_c = labs_c.at[idx_dep].add(
+                        jnp.where(alive, D, 0.0), mode="drop")
                 taupath = cum_r[:, -1]
                 L = jnp.where(alive, jnp.sum(albedo_rows * Lint_r, axis=1), L)
 
@@ -432,7 +493,12 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     weight = p / jnp.maximum(qq, 1e-37)
                 L = jnp.where(alive, L * weight, L)
 
-                s, cell_at = vt.invert_tau(cum_r, ds_r, te_r, cells_r, tau)
+                s, cell_at, mid_h = vt.invert_tau(cum_r, ds_r, te_r, cells_r,
+                                                  tau)
+                if cell_at is None:
+                    # analytic mode: locate the hit segment's midpoint
+                    # (arithmetic for uniform grids, (N,)-sized)
+                    cell_at = grid.locate(pos + mid_h[:, None] * direction)
                 new_pos = pos + s[:, None] * direction
                 pos = jnp.where(alive[:, None], new_pos, pos)
             else:

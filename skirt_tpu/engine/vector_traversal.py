@@ -28,22 +28,29 @@ import jax.numpy as jnp
 _BIG = 3.4e38
 
 
-def record_paths(grid, pos, direction):
+def record_paths(grid, pos, direction, *, want_cells=True, want_mid=False):
     """Record the full traversal path of every lane, without stepping.
 
-    Returns (cells, ds, t_exit), each (N, S): per-segment cell id (-1 for
-    zero-length padding segments), segment length, and ray parameter at the
-    segment exit.  Segments are sorted along the ray; padding segments have
-    ds == 0 and contribute nothing downstream.
+    Returns (cells, ds, t_exit[, t_mid]), each (N, S): per-segment cell id
+    (-1 for zero-length padding segments), segment length, ray parameter at
+    the segment exit, and (when want_mid) the segment-midpoint parameter.
+    Segments are sorted along the ray; padding segments have ds == 0 and
+    contribute nothing downstream.  want_cells=False skips the locate pass
+    (cells comes back None) — used by the analytic-density mode, which
+    evaluates rho at midpoints instead of gathering per-cell tables.
     """
     t_all, t_start, t_stop = grid.crossings(pos, direction)
     t = jnp.clip(t_all, t_start[:, None], t_stop[:, None])
     ts = jnp.sort(t, axis=-1)
     ds = ts[:, 1:] - ts[:, :-1]
     mid = ts[:, :-1] + 0.5 * ds
-    pmid = pos[:, None, :] + mid[..., None] * direction[:, None, :]
-    cells = grid.locate_batched(pmid)
-    cells = jnp.where(ds > 0, cells, -1)
+    cells = None
+    if want_cells:
+        pmid = pos[:, None, :] + mid[..., None] * direction[:, None, :]
+        cells = grid.locate_batched(pmid)
+        cells = jnp.where(ds > 0, cells, -1)
+    if want_mid:
+        return cells, ds, ts[:, 1:], mid
     return cells, ds, ts[:, 1:]
 
 
@@ -71,7 +78,9 @@ def invert_tau(cum, ds, t_exit, cells, tau):
 
     ref: DustGridPath::pathlength (DustGridPath.hpp:117-168) — the inverse
     lookup in the recorded path, vectorized over lanes with masked-sum row
-    picks.  Returns (s, cell_at).
+    picks.  Returns (s, cell_at, mid_h); cell_at is None when cells is
+    None (analytic mode — the caller locates the hit-segment midpoint
+    arithmetically instead), mid_h is the hit segment's midpoint parameter.
     """
     S = cum.shape[1]
     i_hit = jnp.clip(
@@ -85,5 +94,5 @@ def invert_tau(cum, ds, t_exit, cells, tau):
     te_h = masked_row_pick(t_exit, i_hit)
     ds_h = masked_row_pick(ds, i_hit)
     s = (te_h - ds_h) + jnp.clip(frac, 0.0, 1.0) * ds_h
-    cell_at = masked_row_pick_int(cells, i_hit)
-    return s, cell_at
+    cell_at = masked_row_pick_int(cells, i_hit) if cells is not None else None
+    return s, cell_at, te_h - 0.5 * ds_h

@@ -60,6 +60,18 @@ class ExpDiskGeometry(AxGeometry):
             inside &= absz <= self.zmax
         return xp.where(inside, rho, 0.0)
 
+    def shape_rz(self, R, z):
+        """rho/rho0 with float32-safe math (analytic traversal mode)."""
+        absz = jnp.abs(z)
+        shape = jnp.exp(-R / jnp.float32(self.hR)
+                        - absz / jnp.float32(self.hz))
+        inside = (R >= self.Rmin)
+        if self.Rmax > 0:
+            inside &= R <= self.Rmax
+        if self.zmax > 0:
+            inside &= absz <= self.zmax
+        return jnp.where(inside, shape, 0.0)
+
     def generate_position(self, key, n: int):
         k1, k2, k3 = jax.random.split(key, 3)
         R = self._r_sampler.sample(rng.uniform_open(k1, (n,)))

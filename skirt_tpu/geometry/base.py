@@ -111,6 +111,29 @@ class Geometry:
     def sigma_z(self) -> float:
         raise NotImplementedError
 
+    # -- analytic-density traversal support (TPU fast path) ----------------
+    # The gather of per-cell density tables is the single most expensive op
+    # in the lifecycle on TPU (~8.7 ns/element, serial gather unit); for
+    # analytic media the traversal can instead EVALUATE rho at segment
+    # midpoints with pure elementwise math.  Geometries opt in by
+    # implementing density_scaled(pos_s, lscale) -> rho(pos) * lscale**3,
+    # where pos_s = pos / lscale has O(1) coordinates.  Implementations
+    # must be float32-safe on device: divide by scale lengths BEFORE any
+    # squaring (SI meters overflow float32 when squared) and fold the
+    # rho0 * lscale**3 prefactor in float64 host-side (SI densities
+    # underflow float32).
+
+    @property
+    def supports_analytic(self) -> bool:
+        cls_m = type(self).density_scaled
+        return cls_m is not Geometry.density_scaled \
+            or hasattr(self, "radial_shape") or hasattr(self, "shape_rz")
+
+    def density_scaled(self, pos_s, lscale: float):
+        raise NotImplementedError(
+            f"{type(self).__name__} has no analytic device density; use "
+            "density_mode='gridded'")
+
 
 class SpheGeometry(Geometry):
     """Spherically symmetric geometry defined by a radial profile rho(r).
@@ -148,6 +171,16 @@ class SpheGeometry(Geometry):
         rho = self.radial_density(r)
         return xp.where((r <= self._rmax) & (r >= self._rmin), rho, 0.0)
 
+    def density_scaled(self, pos_s, lscale: float):
+        """Generic analytic-mode density for subclasses with radial_shape
+        (rho/rho0 as O(1) float32-safe math in r [m])."""
+        if not hasattr(self, "radial_shape"):
+            return Geometry.density_scaled(self, pos_s, lscale)
+        r = jnp.sqrt(jnp.sum(pos_s * pos_s, axis=-1)) * jnp.float32(lscale)
+        pref = jnp.float32(float(self.rho0) * lscale ** 3)
+        rho = pref * self.radial_shape(r)
+        return jnp.where((r <= self._rmax) & (r >= self._rmin), rho, 0.0)
+
     def generate_position(self, key, n: int):
         k1, k2 = jax.random.split(key)
         u = rng.uniform_open(k1, (n,))
@@ -179,6 +212,17 @@ class AxGeometry(Geometry):
 
     def density_rz(self, R, z):
         raise NotImplementedError
+
+    def density_scaled(self, pos_s, lscale: float):
+        """Generic analytic-mode density for subclasses with shape_rz
+        (rho/rho0 as O(1) float32-safe math in R, z [m])."""
+        if not hasattr(self, "shape_rz"):
+            return Geometry.density_scaled(self, pos_s, lscale)
+        L = jnp.float32(lscale)
+        R = jnp.sqrt(pos_s[..., 0] ** 2 + pos_s[..., 1] ** 2) * L
+        z = pos_s[..., 2] * L
+        pref = jnp.float32(float(self.rho0) * lscale ** 3)
+        return pref * self.shape_rz(R, z)
 
     @staticmethod
     def cylindrical_to_cartesian(key, R, z):

@@ -103,6 +103,11 @@ class UniformSphereGeometry(Geometry):
         r = xp.sqrt(xp.sum(pos * pos, axis=-1))
         return xp.where(r <= self.rmax, 1.0 / self.volume, 0.0)
 
+    def density_scaled(self, pos_s, lscale: float):
+        r_s = jnp.sqrt(jnp.sum(pos_s * pos_s, axis=-1))
+        pref = jnp.float32(lscale ** 3 / self.volume)
+        return jnp.where(r_s * lscale <= self.rmax, pref, 0.0)
+
     def generate_position(self, key, n: int):
         k1, k2 = jax.random.split(key)
         u = rng.uniform_open(k1, (n,))

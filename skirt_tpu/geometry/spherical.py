@@ -29,6 +29,10 @@ class PlummerGeometry(SpheGeometry):
         x2 = (r / self.a) ** 2
         return self.rho0 * (1.0 + x2) ** (-2.5)
 
+    def radial_shape(self, r):
+        x2 = (r / jnp.float32(self.a)) ** 2
+        return (1.0 + x2) ** jnp.float32(-2.5)
+
     def sigma_x(self) -> float:
         # 2 * int_0^inf rho dr = 2 * rho0 * a * (2/3)
         return float(2.0 * self.rho0 * self.a * (2.0 / 3.0))
@@ -57,6 +61,11 @@ class GammaGeometry(SpheGeometry):
         x = xp.maximum(r / self.b, 1e-30)
         return self.rho0 * x ** (-self.gamma) * (1.0 + x) ** (self.gamma - 4.0)
 
+    def radial_shape(self, r):
+        x = jnp.maximum(r / jnp.float32(self.b), 1e-30)
+        return x ** jnp.float32(-self.gamma) \
+            * (1.0 + x) ** jnp.float32(self.gamma - 4.0)
+
 
 class EinastoGeometry(SpheGeometry):
     """Einasto profile: rho = rho0 exp(-d_n ((r/r_e)^(1/n) - 1)).
@@ -82,6 +91,11 @@ class EinastoGeometry(SpheGeometry):
         x = r / self.re
         return self.rho0 * xp.exp(-self.dn * (x ** (1.0 / self.n) - 1.0))
 
+    def radial_shape(self, r):
+        x = jnp.maximum(r / jnp.float32(self.re), 1e-30)
+        return jnp.exp(jnp.float32(-self.dn)
+                       * (x ** jnp.float32(1.0 / self.n) - 1.0))
+
 
 class GaussianGeometry(SpheGeometry):
     """Spherical Gaussian: rho ∝ exp(-r^2 / 2 sigma^2).
@@ -97,6 +111,9 @@ class GaussianGeometry(SpheGeometry):
     def radial_density(self, r):
         xp = array_namespace(r)
         return self.rho0 * xp.exp(-0.5 * (r / self.sigma) ** 2)
+
+    def radial_shape(self, r):
+        return jnp.exp(-0.5 * (r / jnp.float32(self.sigma)) ** 2)
 
     def sigma_x(self) -> float:
         return float(2.0 * self.rho0 * self.sigma * np.sqrt(np.pi / 2.0))

@@ -86,7 +86,7 @@ class DustSystem:
     """
 
     def __init__(self, grid, components, samples_per_cell: int = 100,
-                 seed: int = 8672):
+                 seed: int = 8672, density_mode: str = "gridded"):
         if not components:
             raise ValueError("need at least one dust component")
         self.grid = grid
@@ -138,6 +138,32 @@ class DustSystem:
                                   for c in self.components])
         self.g = np.stack([np.asarray(c.mix.g, np.float32)
                            for c in self.components])
+
+        # -- analytic-density traversal mode (TPU fast path) ---------------
+        # 'gridded' (default) reproduces the reference exactly: per-cell
+        # constant densities, per-segment table gathers.  'analytic'
+        # evaluates each component's closed-form density at segment
+        # midpoints with pure elementwise math — no gathers, which are the
+        # dominant lifecycle cost on TPU (serial gather unit, ~8.7ns/elem).
+        # tau integrals then use the CONTINUOUS density (2nd-order-accurate
+        # in cell size vs the reference's piecewise-constant gridding);
+        # tallies remain per-cell.
+        if density_mode not in ("gridded", "analytic"):
+            raise ValueError("density_mode must be 'gridded' or 'analytic'")
+        self.analytic = density_mode == "analytic"
+        box = grid.bounding_box()
+        self.lscale = float(max(box[3] - box[0], box[4] - box[1],
+                                box[5] - box[2]))
+        if self.analytic:
+            for c in self.components:
+                if not c.geometry.supports_analytic:
+                    raise ValueError(
+                        f"{type(c.geometry).__name__} has no analytic device "
+                        "density (density_scaled); use density_mode='gridded'")
+        # m_h / L^3: converts density_scaled output (rho_unit * L^3) to
+        # physical kg/m^3 (float64 host product; ~1e-26, float32-safe)
+        self._mass_over_L3 = np.asarray(
+            self.masses / self.lscale ** 3, np.float32)
 
     @property
     def mueller(self):
@@ -209,6 +235,32 @@ class DustSystem:
         kext = jnp.asarray(self.kappaext)
         return ([ksca[h, ell] for h in range(self.ncomp)],
                 [kext[h, ell] for h in range(self.ncomp)])
+
+    def analytic_rows(self, pos, direction, mid, ksca_pk, kext_pk,
+                      want_sca=True):
+        """Per-segment (kappasca*rho, kappaext*rho) via analytic densities.
+
+        pos (N,3), direction (N,3) in SI; mid (N,S) segment-midpoint ray
+        parameters.  Evaluates each component's density_scaled at the
+        midpoints — pure elementwise math, no gathers.  Returns (N, S)
+        rows like rows_kappas, zero outside each geometry's support.
+        """
+        invL = jnp.float32(1.0 / self.lscale)
+        pos_s = pos * invL
+        pmid_s = pos_s[:, None, :] + (mid * invL)[..., None] \
+            * direction[:, None, :]
+        mL3 = jnp.asarray(self._mass_over_L3)
+        ksca = 0.0
+        kext = 0.0
+        for h, comp in enumerate(self.components):
+            rho_p = comp.geometry.density_scaled(pmid_s, self.lscale)
+            rho_h = mL3[h] * rho_p                      # kg/m^3
+            if want_sca:
+                ksca = ksca + ksca_pk[h][:, None] * rho_h
+            kext = kext + kext_pk[h][:, None] * rho_h
+        if not want_sca:
+            return kext
+        return ksca, kext
 
     def ksca_kext_from(self, cell, ksca_pk, kext_pk):
         """Like ksca_kext but with prefetched per-packet kappas."""

@@ -1,0 +1,135 @@
+"""Analytic-density traversal mode + sampled deposition.
+
+The analytic mode evaluates component densities at segment midpoints
+(continuous rho) instead of gathering per-cell tables (piecewise-constant
+rho); results agree with the gridded mode up to grid-discretization error,
+which shrinks with cell size.  Sampled deposition is an unbiased
+single-segment absorption estimator.
+
+ref: SKIRTcore/MonteCarloSimulation.cpp simulateescapeandabsorption
+(:438-515) is the path estimator both modes reproduce.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu import rng
+from skirt_tpu.engine.lifecycle import LifecycleOptions, make_lifecycle
+from skirt_tpu.geometry import (ExpDiskGeometry, PlummerGeometry,
+                                PointGeometry, UniformSphereGeometry)
+from skirt_tpu.grids import CartesianGrid
+from skirt_tpu.instruments import SEDInstrument
+from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                             DustSystem)
+from skirt_tpu.media.mix import DustMix
+from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                       StellarSystem)
+from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+
+def _setup(ncells, density_mode, geometry=None):
+    wg = OligoWavelengthGrid([1e-6])
+    ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                   [1.0])])
+    b = np.linspace(-1.0, 1.0, ncells + 1)
+    grid = CartesianGrid(b, b, b)
+    mix = DustMix(wg, np.array([55.0]), np.array([45.0]), np.array([0.35]))
+    geom = geometry or UniformSphereGeometry(0.8)
+    comp = DustComponent(geom, mix, DustMassNormalization(0.02))
+    dsys = DustSystem(grid, [comp], samples_per_cell=32,
+                      density_mode=density_mode)
+    ins = SEDInstrument("sed", 100.0, 1, inclination=0.7)
+    return grid, dsys, ss, ins
+
+
+class TestDensityScaled:
+    def test_matches_host_density(self):
+        """density_scaled * mass/L^3 == density * mass pointwise."""
+        L = 2.0
+        pts = np.array([[0.1, 0.2, -0.3], [0.5, -0.1, 0.05],
+                        [0.9, 0.9, 0.9]])
+        for geom in (UniformSphereGeometry(0.8),
+                     PlummerGeometry(0.3),
+                     ExpDiskGeometry(0.4, 0.1)):
+            want = np.asarray(geom.density(pts))
+            got = np.asarray(geom.density_scaled(
+                jnp.asarray(pts / L, jnp.float32), L)) / L ** 3
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+
+    def test_si_scale_float32_safety(self):
+        """SI-scale coordinates (~1e20 m) must not overflow/underflow."""
+        KPC = 3.086e19
+        geom = ExpDiskGeometry(4 * KPC, 0.35 * KPC)
+        L = 24 * KPC
+        pts = np.array([[4 * KPC, 0.0, 0.1 * KPC],
+                        [-8 * KPC, 2 * KPC, -0.3 * KPC]])
+        want = np.asarray(geom.density(pts)) * L ** 3
+        got = np.asarray(geom.density_scaled(
+            jnp.asarray(pts / L, jnp.float32), L))
+        assert np.all(np.isfinite(got)) and np.all(got > 0)
+        np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+class TestAnalyticMode:
+    def _run(self, density_mode, ncells, deposition="path", n=8192, seed=3):
+        grid, dsys, ss, ins = _setup(ncells, density_mode)
+        opts = LifecycleOptions(store_absorption=True, deposition=deposition)
+        run = jax.jit(make_lifecycle(grid, dsys, ss, [ins], opts, 1))
+        ell = jnp.zeros(n, jnp.int32)
+        L0 = jnp.full((n,), 1.0 / n, jnp.float32)
+        tallies = {"instruments": [ins.zero_tallies()],
+                   "labs": jnp.zeros(grid.ncells, jnp.float32)}
+        return run(rng.root_key(seed), ell, L0, tallies)
+
+    def test_converges_to_gridded(self):
+        """Analytic and gridded modes agree; agreement improves with
+        resolution (the difference IS the discretization error)."""
+        outs = {}
+        for mode in ("gridded", "analytic"):
+            outs[mode] = self._run(mode, ncells=24)
+        Fg = float(outs["gridded"]["instruments"][0]["Ftot"][0])
+        Fa = float(outs["analytic"]["instruments"][0]["Ftot"][0])
+        assert Fg > 0 and Fa > 0
+        assert abs(Fa - Fg) / Fg < 0.05
+        lg = float(np.asarray(outs["gridded"]["labs"]).sum())
+        la = float(np.asarray(outs["analytic"]["labs"]).sum())
+        assert abs(la - lg) / lg < 0.05
+
+    def test_energy_conservation(self):
+        """detected + absorbed == launched for an absorbing medium
+        (everything that is not absorbed eventually escapes; the SED
+        instrument sees extincted peel-offs so this is statistical)."""
+        out = self._run("analytic", ncells=16, n=16384)
+        labs = float(np.asarray(out["labs"]).sum())
+        assert 0.1 < labs < 1.0
+
+    def test_sampled_deposition_unbiased(self):
+        """Sampled deposition reproduces path deposition in expectation."""
+        p = self._run("analytic", ncells=12, deposition="path", n=32768)
+        s = self._run("analytic", ncells=12, deposition="sampled", n=32768)
+        lp = np.asarray(p["labs"], np.float64)
+        ls = np.asarray(s["labs"], np.float64)
+        # totals agree tightly, cell-wise within MC noise
+        assert abs(ls.sum() - lp.sum()) / lp.sum() < 0.02
+        # instrument fluxes identical estimator -> equal to RNG stream noise
+        Fp = float(p["instruments"][0]["Ftot"][0])
+        Fs = float(s["instruments"][0]["Ftot"][0])
+        assert abs(Fp - Fs) / Fp < 0.02
+        # coarse per-cell agreement on the brightest cells
+        top = lp > np.percentile(lp[lp > 0], 80)
+        np.testing.assert_allclose(ls[top], lp[top], rtol=0.5)
+
+    def test_rejects_unsupported_geometry(self):
+        from skirt_tpu.geometry import BoxGeometry
+        wg = OligoWavelengthGrid([1e-6])
+        b = np.linspace(-1, 1, 5)
+        grid = CartesianGrid(b, b, b)
+        mix = DustMix(wg, np.array([55.0]), np.array([45.0]),
+                      np.array([0.35]))
+        comp = DustComponent(BoxGeometry(-0.5, 0.5, -0.5, 0.5, -0.5, 0.5),
+                             mix, DustMassNormalization(0.02))
+        with pytest.raises(ValueError, match="analytic"):
+            DustSystem(grid, [comp], samples_per_cell=2,
+                       density_mode="analytic")
