@@ -255,6 +255,11 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         raise ValueError("density_mode='analytic' requires a grid with "
                          "batched crossings (vector traversal) and no "
                          "continuous_scattering")
+    # panel count for the analytic quadrature: same per-direction
+    # resolution as the wall-crossing segmentation
+    npanels = None
+    if analytic and hasattr(grid, "ray_span"):
+        npanels = int(getattr(grid, "max_steps", 96))
     if options.deposition not in ("path", "sampled"):
         raise ValueError("deposition must be 'path' or 'sampled'")
 
@@ -311,7 +316,11 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         taus = {}
         for lead in sorted(set(_shared_leader.values())):
             kobs = instruments[lead].observer_direction(pos)
-            if analytic:
+            if analytic and npanels is not None:
+                ds_seg, _, mid = vt.panel_paths(grid, pos, kobs, npanels)
+                kext_rows = ds.analytic_rows(pos, kobs, mid, None, kext_pk,
+                                             want_sca=False)
+            elif analytic:
                 _, ds_seg, _, mid = vt.record_paths(
                     grid, pos, kobs, want_cells=False, want_mid=True)
                 kext_rows = ds.analytic_rows(pos, kobs, mid, None, kext_pk,
@@ -425,10 +434,31 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                 # when the path-deposition tally needs them.
                 want_cells = (not analytic) or (
                     labs is not None and options.deposition == "path")
-                cells_r, ds_r, te_r, mid_r = vt.record_paths(
-                    grid, pos, direction, want_cells=want_cells,
-                    want_mid=True)
-                if analytic:
+                if analytic and npanels is not None:
+                    # sortless equal-panel quadrature of the continuous rho
+                    ds_r, te_r, mid_r = vt.panel_paths(grid, pos, direction,
+                                                       npanels)
+                    cells_r = None
+                    if want_cells:
+                        pmid = pos[:, None, :] + mid_r[..., None] \
+                            * direction[:, None, :]
+                        cells_r = grid.locate_batched(pmid)
+                        cells_r = jnp.where(ds_r > 0, cells_r, -1)
+                else:
+                    cells_r, ds_r, te_r, mid_r = vt.record_paths(
+                        grid, pos, direction, want_cells=want_cells,
+                        want_mid=True)
+                # single-mix media have a spatially uniform albedo(lambda):
+                # the scattered/absorbed path totals and the deposit-point
+                # distribution then close over cum_r alone — no ksca rows,
+                # no second cumsum, no row reduces
+                uniform_albedo = analytic and ds.ncomp == 1
+                if uniform_albedo:
+                    kext_rows = ds.analytic_rows(
+                        pos, direction, mid_r, None, kext_pk, want_sca=False)
+                    kext_rows = jnp.where(ds_r > 0, kext_rows, 0.0)
+                    ksca_rows = albedo_rows = None
+                elif analytic:
                     ksca_rows, kext_rows = ds.analytic_rows(
                         pos, direction, mid_r, ksca_pk, kext_pk)
                     ksca_rows = jnp.where(ds_r > 0, ksca_rows, 0.0)
@@ -437,39 +467,71 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     ksca_rows, kext_rows = rows_kappas(cells_r, ksca_pk,
                                                        kext_pk)
                 dtau_r = kext_rows * ds_r
-                cum_r = jnp.cumsum(dtau_r, axis=1)
-                cum_prev_r = cum_r - dtau_r
-                albedo_rows = jnp.where(
-                    kext_rows > 0,
-                    ksca_rows / jnp.maximum(kext_rows, 1e-37), 0.0)
-                expfac_r = jnp.exp(-cum_prev_r) * (-jnp.expm1(-dtau_r))
-                Lint_r = jnp.where(alive, L, 0.0)[:, None] * expfac_r
+                cum_r = vt.row_cumsum_mxu(dtau_r)
+                taupath = cum_r[:, -1]
+                if analytic and npanels is not None:
+                    # equal panels: hit-segment geometry is arithmetic in
+                    # the hit index (invert_tau_panels / panel_pick_mid)
+                    delta_p = ds_r[:, 0]
+                    t0_p = te_r[:, 0] - delta_p
+                if not uniform_albedo:
+                    cum_prev_r = cum_r - dtau_r
+                    albedo_rows = jnp.where(
+                        kext_rows > 0,
+                        ksca_rows / jnp.maximum(kext_rows, 1e-37), 0.0)
+                    expfac_r = jnp.exp(-cum_prev_r) * (-jnp.expm1(-dtau_r))
+                    Lint_r = jnp.where(alive, L, 0.0)[:, None] * expfac_r
+                else:
+                    albedo_l = ksca_pk[0] / jnp.maximum(kext_pk[0], 1e-37)
+                    one_m_e = -jnp.expm1(-taupath)
                 if labs is not None and options.deposition == "path":
                     idx_r = jnp.where(cells_r >= 0,
                                       cells_r * nlambda + ell[:, None], -1)
-                    labs_c = labs_c.at[idx_r].add(
-                        (1.0 - albedo_rows) * Lint_r, mode="drop")
+                    if uniform_albedo:
+                        cum_prev_r = cum_r - dtau_r
+                        expfac_r = jnp.exp(-cum_prev_r) * (-jnp.expm1(-dtau_r))
+                        dep_rows = (1.0 - albedo_l[:, None]) \
+                            * jnp.where(alive, L, 0.0)[:, None] * expfac_r
+                    else:
+                        dep_rows = (1.0 - albedo_rows) * Lint_r
+                    labs_c = labs_c.at[idx_r].add(dep_rows, mode="drop")
                 elif labs is not None:
                     # sampled deposition: draw one segment with probability
                     # proportional to its absorbed energy, deposit the
                     # whole-path absorbed energy there (unbiased; (N,)
                     # scatter instead of (N,S))
-                    w_r = (1.0 - albedo_rows) * Lint_r
-                    cw = jnp.cumsum(w_r, axis=1)
-                    D = cw[:, -1]
                     ud = rng.uniform_open(jax.random.fold_in(k1, 2), (n,))
-                    target = ud * D
-                    i_dep = jnp.clip(
-                        jnp.sum((cw < target[:, None]).astype(jnp.int32),
-                                axis=1), 0, cw.shape[1] - 1)
-                    mid_dep = vt.masked_row_pick(mid_r, i_dep)
+                    if uniform_albedo:
+                        # absorbed-energy density ~ kapparho e^-tau: the
+                        # deposit point is an expon_cutoff sample in cum_r
+                        D = (1.0 - albedo_l) * L * one_m_e
+                        tau_dep = rng.expon_cutoff(ud, taupath)
+                        i_dep = jnp.clip(
+                            jnp.sum((cum_r < tau_dep[:, None])
+                                    .astype(jnp.int32), axis=1),
+                            0, cum_r.shape[1] - 1)
+                    else:
+                        w_r = (1.0 - albedo_rows) * Lint_r
+                        cw = vt.row_cumsum_mxu(w_r)
+                        D = cw[:, -1]
+                        target = ud * D
+                        i_dep = jnp.clip(
+                            jnp.sum((cw < target[:, None]).astype(jnp.int32),
+                                    axis=1), 0, cw.shape[1] - 1)
+                    if analytic and npanels is not None:
+                        mid_dep = vt.panel_pick_mid(t0_p, delta_p, i_dep)
+                    else:
+                        mid_dep = vt.masked_row_pick(mid_r, i_dep)
                     cell_dep = grid.locate(pos + mid_dep[:, None] * direction)
                     idx_dep = jnp.where((cell_dep >= 0) & (D > 0),
                                         cell_dep * nlambda + ell, -1)
                     labs_c = labs_c.at[idx_dep].add(
                         jnp.where(alive, D, 0.0), mode="drop")
-                taupath = cum_r[:, -1]
-                L = jnp.where(alive, jnp.sum(albedo_rows * Lint_r, axis=1), L)
+                if uniform_albedo:
+                    L = jnp.where(alive, albedo_l * L * one_m_e, L)
+                else:
+                    L = jnp.where(alive,
+                                  jnp.sum(albedo_rows * Lint_r, axis=1), L)
 
                 # termination (ref: dostellaremissionchunk :289)
                 alive = alive & (L > 0) & jnp.logical_not(
@@ -493,8 +555,13 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     weight = p / jnp.maximum(qq, 1e-37)
                 L = jnp.where(alive, L * weight, L)
 
-                s, cell_at, mid_h = vt.invert_tau(cum_r, ds_r, te_r, cells_r,
-                                                  tau)
+                if analytic and npanels is not None:
+                    s, mid_h = vt.invert_tau_panels(cum_r, t0_p, delta_p,
+                                                    tau)
+                    cell_at = None
+                else:
+                    s, cell_at, mid_h = vt.invert_tau(cum_r, ds_r, te_r,
+                                                      cells_r, tau)
                 if cell_at is None:
                     # analytic mode: locate the hit segment's midpoint
                     # (arithmetic for uniform grids, (N,)-sized)

@@ -23,6 +23,8 @@ A grid opts in by providing
 
 from __future__ import annotations
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 _BIG = 3.4e38
@@ -52,6 +54,71 @@ def record_paths(grid, pos, direction, *, want_cells=True, want_mid=False):
     if want_mid:
         return cells, ds, ts[:, 1:], mid
     return cells, ds, ts[:, 1:]
+
+
+def panel_paths(grid, pos, direction, npanels: int):
+    """Equal-length panel decomposition of the in-domain ray span.
+
+    The analytic-density mode evaluates a CONTINUOUS rho at segment
+    midpoints, so the cell-boundary segmentation of record_paths is just
+    one midpoint-quadrature panelization among many; equal panels give the
+    same order of accuracy (per-direction resolution is bounded by
+    box-extent / npanels, like the wall crossings) without the crossings
+    computation, the clip, or the per-lane SORT — the sort alone is ~40%
+    of an analytic iteration.
+
+    Returns (ds, t_exit, t_mid), each (N, P); zero-width panels for rays
+    that miss the domain.
+    """
+    t0, t1 = grid.ray_span(pos, direction)
+    delta = (t1 - t0) / npanels
+    k = jnp.arange(1, npanels + 1, dtype=pos.dtype)[None, :]
+    te = t0[:, None] + k * delta[:, None]
+    mid = te - 0.5 * delta[:, None]
+    ds = jnp.broadcast_to(delta[:, None], te.shape)
+    return ds, te, mid
+
+
+def row_cumsum_mxu(x):
+    """Inclusive row cumsum as a triangular matmul on the MXU.
+
+    XLA lowers jnp.cumsum to a logarithmic sequence of shifted adds (~12
+    full passes over the array for S~100); a (N,S)@(S,S) lower-triangular
+    matmul does it in one MXU pass (S^2 MACs per row are ~free next to
+    the HBM traffic).
+    """
+    S = x.shape[-1]
+    tri = jnp.asarray(np.tril(np.ones((S, S), np.float32)).T)
+    return jax.lax.dot_general(
+        x, tri, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def invert_tau_panels(cum, t0, delta, tau):
+    """Panel-quadrature specialization of invert_tau.
+
+    With equal panels, the exit/length/midpoint of the hit segment are
+    arithmetic in the hit index — only the cum picks remain.  Returns
+    (s, mid_h).
+    """
+    S = cum.shape[1]
+    i_hit = jnp.clip(
+        jnp.sum((cum < tau[:, None]).astype(jnp.int32), axis=1), 0, S - 1)
+    cum_h = masked_row_pick(cum, i_hit)
+    cum_prev = jnp.where(i_hit > 0,
+                         masked_row_pick(cum, jnp.maximum(i_hit - 1, 0)), 0.0)
+    dtau_h = cum_h - cum_prev
+    frac = jnp.where(dtau_h > 0,
+                     (tau - cum_prev) / jnp.maximum(dtau_h, 1e-30), 0.0)
+    fi = i_hit.astype(cum.dtype)
+    s = t0 + (fi + jnp.clip(frac, 0.0, 1.0)) * delta
+    mid_h = t0 + (fi + 0.5) * delta
+    return s, mid_h
+
+
+def panel_pick_mid(t0, delta, i_pick):
+    """Midpoint parameter of panel i_pick (arithmetic, no row pick)."""
+    return t0 + (i_pick.astype(t0.dtype) + 0.5) * delta
 
 
 def masked_row_pick(rows, i_hit):

@@ -281,6 +281,31 @@ class CartesianGrid:
         t_stop = jnp.where(hit, t_far, 0.0)
         return jnp.concatenate(t_parts, axis=-1), t_start, t_stop
 
+    def ray_span(self, pos, direction):
+        """(t_start, t_stop) of the ray inside the bounding box (slab test).
+
+        Pure elementwise arithmetic — used by the analytic-density panel
+        quadrature, which needs only the in-domain span, not the
+        individual wall crossings.  Rays that miss give t_start == t_stop.
+        """
+        lo = jnp.asarray([self.xb[0], self.yb[0], self.zb[0]])
+        hi = jnp.asarray([self.xb[-1], self.yb[-1], self.zb[-1]])
+        moving = jnp.abs(direction) > 1e-30
+        inv = 1.0 / jnp.where(moving, direction, 1.0)
+        t1 = (lo - pos) * inv
+        t2 = (hi - pos) * inv
+        in_slab = (pos >= lo) & (pos <= hi)
+        near = jnp.where(moving, jnp.minimum(t1, t2),
+                         jnp.where(in_slab, -_BIG, _BIG))
+        far = jnp.where(moving, jnp.maximum(t1, t2),
+                        jnp.where(in_slab, _BIG, -_BIG))
+        t_near = jnp.max(near, axis=-1)
+        t_far = jnp.min(far, axis=-1)
+        t_start = jnp.maximum(t_near, 0.0)
+        hit = (t_start <= t_far) & (t_far > 0)
+        t_start = jnp.where(hit, t_start, 0.0)
+        return t_start, jnp.where(hit, t_far, t_start)
+
     def _locate_axis(self, axis, x):
         """Batched per-axis cell index (arithmetic when uniform)."""
         borders = (self.xb, self.yb, self.zb)[axis]
