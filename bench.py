@@ -28,16 +28,22 @@ def main():
     except Exception:
         pass
 
+    # optional hardware-RNG keys (TPU on-chip generator; threefry key
+    # derivation costs hundreds of VPU ops per event otherwise)
+    if os.environ.get("BENCH_PRNG"):
+        jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+
     import jax.numpy as jnp
 
     from __graft_entry__ import _build
 
     # env overrides for profiling experiments (defaults = headline config)
-    # NOTE on sizing: throughput is currently flat in batch size (the
-    # lifecycle is gather-bound, cost scales ~linearly with N), so the
-    # batch is kept modest; dispatches > ~2 minutes can crash the tunneled
-    # TPU worker.
-    packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "17"))
+    # Flagship sizing: 2^21 packets/batch (throughput is near-flat in N on
+    # the analytic fast path; dispatches > ~2 minutes can crash the
+    # tunneled TPU worker).  32 quadrature panels: measured tau error
+    # ~2e-5 relative on this model — far below MC noise (BASELINE.md).
+    packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "21"))
+    refill = int(os.environ.get("BENCH_REFILL", "0"))
     run_batch, zero_tallies, ell, L0 = _build(
         nlambda=int(os.environ.get("BENCH_NLAMBDA", "4")),
         ncells=int(os.environ.get("BENCH_NCELLS", "32")),
@@ -48,6 +54,9 @@ def main():
         max_scatt=int(os.environ.get("BENCH_MAXSCATT", "64")),
         density_mode=os.environ.get("BENCH_DENSITY_MODE", "analytic"),
         deposition=os.environ.get("BENCH_DEPOSITION", "sampled"),
+        quadrature_panels=int(os.environ.get("BENCH_PANELS", "32")),
+        refill_batches=refill,
+        refill_every=int(os.environ.get("BENCH_REFILL_EVERY", "2")),
     )
 
     key = jax.random.key(4357)
@@ -65,7 +74,8 @@ def main():
         # only the enqueue.  A device-to-host fetch of a small output leaf
         # is the only reliable barrier: the leaf's value requires the whole
         # dispatched program (all folded batches) to have completed.
-        return float(np.asarray(o["instruments"][0]["Ftot"]).sum())
+        import jax as _j
+        return float(np.asarray(_j.tree.leaves(o)[0]).ravel()[:8].sum())
 
     # warm up / compile
     out = fn(key, ell, L0)
@@ -81,7 +91,7 @@ def main():
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
 
-    pps = packets * nbatches * nrep / dt
+    pps = packets * max(refill, 1) * nbatches * nrep / dt
     baseline = 1.6e6
     print(json.dumps({
         "metric": "photon_packets_per_second_per_chip",

@@ -33,6 +33,11 @@ def main(argv=None):
                         help="emulation mode: 1 packet, no self-absorption")
     parser.add_argument("-b", "--brief", action="store_true",
                         help="brief console logging")
+    parser.add_argument("--fast", action="store_true",
+                        help="TPU-native fast estimators where the model "
+                             "allows: analytic midpoint densities + sampled "
+                             "absorption deposition (default: reference-"
+                             "exact gridded/path estimators)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
     parser.add_argument("-x", "--export-schema", action="store_true",
@@ -110,7 +115,8 @@ def main(argv=None):
                              os.path.join(args.output,
                                           f"{prefix}_parameters.tex"))
             sim = load_ski(path, out_dir=args.output, prefix=prefix,
-                           packets=packets, seed=args.seed, log=log)
+                           packets=packets, seed=args.seed, log=log,
+                           fast_path=args.fast)
             if args.emulate and hasattr(sim, "self_absorption"):
                 sim.self_absorption = False
             with log.timer(f"simulation {prefix}"):

@@ -41,6 +41,25 @@ class LifecycleOptions:
                                      # instruments (gather replaces a
                                      # traversal per peel-off; cell-scale
                                      # approximation, exact by default)
+    refill_batches: int = 0          # persistent-lane relaunch: each lane
+                                     # launches this many packets over the
+                                     # dispatch, relaunching when its
+                                     # packet dies (budget per lane is
+                                     # fixed, so normalization is exact).
+                                     # Avoids the mostly-dead tail of the
+                                     # lockstep event loop (~1.5-1.8x).
+                                     # 0/1 = off.  Requires the vector
+                                     # path, isotropic stellar launch, no
+                                     # polarization/io_state/launch_fn.
+    refill_every: int = 2            # relaunch cadence in events (a lane
+                                     # idles at most this many events
+                                     # after dying before its next packet)
+    quadrature_panels: int | None = None  # analytic-mode panels per ray
+                                     # (None = the grid's wall-crossing
+                                     # count, i.e. finer than the grid's
+                                     # own resolution; fewer panels trade
+                                     # O((panel/scale-height)^2) tau error
+                                     # for throughput)
     deposition: str = "path"         # absorption-tally estimator:
                                      # 'path' = per-segment deposit (the
                                      # reference's analytic path estimator,
@@ -259,9 +278,20 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     # resolution as the wall-crossing segmentation
     npanels = None
     if analytic and hasattr(grid, "ray_span"):
-        npanels = int(getattr(grid, "max_steps", 96))
+        npanels = int(options.quadrature_panels
+                      or getattr(grid, "max_steps", 96))
     if options.deposition not in ("path", "sampled"):
         raise ValueError("deposition must be 'path' or 'sampled'")
+
+    use_refill = options.refill_batches > 1
+    if use_refill and (launch_fn is not None or mueller is not None
+                       or io_state or not use_vector
+                       or stellar_system is None
+                       or not stellar_system.is_isotropic):
+        raise ValueError(
+            "refill_batches requires the vector traversal path with an "
+            "isotropic stellar launch and no polarization/io_state/"
+            "launch_fn")
 
     # path-record mode (ref: DustGridPath): vectorize per-segment physics
     # over an (S, N) buffer and drop the second (propagation) traversal;
@@ -401,6 +431,18 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         Lthreshold = L0 / options.min_weight_reduction
         labs = tallies.get("labs")
 
+        def refill_emission_peel(ins_list, pos_p, L_p, mask):
+            """Emission peel-off for relaunched lanes (isotropic launch)."""
+            t = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
+            t0 = vector_taus(pos_p, kext_pk) if _shared_leader else {}
+            out = list(ins_list)
+            for i, peel in enumerate(peels):
+                out[i] = peel(out[i], pos_p, ell,
+                              jnp.where(mask, L_p, 0.0), t,
+                              tau=t0.get(_shared_leader.get(i)),
+                              kapparho=kapparho_pk)
+            return out
+
         state = dict(
             it=jnp.int32(0), pos=pos, dir=direction, L=L,
             nscatt=state_in["nscatt"] if state_in is not None
@@ -409,6 +451,8 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             labs=labs if labs is not None else jnp.zeros((1,), jnp.float32),
             ins=tallies["instruments"],
         )
+        if use_refill:
+            state["bcount"] = jnp.ones(n, jnp.int32)
         if mueller is not None:
             if state_in is not None:
                 state.update(q=state_in["q"], u=state_in["u"],
@@ -424,6 +468,41 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             labs_c, ins_tallies = st["labs"], st["ins"]
             kit = rng.event_key(k_cycle, it)
             k1, k2, k3 = jax.random.split(kit, 3)
+
+            if use_refill:
+                # relaunch dead lanes that still have packet budget
+                # (ref: none — the reference's thread pool keeps cores busy
+                # by pulling fresh chunks; this is the SPMD-lane analog)
+                K = options.refill_batches
+                eligible = jnp.logical_not(alive) & (st["bcount"] < K)
+
+                def _refill(op):
+                    pos, direction, L, nscatt, alive, bcount, ins = op
+                    kr = jax.random.fold_in(kit, 987654)
+                    npos, ndir, nL, _ = stellar_system.launch(kr, ell, L0)
+                    take = eligible & (nL > 0)
+                    pos = jnp.where(take[:, None], npos, pos)
+                    direction = jnp.where(take[:, None], ndir, direction)
+                    L = jnp.where(take, nL, L)
+                    nscatt = jnp.where(take, 0, nscatt)
+                    alive = alive | take
+                    bcount = bcount + eligible.astype(jnp.int32)
+                    if emission_peeloff:
+                        ins = refill_emission_peel(ins, pos, L, take)
+                    return (pos, direction, L, nscatt, alive, bcount, ins)
+
+                # refill when enough lanes are idle to amortize the
+                # relaunch cost (launch sampling + emission peel), or when
+                # nothing is alive at all (end-of-dispatch drain)
+                frac = jnp.mean(eligible.astype(jnp.float32))
+                trigger = jnp.any(eligible) & (
+                    (frac >= 1.0 / max(options.refill_every, 1))
+                    | jnp.logical_not(jnp.any(alive)))
+                op = (pos, direction, L, nscatt, alive, st["bcount"],
+                      ins_tallies)
+                op = jax.lax.cond(trigger, _refill, lambda o: o, op)
+                (pos, direction, L, nscatt, alive, st["bcount"],
+                 ins_tallies) = op
 
             # -- traverse + absorb (ref: simulateescapeandabsorption) ------
             continuous = options.continuous_scattering and scattering_peeloff
@@ -798,9 +877,16 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
 
         iter_cap = max_iterations if max_iterations is not None \
             else options.max_scatt_events
+        if use_refill:
+            iter_cap = iter_cap * options.refill_batches
 
         def cycle_cond(st):
-            return (st["it"] < iter_cap) & jnp.any(st["alive"])
+            go = (st["it"] < iter_cap) & jnp.any(st["alive"])
+            if use_refill:
+                go = (st["it"] < iter_cap) & (
+                    jnp.any(st["alive"])
+                    | jnp.any(st["bcount"] < options.refill_batches))
+            return go
 
         final = jax.lax.while_loop(cycle_cond, cycle_body, state)
 

@@ -643,8 +643,15 @@ def build_stellar_component(node: Node, wg):
 
 def build_simulation(sim_node: Node, *, out_dir: str = ".",
                      prefix: str = "skirt_tpu", packets: float | None = None,
-                     log=None, seed: int | None = None, batch_size=1 << 17):
-    """Construct an OligoSimulation / PanSimulation from a parsed ski tree."""
+                     log=None, seed: int | None = None, batch_size=1 << 17,
+                     fast_path: bool = False):
+    """Construct an OligoSimulation / PanSimulation from a parsed ski tree.
+
+    fast_path=True opts in to the TPU-native estimators when the model
+    allows them (all dust geometries analytic): density_mode='analytic' +
+    deposition='sampled' — the reference-exact gridded/path estimators
+    remain the default.
+    """
     is_pan = sim_node.name == "PanMonteCarloSimulation"
     if sim_node.name not in ("OligoMonteCarloSimulation",
                              "PanMonteCarloSimulation"):
@@ -765,9 +772,14 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                     return tot
                 grid = build_grid(grid_node, total_density,
                                   rng_seed=the_seed)
+            dmode = "analytic" if (
+                fast_path and hasattr(grid, "crossings")
+                and all(c.geometry.supports_analytic for c in dcomps)) \
+                else "gridded"
             dsys = DustSystem(grid, dcomps,
                               samples_per_cell=int(
-                                  ds_node.scalar("sampleCount", 100)))
+                                  ds_node.scalar("sampleCount", 100)),
+                              density_mode=dmode)
         elif dcomps:
             if prebuilt_grid is not None:
                 grid = prebuilt_grid
@@ -781,9 +793,14 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                 grid = build_grid(ds_node.child("dustGrid"), total_density,
                                   rng_seed=the_seed,
                                   particles=sph_particles)
+            dmode = "analytic" if (
+                fast_path and hasattr(grid, "crossings")
+                and all(c.geometry.supports_analytic for c in dcomps)) \
+                else "gridded"
             dsys = DustSystem(grid, dcomps,
                               samples_per_cell=int(
-                                  ds_node.scalar("sampleCount", 100)))
+                                  ds_node.scalar("sampleCount", 100)),
+                              density_mode=dmode)
         if is_pan and ds_node is not None:
             pan_props = dict(
                 self_absorption=ds_node.boolean("selfAbsorption", True),
@@ -825,6 +842,8 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
         min_scatt_events=int(sim_node.scalar("minScattEvents", 0)),
         scatt_bias=sim_node.scalar("scattBias", 0.5),
         store_absorption=is_pan and dsys is not None,
+        deposition="sampled" if (fast_path and dsys is not None
+                                 and dsys.analytic) else "path",
     )
 
     npackets = packets if packets is not None else sim_node.scalar("packages", 1e6)

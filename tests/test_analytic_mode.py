@@ -133,3 +133,70 @@ class TestAnalyticMode:
         with pytest.raises(ValueError, match="analytic"):
             DustSystem(grid, [comp], samples_per_cell=2,
                        density_mode="analytic")
+
+
+class TestRefill:
+    """Persistent-lane relaunch: K packets per lane, exact budget, results
+    statistically equal to K separate standard batches."""
+
+    def test_matches_standard(self):
+        from skirt_tpu.constants import KPC
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import _build
+
+        n = 1 << 13
+        K = 4
+        # standard: K sequential batches of n lanes
+        run, zeros, ell, L0 = _build(nlambda=2, ncells=16, packets=n,
+                                     quadrature_panels=24)
+        L0k = L0 / K          # normalize to the K-batch total
+        t = zeros()
+        runj = jax.jit(run)
+        for b in range(K):
+            t = runj(jax.random.fold_in(rng.root_key(5), b), ell, L0k, t)
+        F_std = np.asarray(t["instruments"][0]["Ftot"], np.float64)
+        labs_std = float(np.asarray(t["labs"]).sum())
+
+        # refill: one dispatch, n lanes x K packets each
+        run_r, zeros_r, ell_r, L0_r = _build(nlambda=2, ncells=16, packets=n,
+                                             quadrature_panels=24,
+                                             refill_batches=K)
+        out = jax.jit(run_r)(rng.root_key(5), ell_r, L0_r, zeros_r())
+        F_ref = np.asarray(out["instruments"][0]["Ftot"], np.float64)
+        labs_ref = float(np.asarray(out["labs"]).sum())
+
+        # different RNG streams -> statistical agreement (~1/sqrt(nK))
+        np.testing.assert_allclose(F_ref, F_std, rtol=0.05)
+        np.testing.assert_allclose(labs_ref, labs_std, rtol=0.05)
+        assert F_ref.sum() > 0 and labs_ref > 0
+
+    def test_rejects_polarized(self):
+        import pytest as _pt
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle)
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.instruments import SEDInstrument
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem)
+        from skirt_tpu.media.mix import DustMix
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        b = np.linspace(-1, 1, 5)
+        grid = CartesianGrid(b, b, b)
+        mix = DustMix(wg, np.array([55.0]), np.array([45.0]),
+                      np.array([0.35]))
+        comp = DustComponent(UniformSphereGeometry(0.8), mix,
+                             DustMassNormalization(0.02))
+        dsys = DustSystem(grid, [comp], samples_per_cell=2)
+        ins = SEDInstrument("sed", 100.0, 1, inclination=0.6)
+        with _pt.raises(ValueError, match="refill"):
+            make_lifecycle(grid, dsys, ss, [ins],
+                           LifecycleOptions(refill_batches=4), 1,
+                           io_state=True)
