@@ -261,23 +261,27 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     # fully-batched all-crossings traversal (vector_traversal.py): no
     # sequential stepping at all — the default whenever the grid can
     # enumerate its surface crossings in closed form
-    use_vector = (grid is not None and ds is not None
-                  and hasattr(grid, "crossings")
-                  and hasattr(grid, "locate_batched")
-                  and not options.continuous_scattering)
-
     # analytic-density fast path: rho evaluated at segment midpoints with
     # elementwise math instead of per-cell table gathers (the dominant
-    # lifecycle cost on TPU); requires the all-crossings vector mode
+    # lifecycle cost on TPU).  Panel quadrature only needs the grid's
+    # in-domain ray span + batched point location, so grids without a
+    # closed-form crossing set (curved grids) still qualify.
     analytic = bool(ds is not None and getattr(ds, "analytic", False))
+    can_panels = (grid is not None and hasattr(grid, "ray_span")
+                  and hasattr(grid, "locate_batched"))
+    use_vector = (grid is not None and ds is not None
+                  and not options.continuous_scattering
+                  and ((hasattr(grid, "crossings")
+                        and hasattr(grid, "locate_batched"))
+                       or (analytic and can_panels)))
     if analytic and not use_vector:
         raise ValueError("density_mode='analytic' requires a grid with "
-                         "batched crossings (vector traversal) and no "
-                         "continuous_scattering")
+                         "batched crossings or ray_span+locate_batched "
+                         "(vector traversal) and no continuous_scattering")
     # panel count for the analytic quadrature: same per-direction
     # resolution as the wall-crossing segmentation
     npanels = None
-    if analytic and hasattr(grid, "ray_span"):
+    if analytic and can_panels:
         npanels = int(options.quadrature_panels
                       or getattr(grid, "max_steps", 96))
     if options.deposition not in ("path", "sampled"):

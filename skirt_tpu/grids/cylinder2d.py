@@ -103,6 +103,57 @@ class Cylinder2DGrid:
         z = (self.zb[iz] + u[:, 2] * (self.zb[iz + 1] - self.zb[iz])) * self.scale
         return jnp.stack([R * jnp.cos(phi), R * jnp.sin(phi), z], axis=-1)
 
+    # -- analytic-mode panel quadrature support ---------------------------
+
+    def ray_span(self, pos, direction):
+        """(t_start, t_stop) of the ray inside the cylinder, SI meters."""
+        inv = jnp.float32(1.0 / self.scale)
+        p = pos * inv
+        # radial quadratic in the xy plane
+        dx, dy, dz = direction[..., 0], direction[..., 1], direction[..., 2]
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+        a = dx * dx + dy * dy
+        b = px * dx + py * dy
+        c = px * px + py * py - self.rb2[-1]
+        moving_r = a > 1e-30
+        disc = b * b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        rt0 = jnp.where(moving_r, (-b - sq) / jnp.maximum(a, 1e-30), -_BIG)
+        rt1 = jnp.where(moving_r, (-b + sq) / jnp.maximum(a, 1e-30), _BIG)
+        inside_r = c <= 0
+        rt0 = jnp.where(moving_r, rt0, jnp.where(inside_r, -_BIG, _BIG))
+        rt1 = jnp.where(moving_r, rt1, jnp.where(inside_r, _BIG, -_BIG))
+        hit_r = jnp.where(moving_r, disc > 0, inside_r)
+        # z slab
+        moving_z = jnp.abs(dz) > 1e-30
+        izv = 1.0 / jnp.where(moving_z, dz, 1.0)
+        zt0 = (self.zb[0] - pz) * izv
+        zt1 = (self.zb[-1] - pz) * izv
+        zlo = jnp.minimum(zt0, zt1)
+        zhi = jnp.maximum(zt0, zt1)
+        in_z = (pz >= self.zb[0]) & (pz <= self.zb[-1])
+        zlo = jnp.where(moving_z, zlo, jnp.where(in_z, -_BIG, _BIG))
+        zhi = jnp.where(moving_z, zhi, jnp.where(in_z, _BIG, -_BIG))
+        t_start = jnp.maximum(jnp.maximum(rt0, zlo), 0.0)
+        t_stop = jnp.minimum(rt1, zhi)
+        hit = hit_r & (t_start <= t_stop) & (t_stop > 0)
+        t_start = jnp.where(hit, t_start, 0.0)
+        t_stop = jnp.where(hit, t_stop, t_start)
+        return t_start * self.scale, t_stop * self.scale
+
+    def locate_batched(self, points):
+        """Flat (ir, iz) cell ids for (..., 3) SI points (-1 outside)."""
+        inv = jnp.float32(1.0 / self.scale)
+        p = points * inv
+        r = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+        z = p[..., 2]
+        ir = jnp.sum((r[..., None] >= self.rb[..., :]).astype(jnp.int32),
+                     axis=-1) - 1
+        iz = jnp.sum((z[..., None] >= self.zb[..., :]).astype(jnp.int32),
+                     axis=-1) - 1
+        ok = (ir >= 0) & (ir < self.nr) & (iz >= 0) & (iz < self.nz)
+        return jnp.where(ok, ir * self.nz + iz, -1)
+
     # -- device-side protocol ---------------------------------------------
 
     def cell_of(self, state: CylinderState):

@@ -102,6 +102,32 @@ class Sphere1DGrid:
     def locate(self, pos):
         return self.cell_of(self.start(pos))
 
+    # -- analytic-mode panel quadrature support ---------------------------
+
+    def ray_span(self, pos, direction):
+        """(t_start, t_stop) of the ray inside the outer sphere, SI meters.
+
+        Scaled-unit quadratic (SI radii squared overflow float32)."""
+        p = self._scaled(pos)
+        b = jnp.sum(p * direction, axis=-1)
+        c = jnp.sum(p * p, axis=-1) - self.rb2[-1]
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = jnp.maximum(-b - sq, 0.0)
+        t1 = -b + sq
+        hit = (disc > 0) & (t1 > 0) & (t0 <= t1)
+        t0 = jnp.where(hit, t0, 0.0)
+        t1 = jnp.where(hit, t1, 0.0)
+        return t0 * self.scale, t1 * self.scale
+
+    def locate_batched(self, points):
+        """Radial cell ids for (..., 3) SI points (-1 outside)."""
+        p = self._scaled(points)
+        r = jnp.sqrt(jnp.sum(p * p, axis=-1))
+        ir = jnp.sum((r[..., None] >= self.rb[..., :]).astype(jnp.int32),
+                     axis=-1) - 1
+        return jnp.where((ir >= 0) & (ir < self.nr), ir, -1)
+
     def enter(self, pos, direction):
         p = self._scaled(pos)
         b = 2.0 * jnp.sum(p * direction, axis=-1)

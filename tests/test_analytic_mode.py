@@ -200,3 +200,55 @@ class TestRefill:
             make_lifecycle(grid, dsys, ss, [ins],
                            LifecycleOptions(refill_batches=4), 1,
                            io_state=True)
+
+
+class TestCurvedGridAnalytic:
+    """Analytic panel quadrature on grids without closed-form crossings."""
+
+    def _run(self, grid, n=16384, seed=3):
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        mix = DustMix(wg, np.array([55.0]), np.array([45.0]),
+                      np.array([0.35]))
+        comp = DustComponent(UniformSphereGeometry(0.8), mix,
+                             DustMassNormalization(0.02))
+        dsys = DustSystem(grid, [comp], samples_per_cell=16,
+                          density_mode="analytic")
+        ins = SEDInstrument("sed", 100.0, 1, inclination=0.7)
+        opts = LifecycleOptions(store_absorption=True, deposition="sampled")
+        run = jax.jit(make_lifecycle(grid, dsys, ss, [ins], opts, 1))
+        ell = jnp.zeros(n, jnp.int32)
+        L0 = jnp.full((n,), 1.0 / n, jnp.float32)
+        tallies = {"instruments": [ins.zero_tallies()],
+                   "labs": jnp.zeros(grid.ncells, jnp.float32)}
+        return run(rng.root_key(seed), ell, L0, tallies)
+
+    def test_sphere1d_matches_cartesian(self):
+        from skirt_tpu.grids import Sphere1DGrid
+        b = np.linspace(-1.0, 1.0, 25)
+        cart = self._run(CartesianGrid(b, b, b))
+        sph = self._run(Sphere1DGrid(np.linspace(0, 1.0, 33)))
+        Fc = float(cart["instruments"][0]["Ftot"][0])
+        Fs = float(sph["instruments"][0]["Ftot"][0])
+        assert Fs > 0
+        # same physics, same analytic density -> only the domain shape
+        # (sphere vs cube corners, empty there) and panels differ
+        assert abs(Fs - Fc) / Fc < 0.03
+        lc = float(np.asarray(cart["labs"]).sum())
+        ls = float(np.asarray(sph["labs"]).sum())
+        assert abs(ls - lc) / lc < 0.03
+
+    def test_cylinder2d_matches_cartesian(self):
+        from skirt_tpu.grids import Cylinder2DGrid
+        b = np.linspace(-1.0, 1.0, 25)
+        cart = self._run(CartesianGrid(b, b, b))
+        cyl = self._run(Cylinder2DGrid(np.linspace(0, 1.0, 17),
+                                       np.linspace(-1.0, 1.0, 17)))
+        Fc = float(cart["instruments"][0]["Ftot"][0])
+        Fy = float(cyl["instruments"][0]["Ftot"][0])
+        assert Fy > 0
+        assert abs(Fy - Fc) / Fc < 0.03
+        lc = float(np.asarray(cart["labs"]).sum())
+        ly = float(np.asarray(cyl["labs"]).sum())
+        assert abs(ly - lc) / lc < 0.03
