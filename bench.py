@@ -57,6 +57,7 @@ def main():
         quadrature_panels=int(os.environ.get("BENCH_PANELS", "32")),
         refill_batches=refill,
         refill_every=int(os.environ.get("BENCH_REFILL_EVERY", "2")),
+        peel_panels=int(os.environ.get("BENCH_PEEL_PANELS", "0")) or None,
     )
 
     key = jax.random.key(4357)

@@ -54,6 +54,11 @@ class LifecycleOptions:
     refill_every: int = 2            # relaunch cadence in events (a lane
                                      # idles at most this many events
                                      # after dying before its next packet)
+    peel_panels: int | None = None   # panels for peel-off extinction
+                                     # integrals (None = quadrature_panels);
+                                     # peel tau only weights detected flux,
+                                     # so a coarser quadrature is usually
+                                     # fine
     quadrature_panels: int | None = None  # analytic-mode panels per ray
                                      # (None = the grid's wall-crossing
                                      # count, i.e. finer than the grid's
@@ -351,7 +356,8 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         for lead in sorted(set(_shared_leader.values())):
             kobs = instruments[lead].observer_direction(pos)
             if analytic and npanels is not None:
-                ds_seg, _, mid = vt.panel_paths(grid, pos, kobs, npanels)
+                np_peel = int(options.peel_panels or npanels)
+                ds_seg, _, mid = vt.panel_paths(grid, pos, kobs, np_peel)
                 kext_rows = ds.analytic_rows(pos, kobs, mid, None, kext_pk,
                                              want_sca=False)
             elif analytic:
