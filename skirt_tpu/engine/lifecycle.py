@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import rng
+from ..ops import binned_add, drop_add
 from . import traversal
 from . import vector_traversal as vt
 
@@ -583,7 +584,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                             * jnp.where(alive, L, 0.0)[:, None] * expfac_r
                     else:
                         dep_rows = (1.0 - albedo_rows) * Lint_r
-                    labs_c = labs_c.at[idx_r].add(dep_rows, mode="drop")
+                    labs_c = drop_add(labs_c, idx_r, dep_rows)
                 elif labs is not None:
                     # sampled deposition: draw one segment with probability
                     # proportional to its absorbed energy, deposit the
@@ -614,8 +615,8 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     cell_dep = grid.locate(pos + mid_dep[:, None] * direction)
                     idx_dep = jnp.where((cell_dep >= 0) & (D > 0),
                                         cell_dep * nlambda + ell, -1)
-                    labs_c = labs_c.at[idx_dep].add(
-                        jnp.where(alive, D, 0.0), mode="drop")
+                    labs_c = binned_add(labs_c, idx_dep,
+                                        jnp.where(alive, D, 0.0))
                 if uniform_albedo:
                     L = jnp.where(alive, albedo_l * L * one_m_e, L)
                 else:
@@ -676,8 +677,8 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     new["Lsca"] = carry["Lsca"] + albedo * Lint
                     if labs is not None:
                         idx = jnp.where(cell >= 0, cell * nlambda + ell, -1)
-                        new["labs"] = carry["labs"].at[idx].add(
-                            (1.0 - albedo) * Lint, mode="drop")
+                        new["labs"] = drop_add(carry["labs"], idx,
+                                               (1.0 - albedo) * Lint)
                     new["tau"] = carry["tau"] + dtau
                     if continuous:
                         # ref: continuouspeeloffscattering — peel-off from

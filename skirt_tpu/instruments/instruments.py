@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..constants import C_LIGHT
 from ..io.fits import write_fits
+from ..ops import binned_add, drop_add
 from ..units import Units
 
 
@@ -156,7 +157,7 @@ class FrameInstrument(DistantInstrument):
         tallies = dict(tallies)
         pix = self.pixel(pos)
         idx = jnp.where(pix >= 0, ell * (self.nx * self.ny) + pix, -1)
-        tallies["ftot"] = tallies["ftot"].at[idx].add(contribution, mode="drop")
+        tallies["ftot"] = binned_add(tallies["ftot"], idx, contribution)
         return tallies
 
     def write(self, accumulated, wavelength_grid, units: Units, out_dir: str,
@@ -238,7 +239,7 @@ class FullInstrument(SimpleInstrument):
             is_dust = jnp.zeros_like(direct)
 
         def add(t, key_f, key_F, mask, value):
-            t[key_f] = t[key_f].at[jnp.where(mask, idx, -1)].add(value, mode="drop")
+            t[key_f] = binned_add(t[key_f], jnp.where(mask, idx, -1), value)
             t[key_F] = t[key_F] + _bin_sum(value, ell, self.nlambda, mask)
             return t
 
@@ -253,19 +254,21 @@ class FullInstrument(SimpleInstrument):
             lev = jnp.clip(nscatt - 1, 0, self.nscatt_levels - 1)
             level_idx = jnp.where((nscatt >= 1) & (nscatt <= self.nscatt_levels),
                                   lev * self.nlambda * npix + idx, -1)
-            t["fscatlev"] = t["fscatlev"].reshape(-1).at[
-                jnp.where(idx >= 0, level_idx, -1)].add(
-                contribution, mode="drop").reshape(self.nscatt_levels, -1)
+            t["fscatlev"] = binned_add(
+                t["fscatlev"].reshape(-1),
+                jnp.where(idx >= 0, level_idx, -1),
+                contribution).reshape(self.nscatt_levels, -1)
             Fidx = jnp.where((nscatt >= 1) & (nscatt <= self.nscatt_levels),
                              lev * self.nlambda + ell, -1)
-            t["Fscatlev"] = t["Fscatlev"].reshape(-1).at[Fidx].add(
-                contribution, mode="drop").reshape(self.nscatt_levels, -1)
+            t["Fscatlev"] = binned_add(
+                t["Fscatlev"].reshape(-1), Fidx,
+                contribution).reshape(self.nscatt_levels, -1)
         if self.polarization and tags.get("stokes") is not None:
             q, u, v = tags["stokes"]
             for key_f, key_F, ratio in (("fQ", "FQ", q), ("fU", "FU", u),
                                         ("fV", "FV", v)):
                 val = contribution * ratio
-                t[key_f] = t[key_f].at[idx].add(val, mode="drop")
+                t[key_f] = binned_add(t[key_f], idx, val)
                 t[key_F] = t[key_F] + _bin_sum(val, ell, self.nlambda)
         return t
 

@@ -13,6 +13,8 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops import binned_add
+
 from ..io.fits import write_fits
 from .instruments import DistantInstrument
 
@@ -65,7 +67,7 @@ class MultiFrameInstrument(DistantInstrument):
         idx = jnp.where(ok, jnp.asarray(self.offsets_dev)[ell] + i + nxs * j,
                         -1)
         tallies = dict(tallies)
-        tallies["ftot"] = tallies["ftot"].at[idx].add(contribution, mode="drop")
+        tallies["ftot"] = binned_add(tallies["ftot"], idx, contribution)
         return tallies
 
     def write(self, accumulated, wavelength_grid, units, out_dir, prefix):

@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops import binned_add
+
 
 class PerspectiveInstrument:
     has_frame = True
@@ -96,7 +98,7 @@ class PerspectiveInstrument:
         pix = self.pixel(pos)
         idx = jnp.where(pix >= 0, ell * (self.nx * self.ny) + pix, -1)
         tallies = dict(tallies)
-        tallies["ftot"] = tallies["ftot"].at[idx].add(value, mode="drop")
+        tallies["ftot"] = binned_add(tallies["ftot"], idx, value)
         return tallies
 
     # -- output ------------------------------------------------------------

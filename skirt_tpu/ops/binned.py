@@ -1,0 +1,122 @@
+"""Binned scatter-add as a two-level one-hot MXU contraction (Pallas).
+
+ref: the reference's tally primitive is a lock-free atomic add per event
+(Fundamentals/LockFree.hpp:25-37).  On TPU, XLA lowers `.at[idx].add` to
+the serial scatter unit (~7 ns per update measured on v5e — see
+BASELINE.md); for the lifecycle's per-event (N,) tallies that is the
+single largest remaining cost.
+
+TPU re-design: split each bin index into (q, r) = (idx // R, idx % R) and
+accumulate C[q, r] += v via one-hot matrices:
+
+    C += Eq^T @ (Er * v),   Eq[e, qq] = [q_e == qq], Er[e, rr] = [r_e == rr]
+
+The contraction runs on the MXU (~nbins MACs per element are ~free), the
+one-hots are built in VMEM registers per tile and never touch HBM, and the
+(Q, R) accumulator lives in VMEM across the (sequential) grid.  Exact in
+float32.  Falls back to XLA scatter off-TPU and for shapes where the
+contraction does not pay (many bins or few updates).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_TILE_ROWS = 128          # elements per tile = _TILE_ROWS * 128
+_MAX_BINS = 1 << 17       # contraction cost ~ nbins MACs/element
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("nbins_padded", "R", "Q"))
+def _mxu_bincount(idx, val, *, nbins_padded, R, Q):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = idx.shape[0]
+    tile = _TILE_ROWS * 128
+    npad = _ceil_to(max(n, tile), tile)
+    idx = jnp.pad(idx, (0, npad - n))
+    val = jnp.pad(val, (0, npad - n))
+    idx2 = idx.reshape(-1, 128)
+    val2 = val.reshape(-1, 128)
+    ntiles = idx2.shape[0] // _TILE_ROWS
+
+    def kern(idx_ref, val_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def row(j, acc):
+            q = idx_ref[pl.ds(j, 1), :] // R                # (1, 128)
+            r = idx_ref[pl.ds(j, 1), :] - q * R
+            v = val_ref[pl.ds(j, 1), :]
+            qi = jax.lax.broadcasted_iota(jnp.int32, (Q, 128), 0)
+            Eq = (qi == q).astype(jnp.float32)               # (Q, 128)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+            Erv = jnp.where(ri == r, v, 0.0)                 # (R, 128)
+            # C[q, r] += sum_e Eq[q, e] * Erv[r, e]
+            return acc + jax.lax.dot_general(
+                Eq, Erv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        out_ref[:] += jax.lax.fori_loop(0, _TILE_ROWS, row,
+                                        jnp.zeros((Q, R), jnp.float32))
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Q, R), jnp.float32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((_TILE_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, R), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )(idx2, val2)
+    return out.reshape(nbins_padded)
+
+
+def drop_add(tally, idx, values):
+    """`tally.at[idx].add(values)` where idx < 0 means "drop".
+
+    JAX follows numpy indexing semantics: a -1 index WRAPS to the last
+    bin even under mode='drop' (which only drops positive out-of-range
+    indices).  Every scatter in the engine uses -1 as its dropped-lane
+    sentinel, so remap it to `tally.size` (genuinely out of range) first.
+    """
+    safe = jnp.where(idx >= 0, idx, tally.shape[-1])
+    return tally.at[safe].add(values, mode="drop")
+
+
+def binned_add(tally, idx, values):
+    """`tally.at[idx].add(values, mode='drop')` for flat (N,) updates.
+
+    Negative / out-of-range indices are dropped (the lifecycle's sentinel
+    for escaped or padded lanes).  Uses the MXU contraction kernel on TPU
+    when it pays; XLA scatter otherwise.
+    """
+    nbins = tally.shape[0]
+    flat_idx = idx.ravel()
+    flat_val = values.ravel()
+    use_mxu = (jax.default_backend() == "tpu" and nbins <= _MAX_BINS
+               and flat_idx.shape[0] >= (1 << 14)
+               and flat_idx.shape[0] * 4 >= nbins)
+    if not use_mxu:
+        return drop_add(tally, idx, values)
+    R = 128 if nbins <= 128 * 128 else 256
+    Q = _ceil_to(-(-nbins // R), 8)
+    ok = (flat_idx >= 0) & (flat_idx < nbins)
+    safe_idx = jnp.where(ok, flat_idx, 0)
+    safe_val = jnp.where(ok, flat_val, 0.0)
+    binned = _mxu_bincount(safe_idx, safe_val,
+                           nbins_padded=Q * R, R=R, Q=Q)
+    return tally + binned[:nbins]

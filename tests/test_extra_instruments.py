@@ -77,3 +77,32 @@ class TestMultiFrame:
         assert f1.sum() == pytest.approx(5.0, rel=1e-5)
         assert f0[4, 4] == f0.max()
         assert f1[8, 8] == f1.max()
+
+
+class TestDropSentinelNoWrap:
+    """-1 sentinel indices must be DROPPED, not wrapped to the last bin.
+
+    JAX .at[].add follows numpy indexing: -1 wraps even under mode='drop'
+    (which only drops positive out-of-range).  Regression for the engine's
+    drop_add helper."""
+
+    def test_drop_add_drops_negatives(self):
+        import jax.numpy as jnp
+        from skirt_tpu.ops import drop_add
+        t = jnp.zeros(8)
+        idx = jnp.asarray([0, -1, 7, -5])
+        v = jnp.asarray([1.0, 100.0, 2.0, 50.0])
+        out = np.asarray(drop_add(t, idx, v))
+        assert out[0] == 1.0 and out[7] == 2.0
+        assert out.sum() == 3.0  # the negative-index values vanished
+
+    def test_frame_off_detector_contribution_dropped(self):
+        import jax.numpy as jnp
+        from skirt_tpu.instruments import FrameInstrument
+        ins = FrameInstrument("f", 1.0, 1, 4, 4, fov_x=2.0, fov_y=2.0,
+                              inclination=0.0)
+        t = ins.zero_tallies()
+        # position far outside the field of view
+        pos = jnp.asarray([[100.0, 100.0, 0.0]])
+        out = ins.detect(t, pos, jnp.asarray([0]), jnp.asarray([5.0]))
+        assert float(np.asarray(out["ftot"]).sum()) == 0.0
