@@ -52,7 +52,8 @@ class TestGreyBodyEmissivity:
         assert lam_peak == pytest.approx(2.898e-3 / T_true, rel=0.1)
 
 
-def build_pan_sim(tau=2.0, packets=2000, nlambda=24, self_absorption=False):
+def build_pan_sim(tau=2.0, packets=2000, nlambda=24, self_absorption=False,
+                  density_mode="gridded", deposition="path"):
     wg = LogWavelengthGrid(0.1e-6, 1000e-6, nlambda)
     star = StellarComponent(PointGeometry(), BlackBodySED(wg, 6000.0),
                             BolometricLuminosityNormalization(100.0))
@@ -72,13 +73,15 @@ def build_pan_sim(tau=2.0, packets=2000, nlambda=24, self_absorption=False):
     mass = tau / (3.0 * R) * volume  # kappa_UV * rho * R = tau
     comp = DustComponent(UniformSphereGeometry(R), mix,
                          DustMassNormalization(mass))
-    dsys = DustSystem(grid, [comp], samples_per_cell=8)
+    dsys = DustSystem(grid, [comp], samples_per_cell=8,
+                      density_mode=density_mode)
     ins = SEDInstrument("sed", 1e4, nlambda, inclination=0.7, azimuth=0.3)
     return PanSimulation(stellar_system=ss, instruments=[ins],
                          dust_system=dsys, packets=packets,
                          self_absorption=self_absorption, log=SilentLog(),
                          batch_size=1 << 14,
-                         options=LifecycleOptions(store_absorption=True))
+                         options=LifecycleOptions(store_absorption=True,
+                                                  deposition=deposition))
 
 
 class TestPanSimulation:
@@ -166,3 +169,26 @@ class TestMultiComponent:
         acc = sim.run()
         total = acc["instruments"][0]["Ftot"].sum()
         assert total == pytest.approx(100.0, rel=0.07)
+
+
+class TestPanAnalyticFastPath:
+    """Pan dust-emission loop with the TPU fast estimators: analytic
+    midpoint densities + sampled deposition through every phase (stellar,
+    dust emission with cell-launch launch_fn)."""
+
+    def test_energy_conservation_analytic_sampled(self):
+        sim = build_pan_sim(tau=2.0, packets=3000,
+                            density_mode="analytic", deposition="sampled")
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        assert F.sum() == pytest.approx(100.0, rel=0.05)
+        lam = sim.wavelength_grid.lambdav
+        assert F[lam > 1e-6].sum() / F.sum() > 0.3
+
+    def test_matches_gridded(self):
+        g = build_pan_sim(tau=1.0, packets=4000).run()
+        a = build_pan_sim(tau=1.0, packets=4000, density_mode="analytic",
+                          deposition="sampled").run()
+        Fg = g["instruments"][0]["Ftot"]
+        Fa = a["instruments"][0]["Ftot"]
+        assert abs(Fa.sum() - Fg.sum()) / Fg.sum() < 0.05
