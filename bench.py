@@ -65,7 +65,7 @@ def main():
     # amortize the fixed per-dispatch latency (dominant on the tunneled
     # TPU) by folding several batches into one compiled call
     from skirt_tpu.engine.lifecycle import make_multibatch
-    nbatches = int(os.environ.get("BENCH_DISPATCH_BATCHES", "1"))
+    nbatches = int(os.environ.get("BENCH_DISPATCH_BATCHES", "8"))
     run_many = make_multibatch(run_batch, nbatches)
     fn = jax.jit(lambda k, e, l: run_many(k, e, l, zero_tallies()))
 
