@@ -82,7 +82,7 @@ def main():
         labs = labs.at[idx].add(0.4 * Lint, mode="drop")
         taupath = cum[:, -1]
         tau = 0.5 * taupath
-        s, cell_at = vt.invert_tau(cum, ds_r, te, cells, tau)
+        s, cell_at, _ = vt.invert_tau(cum, ds_r, te, cells, tau)
         return s, cell_at, labs, taupath
 
     @jax.jit

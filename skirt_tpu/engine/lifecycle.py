@@ -52,9 +52,11 @@ class LifecycleOptions:
                                      # 0/1 = off.  Requires the vector
                                      # path, isotropic stellar launch, no
                                      # polarization/io_state/launch_fn.
-    refill_every: int = 2            # relaunch cadence in events (a lane
-                                     # idles at most this many events
-                                     # after dying before its next packet)
+    refill_every: int = 2            # inverse idle-fraction threshold:
+                                     # relaunch when >= 1/refill_every of
+                                     # the lanes are idle (2 = 50%, the
+                                     # measured sweet spot); 1 degenerates
+                                     # to relaunch-only-when-all-dead
     peel_panels: int | None = None   # panels for peel-off extinction
                                      # integrals (None = quadrature_panels);
                                      # peel tau only weights detected flux,

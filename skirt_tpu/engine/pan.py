@@ -158,6 +158,15 @@ class PanSimulation(OligoSimulation):
         for the transient/stochastic emissivity, which depends on the full
         radiation-field spectrum, not just the absorbed power).
         """
+        # cells without gridded mass cannot emit: the analytic-density
+        # fast path can deposit boundary-sliver absorption into cells whose
+        # MC-sampled density came out zero; feeding that energy to the
+        # emissivity solve at absorbed-power-per-mass = 0 would re-emit it
+        # all with the coldest table spectrum (a spurious last-bin spike).
+        # The dropped energy is of the same order as the gridding deficit
+        # the reference's convergence check reports.
+        labs_bol_dev = labs_bol_dev * jnp.asarray(
+            (self._inv4pivrho > 0).astype(np.float32))
         if self.transient is not None and labs_full is not None:
             frac = self._transient_fractions(labs_full)
         elif self.dust_system.ncomp == 1:

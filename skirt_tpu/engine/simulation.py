@@ -147,14 +147,20 @@ class OligoSimulation:
         Lv = self.stellar_system.Lv
         nbatches = int(np.ceil(self.packets / per_batch))
         ell_np = np.tile(np.arange(nl, dtype=np.int32), per_batch)
+        # one shared device buffer for every full batch (the phase driver
+        # materializes the batch list; per-batch copies would pin
+        # O(nbatches * batch_size) device memory)
+        ell_full = jnp.asarray(ell_np)
+        L0_full = jnp.asarray((Lv[ell_np] / self.packets).astype(np.float32))
         launched = 0
         for b in range(nbatches):
             count = min(per_batch, self.packets - launched)
             if count < per_batch:
-                ell_np = np.tile(np.arange(nl, dtype=np.int32), count)
-            ell = jnp.asarray(ell_np)
-            L0 = jnp.asarray((Lv[ell_np] / self.packets).astype(np.float32))
-            yield b, ell, L0
+                tail_np = np.tile(np.arange(nl, dtype=np.int32), count)
+                yield b, jnp.asarray(tail_np), jnp.asarray(
+                    (Lv[tail_np] / self.packets).astype(np.float32))
+            else:
+                yield b, ell_full, L0_full
             launched += count
 
     def run(self):

@@ -89,9 +89,13 @@ def row_cumsum_mxu(x):
     """
     S = x.shape[-1]
     tri = jnp.asarray(np.tril(np.ones((S, S), np.float32)).T)
+    # HIGHEST: TPU's default matmul precision rounds f32 operands toward
+    # bfloat16 (preferred_element_type only sets the accumulator), which
+    # would put ~1e-3 relative error on every optical depth
     return jax.lax.dot_general(
         x, tri, (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def invert_tau_panels(cum, t0, delta, tau):

@@ -125,9 +125,15 @@ class Geometry:
 
     @property
     def supports_analytic(self) -> bool:
+        # the generic SpheGeometry/AxGeometry density_scaled overrides only
+        # work when the subclass provides the shape hook; a class counts as
+        # analytic-capable if it defines its OWN density_scaled or a hook
         cls_m = type(self).density_scaled
-        return cls_m is not Geometry.density_scaled \
-            or hasattr(self, "radial_shape") or hasattr(self, "shape_rz")
+        generic = (Geometry.density_scaled,
+                   SpheGeometry.density_scaled, AxGeometry.density_scaled)
+        if cls_m not in generic:
+            return True
+        return hasattr(self, "radial_shape") or hasattr(self, "shape_rz")
 
     def density_scaled(self, pos_s, lscale: float):
         raise NotImplementedError(

@@ -641,6 +641,17 @@ def build_stellar_component(node: Node, wg):
     raise SkiParseError(f"unsupported stellar component '{n}'")
 
 
+def _fast_density_mode(fast_path, grid, dcomps):
+    """'analytic' when --fast is on and the model supports it (closed-form
+    component densities + a grid with a vector traversal path)."""
+    vector_ok = hasattr(grid, "crossings") or (
+        hasattr(grid, "ray_span") and hasattr(grid, "locate_batched"))
+    if fast_path and vector_ok and all(
+            c.geometry.supports_analytic for c in dcomps):
+        return "analytic"
+    return "gridded"
+
+
 def build_simulation(sim_node: Node, *, out_dir: str = ".",
                      prefix: str = "skirt_tpu", packets: float | None = None,
                      log=None, seed: int | None = None, batch_size=1 << 17,
@@ -772,10 +783,7 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                     return tot
                 grid = build_grid(grid_node, total_density,
                                   rng_seed=the_seed)
-            dmode = "analytic" if (
-                fast_path and hasattr(grid, "crossings")
-                and all(c.geometry.supports_analytic for c in dcomps)) \
-                else "gridded"
+            dmode = _fast_density_mode(fast_path, grid, dcomps)
             dsys = DustSystem(grid, dcomps,
                               samples_per_cell=int(
                                   ds_node.scalar("sampleCount", 100)),
@@ -793,10 +801,7 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                 grid = build_grid(ds_node.child("dustGrid"), total_density,
                                   rng_seed=the_seed,
                                   particles=sph_particles)
-            dmode = "analytic" if (
-                fast_path and hasattr(grid, "crossings")
-                and all(c.geometry.supports_analytic for c in dcomps)) \
-                else "gridded"
+            dmode = _fast_density_mode(fast_path, grid, dcomps)
             dsys = DustSystem(grid, dcomps,
                               samples_per_cell=int(
                                   ds_node.scalar("sampleCount", 100)),

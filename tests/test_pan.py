@@ -192,3 +192,10 @@ class TestPanAnalyticFastPath:
         Fg = g["instruments"][0]["Ftot"]
         Fa = a["instruments"][0]["Ftot"]
         assert abs(Fa.sum() - Fg.sum()) / Fg.sum() < 0.05
+        # spectral SHAPE must agree too — regression for the massless-cell
+        # emission spike (absorbed energy deposited into cells whose
+        # gridded density sampled to zero must not re-emit with the
+        # coldest table spectrum and pile into the last bin)
+        big = Fg > 1e-3 * Fg.sum()
+        np.testing.assert_allclose(Fa[big], Fg[big], rtol=0.35)
+        assert Fa[-1] < 3.0 * max(Fg[-1], 1e-30)
