@@ -139,6 +139,39 @@ class Sphere2DGrid:
     def locate(self, pos):
         return self.cell_of(self.start(pos))
 
+    # -- analytic-mode panel quadrature support ---------------------------
+
+    def ray_span(self, pos, direction):
+        """(t_start, t_stop) of the ray inside the outer sphere, SI meters."""
+        p = self._scaled(pos)
+        b = jnp.sum(p * direction, axis=-1)
+        c = jnp.sum(p * p, axis=-1) - self.rb2[-1]
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = jnp.maximum(-b - sq, 0.0)
+        t1 = -b + sq
+        hit = (disc > 0) & (t1 > 0) & (t0 <= t1)
+        t0 = jnp.where(hit, t0, 0.0)
+        t1 = jnp.where(hit, t1, 0.0)
+        return t0 * self.scale, t1 * self.scale
+
+    def locate_batched(self, points):
+        """(r, theta) cell ids for (..., 3) SI points, -1 outside.
+
+        Compare-all binning (searchsorted is a per-element binary search
+        on TPU; the border tables are small)."""
+        p = self._scaled(points)
+        r = jnp.sqrt(jnp.sum(p * p, axis=-1))
+        mu = p[..., 2] / jnp.maximum(r, 1e-30)
+        ir = jnp.sum((r[..., None] >= self.rb[..., :]).astype(jnp.int32),
+                     axis=-1) - 1
+        # costb is DECREASING in theta index
+        it = jnp.sum((mu[..., None] <= self.costb[..., :]).astype(jnp.int32),
+                     axis=-1) - 1
+        it = jnp.clip(it, 0, self.nt - 1)
+        ok = (ir >= 0) & (ir < self.nr)
+        return jnp.where(ok, jnp.clip(ir, 0) * self.nt + it, -1)
+
     def enter(self, pos, direction):
         p = self._scaled(pos)
         b = 2.0 * jnp.sum(p * direction, axis=-1)

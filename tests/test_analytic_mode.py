@@ -252,3 +252,15 @@ class TestCurvedGridAnalytic:
         lc = float(np.asarray(cart["labs"]).sum())
         ly = float(np.asarray(cyl["labs"]).sum())
         assert abs(ly - lc) / lc < 0.03
+
+    def test_sphere2d_matches_cartesian(self):
+        from skirt_tpu.grids import Sphere2DGrid
+        b = np.linspace(-1.0, 1.0, 25)
+        cart = self._run(CartesianGrid(b, b, b))
+        sph = self._run(Sphere2DGrid(np.linspace(0, 1.0, 17), ntheta=9))
+        Fc = float(cart["instruments"][0]["Ftot"][0])
+        Fs = float(sph["instruments"][0]["Ftot"][0])
+        assert Fs > 0 and abs(Fs - Fc) / Fc < 0.03
+        lc = float(np.asarray(cart["labs"]).sum())
+        ls = float(np.asarray(sph["labs"]).sum())
+        assert abs(ls - lc) / lc < 0.03
