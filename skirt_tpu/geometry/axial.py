@@ -148,6 +148,12 @@ class BrokenExpDiskGeometry(AxGeometry):
         xp = array_namespace(R)
         return self.rho0 * self._radial_dev(R) * xp.exp(-xp.abs(z) / self.hz)
 
+    def shape_rz(self, R, z):
+        """rho/rho0 (the radial profile divides by scale lengths first,
+        so it is float32-safe as written)."""
+        return self._radial_dev(R) * jnp.exp(
+            -jnp.abs(z) * jnp.float32(1.0 / self.hz))
+
     def generate_position(self, key, n: int):
         k1, k2, k3 = jax.random.split(key, 3)
         R = self._r_sampler.sample(rng.uniform_open(k1, (n,)))
@@ -190,6 +196,11 @@ class RingGeometry(AxGeometry):
         xp = array_namespace(R)
         return (self.rho0 * xp.exp(-0.5 * ((R - self.R0) / self.w) ** 2)
                 * xp.exp(-xp.abs(z) / self.hz))
+
+    def shape_rz(self, R, z):
+        """rho/rho0, float32-safe (divide by scales before squaring)."""
+        u = (R - jnp.float32(self.R0)) * jnp.float32(1.0 / self.w)
+        return jnp.exp(-0.5 * u * u - jnp.abs(z) * jnp.float32(1.0 / self.hz))
 
     def generate_position(self, key, n: int):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -253,6 +264,23 @@ class TorusGeometry(AxGeometry):
                   & (xp.abs(costheta) <= np.sin(self.delta)))
         return xp.where(inside, rho, 0.0)
 
+    def density_scaled(self, pos_s, lscale: float):
+        """rho * L^3 with float32-safe math: radii scaled by rmax before
+        any power (r^-p in SI meters under/overflows float32)."""
+        invr = 1.0 / self.rmax
+        Rn = jnp.sqrt(pos_s[..., 0] ** 2 + pos_s[..., 1] ** 2) \
+            * jnp.float32(lscale * invr)
+        zn = pos_s[..., 2] * jnp.float32(lscale * invr)
+        rn = jnp.sqrt(Rn * Rn + zn * zn)
+        rs = jnp.maximum(rn, 1e-20)
+        amu = jnp.abs(zn) / rs
+        pref = jnp.float32(self.A * self.rmax ** (-self.p) * lscale ** 3)
+        rho = pref * rs ** jnp.float32(-self.p) * jnp.exp(
+            jnp.float32(-self.q) * amu)
+        inside = ((rn >= self.rmin * invr) & (rn <= 1.0)
+                  & (amu <= np.sin(self.delta)))
+        return jnp.where(inside, rho, 0.0)
+
     def generate_position(self, key, n: int):
         k1, k2, k3 = jax.random.split(key, 3)
         r = self._r_sampler.sample(rng.uniform_open(k1, (n,)))
@@ -315,6 +343,22 @@ class ConicalShellGeometry(AxGeometry):
                   & (amu >= np.sin(self.dmin)) & (amu <= np.sin(self.dmax)))
         return xp.where(inside, rho, 0.0)
 
+    def density_scaled(self, pos_s, lscale: float):
+        """rho * L^3, float32-safe (see TorusGeometry.density_scaled)."""
+        invr = 1.0 / self.rmax
+        Rn = jnp.sqrt(pos_s[..., 0] ** 2 + pos_s[..., 1] ** 2) \
+            * jnp.float32(lscale * invr)
+        zn = pos_s[..., 2] * jnp.float32(lscale * invr)
+        rn = jnp.sqrt(Rn * Rn + zn * zn)
+        rs = jnp.maximum(rn, 1e-20)
+        amu = jnp.abs(zn) / rs
+        pref = jnp.float32(self.A * self.rmax ** (-self.p) * lscale ** 3)
+        rho = pref * rs ** jnp.float32(-self.p) * jnp.exp(
+            jnp.float32(-self.q) * amu)
+        inside = ((rn >= self.rmin * invr) & (rn <= 1.0)
+                  & (amu >= np.sin(self.dmin)) & (amu <= np.sin(self.dmax)))
+        return jnp.where(inside, rho, 0.0)
+
     def generate_position(self, key, n: int):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         r = self._r_sampler.sample(rng.uniform_open(k1, (n,)))
@@ -367,6 +411,14 @@ class TTauriDiskGeometry(AxGeometry):
             -np.pi / 4.0 * (z / h) ** 2)
         inside = (R >= self.rinn) & (R <= self.rout)
         return xp.where(inside, rho, 0.0)
+
+    def shape_rz(self, R, z):
+        """rho/rho0, float32-safe (all ratios before powers)."""
+        x = jnp.maximum(R * jnp.float32(1.0 / self.rd), 1e-20)
+        zh = (z * jnp.float32(1.0 / self.zd)) / (x ** jnp.float32(9.0 / 8.0))
+        rho = jnp.exp(-jnp.float32(np.pi / 4.0) * zh * zh) / x
+        inside = (R >= self.rinn) & (R <= self.rout)
+        return jnp.where(inside, rho, 0.0)
 
     def generate_position(self, key, n: int):
         k1, k2, k3 = jax.random.split(key, 3)

@@ -264,3 +264,35 @@ class TestCurvedGridAnalytic:
         lc = float(np.asarray(cart["labs"]).sum())
         ls = float(np.asarray(sph["labs"]).sum())
         assert abs(ls - lc) / lc < 0.03
+
+
+class TestMoreAnalyticGeometries:
+    """density_scaled parity for the newly-covered axial geometries."""
+
+    def test_matches_host_density(self):
+        from skirt_tpu.geometry import (BrokenExpDiskGeometry, RingGeometry,
+                                        TorusGeometry, ConicalShellGeometry,
+                                        TTauriDiskGeometry)
+        KPC = 3.086e19
+        geoms = [
+            RingGeometry(5 * KPC, 1 * KPC, 0.3 * KPC),
+            BrokenExpDiskGeometry(2 * KPC, 5 * KPC, 0.3 * KPC, 6 * KPC),
+            TorusGeometry(1.0, 2.0, 0.6, 0.1 * KPC, 10 * KPC),
+            ConicalShellGeometry(1.0, 2.0, 0.2, 0.8, 0.1 * KPC, 10 * KPC),
+            TTauriDiskGeometry(0.1 * KPC, 10 * KPC, 2 * KPC, 0.2 * KPC),
+        ]
+        L = 24 * KPC
+        rng_np = np.random.default_rng(3)
+        pts = (rng_np.random((256, 3)) - 0.5) * 18 * KPC
+        for g in geoms:
+            assert g.supports_analytic, type(g).__name__
+            want = np.asarray(g.density(pts)) * L ** 3
+            got = np.asarray(g.density_scaled(
+                jnp.asarray(pts / L, jnp.float32), L))
+            nz = want > 0
+            assert nz.sum() > 10, type(g).__name__
+            np.testing.assert_allclose(got[nz], want[nz], rtol=2e-3,
+                                       err_msg=type(g).__name__)
+            # support masks agree except at float32 boundary slivers
+            if (~nz).any():
+                assert (got[~nz] == 0).mean() > 0.95, type(g).__name__
