@@ -289,7 +289,9 @@ class TestMoreAnalyticGeometries:
             want = np.asarray(g.density(pts)) * L ** 3
             got = np.asarray(g.density_scaled(
                 jnp.asarray(pts / L, jnp.float32), L))
-            nz = want > 0
+            # compare only float32-representable values (deep Gaussian /
+            # power-law tails like 1e-155 legitimately flush to zero)
+            nz = want > want.max() * 1e-25
             assert nz.sum() > 10, type(g).__name__
             np.testing.assert_allclose(got[nz], want[nz], rtol=2e-3,
                                        err_msg=type(g).__name__)
