@@ -295,6 +295,8 @@ class TestMoreAnalyticGeometries:
             assert nz.sum() > 10, type(g).__name__
             np.testing.assert_allclose(got[nz], want[nz], rtol=2e-3,
                                        err_msg=type(g).__name__)
-            # support masks agree except at float32 boundary slivers
+            # below-threshold points must stay negligible (zero or deep
+            # tail values)
             if (~nz).any():
-                assert (got[~nz] == 0).mean() > 0.95, type(g).__name__
+                assert (got[~nz] <= want.max() * 1e-20).all(), \
+                    type(g).__name__
