@@ -102,7 +102,7 @@ def main(argv=None):
                 # fski batch runs drive the GA fit scheme
                 from .fit.fski import load_fski
                 scheme = load_fski(path, out_dir=args.output, log=log,
-                                   packets=packets)
+                                   packets=packets, fast_path=args.fast)
                 with log.timer(f"fit scheme {prefix}"):
                     best, chi2 = scheme.run()
                 log.success(f"best chi2 {chi2:.6g} at {best}")

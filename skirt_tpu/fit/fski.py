@@ -134,7 +134,7 @@ def _extract_frames(instr, tallies, ell: int) -> np.ndarray:
 
 def load_fski(path: str, *, out_dir: str = ".", log: Log | None = None,
               packets: float | None = None, batch_size: int = 1 << 14,
-              prefix: str | None = None) -> FitScheme:
+              prefix: str | None = None, fast_path: bool = False) -> FitScheme:
     """Build a runnable FitScheme from an fski file.
 
     ref: FitSkirtCommandLineHandler::doBatch — parse the fit scheme, load
@@ -205,7 +205,8 @@ def load_fski(path: str, *, out_dir: str = ".", log: Log | None = None,
         sim = build_simulation(node, out_dir=out_dir,
                                prefix="fit_tmp", packets=packets,
                                log=SilentLog(), batch_size=batch_size,
-                               seed=4357 if fixed_seed else None)
+                               seed=4357 if fixed_seed else None,
+                               fast_path=fast_path)
         comps = sim.stellar_system.components
         bias = sim.stellar_system.emission_bias
         # frame-capable instrument: the first with a pixel tally
