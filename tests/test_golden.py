@@ -1,0 +1,43 @@
+"""Golden regression values for the flagship bench configuration.
+
+Pins the exact CPU outputs of __graft_entry__._build at the default seed:
+any change to the RNG discipline, the analytic quadrature, the sampled
+deposition, or the instrument pipeline shows up here before it shows up
+as a silent benchmark or physics drift.  (ref: the reference's fixed-seed
+determinism for regression comparison, SKIRTcore/Random.cpp:21.)
+
+Tolerances are float32-reduction-order loose (cross-platform XLA codegen
+may reorder sums) but far tighter than any physics change.
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from skirt_tpu import rng
+
+
+GOLDEN_F = np.array([2.3750366906889483e+35, 2.3762633407150754e+35,
+                     2.394911471396464e+35, 2.3790717810057998e+35])
+GOLDEN_LABS = 1.142343338395669e+35
+GOLDEN_CUBE = 4.4048156677589235e+35
+
+
+class TestFlagshipGolden:
+    def test_fast_path_outputs_pinned(self):
+        from __graft_entry__ import _build
+        run, zeros, ell, L0 = _build(nlambda=4, ncells=16, packets=1 << 14,
+                                     quadrature_panels=32)
+        out = jax.jit(lambda k, e, l: run(k, e, l, zeros()))(
+            rng.root_key(4357), ell, L0)
+        F = np.asarray(out["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(F, GOLDEN_F, rtol=2e-4)
+        labs = float(np.asarray(out["labs"]).sum())
+        assert labs == pytest.approx(GOLDEN_LABS, rel=2e-4)
+        cube = float(np.asarray(out["instruments"][1]["ftot"]).sum())
+        assert cube == pytest.approx(GOLDEN_CUBE, rel=2e-4)
