@@ -586,7 +586,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                             * jnp.where(alive, L, 0.0)[:, None] * expfac_r
                     else:
                         dep_rows = (1.0 - albedo_rows) * Lint_r
-                    labs_c = drop_add(labs_c, idx_r, dep_rows)
+                    labs_c = binned_add(labs_c, idx_r, dep_rows)
                 elif labs is not None:
                     # sampled deposition: draw one segment with probability
                     # proportional to its absorbed energy, deposit the

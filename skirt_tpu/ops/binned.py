@@ -112,9 +112,13 @@ def binned_add(tally, idx, values):
     nbins = tally.shape[0]
     flat_idx = idx.ravel()
     flat_val = values.ravel()
+    # the contraction costs ~nbins MACs per element; cap the total MAC
+    # budget so degenerate shapes cannot regress below the serial scatter
+    macs = flat_idx.shape[0] * nbins
     use_mxu = (jax.default_backend() == "tpu" and nbins <= _MAX_BINS
                and flat_idx.shape[0] >= (1 << 14)
-               and flat_idx.shape[0] * 4 >= nbins)
+               and flat_idx.shape[0] * 4 >= nbins
+               and macs <= (1 << 45))
     if not use_mxu:
         return drop_add(tally, idx, values)
     R = 128 if nbins <= 128 * 128 else 256
