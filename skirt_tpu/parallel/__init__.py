@@ -1,5 +1,7 @@
 """Multi-device / multi-host parallelism."""
 
-from .mesh import packet_mesh, make_sharded_lifecycle
+from .mesh import (packet_mesh, make_sharded_lifecycle,
+                   make_sharded_lifecycle_scattered)
 
-__all__ = ["packet_mesh", "make_sharded_lifecycle"]
+__all__ = ["packet_mesh", "make_sharded_lifecycle",
+           "make_sharded_lifecycle_scattered"]

@@ -58,3 +58,43 @@ def make_sharded_lifecycle(mesh: Mesh, run_batch, zero_tallies):
         out_specs=P(),
         check_vma=False)
     return jax.jit(sharded)
+
+
+def make_sharded_lifecycle_scattered(mesh: Mesh, run_batch, zero_tallies):
+    """Like make_sharded_lifecycle, but the (Ncells*Nlambda) absorption
+    tally comes back SHARDED over the mesh via reduce-scatter.
+
+    ref: the reference replicates the full Labs table on every MPI rank
+    and Allreduces it (PanDustSystem.cpp:394-404) — per-rank memory does
+    not scale down with the process count.  Here the cross-device
+    reduction of "labs" uses psum_scatter, so each device materializes
+    only its 1/D slice after the collective (the instrument tallies stay
+    small and replicate as before).  The returned labs has its leading
+    axis sharded over the packet axis; callers gather it on host or feed
+    it to an equally-sharded emission step.
+
+    Requires the labs length to be divisible by the device count.
+    """
+
+    has_labs = "labs" in zero_tallies()
+
+    def per_device(key, ell, L0):
+        idx = jax.lax.axis_index(PACKET_AXIS)
+        key = jax.random.fold_in(key, idx)
+        local = run_batch(key, ell, L0, zero_tallies())
+        out = {"instruments": jax.tree.map(
+            lambda x: jax.lax.psum(x, PACKET_AXIS), local["instruments"])}
+        if has_labs:
+            out["labs"] = jax.lax.psum_scatter(
+                local["labs"], PACKET_AXIS, tiled=True)
+        return out
+
+    out_specs = {"instruments": P()}
+    if has_labs:
+        out_specs["labs"] = P(PACKET_AXIS)
+    sharded = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(PACKET_AXIS), P(PACKET_AXIS)),
+        out_specs=out_specs,
+        check_vma=False)
+    return jax.jit(sharded)

@@ -155,3 +155,44 @@ class TestSlabDomainDecomposition:
         tau_ref = np.asarray(traversal.optical_depth(grid, kr, pos, d))
         tau = np.asarray(make_slab_optical_depth(slab_mesh(), grid, kr)(pos, d))
         np.testing.assert_allclose(tau, tau_ref, rtol=1e-3)
+
+
+class TestScatteredTallies:
+    """reduce-scattered absorption tallies: per-device memory scales down
+    with the device count, totals equal the replicated psum exactly.
+
+    ref: the reference replicates Labs on every rank (SURVEY.md §5); the
+    psum_scatter variant is the TPU-native memory-scaling alternative."""
+
+    def test_matches_replicated(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import jax
+        import jax.numpy as jnp
+        from __graft_entry__ import _build
+        from skirt_tpu import rng
+        from skirt_tpu.parallel import (make_sharded_lifecycle,
+                                        make_sharded_lifecycle_scattered,
+                                        packet_mesh)
+
+        ndev = 8
+        mesh = packet_mesh(jax.devices()[:ndev])
+        packets = 64 * ndev
+        run_batch, zeros, _, _ = _build(nlambda=2, ncells=8, packets=packets)
+        ell = jnp.asarray(np.arange(packets, dtype=np.int32) % 2)
+        L0 = jnp.full((packets,), 1e36 / packets, jnp.float32)
+        key = rng.root_key(3)
+
+        rep = make_sharded_lifecycle(mesh, run_batch, zeros)(key, ell, L0)
+        scat = make_sharded_lifecycle_scattered(mesh, run_batch, zeros)(
+            key, ell, L0)
+        np.testing.assert_allclose(
+            np.asarray(scat["labs"]), np.asarray(rep["labs"]),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(scat["instruments"][0]["Ftot"]),
+            np.asarray(rep["instruments"][0]["Ftot"]), rtol=1e-6)
+        # the scattered labs is genuinely sharded over the mesh
+        shards = scat["labs"].addressable_shards
+        assert len(shards) == ndev
+        assert shards[0].data.shape[0] == rep["labs"].shape[0] // ndev
