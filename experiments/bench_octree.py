@@ -1,0 +1,82 @@
+"""Honest octree-grid lifecycle throughput (capability config 3 class).
+
+The octree uses the streaming traversal sweep (top-down re-descend per
+step) — gather-bound.  This records the honest number for BASELINE.md.
+"""
+
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, "/root/repo")
+
+from skirt_tpu import rng
+from skirt_tpu.constants import KPC
+from skirt_tpu.engine.lifecycle import LifecycleOptions, make_lifecycle
+from skirt_tpu.geometry import TorusGeometry, PointGeometry
+from skirt_tpu.grids.octree import OctreeGrid
+from skirt_tpu.instruments import SEDInstrument
+from skirt_tpu.media import (DustComponent, DustSystem,
+                             OpticalDepthNormalization, SimpleOligoDustMix)
+from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                       StellarSystem)
+from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+
+def _sync(o):
+    return float(np.asarray(jax.tree.leaves(o)[0]).ravel()[:4].sum())
+
+
+def main():
+    wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+    ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                   [1e36, 1e36])])
+    torus = TorusGeometry(1.0, 2.0, 0.7, 0.05 * KPC, 2 * KPC)
+    half = 2.2 * KPC
+    extent = (-half, -half, -half, half, half, half)
+
+    def rho_np(pos):
+        return np.asarray(torus.density(pos))
+
+    grid = OctreeGrid(extent, rho_np, min_level=2, max_level=5)
+    print(f"octree: {grid.ncells} cells, max_steps={grid.max_steps}",
+          flush=True)
+    mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
+    comp = DustComponent(torus, mix,
+                         OpticalDepthNormalization("x", wg.lambdav[0], 5.0))
+    import os
+    dmode = os.environ.get("OCTREE_MODE", "gridded")
+    dsys = DustSystem(grid, [comp], samples_per_cell=8, density_mode=dmode)
+    ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+    opts = LifecycleOptions(store_absorption=True, max_scatt_events=64,
+                            deposition=("sampled" if dmode == "analytic"
+                                        else "path"))
+    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
+
+    n = 1 << 15
+    ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+    L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+
+    def tallies():
+        return {"instruments": [i.zero_tallies() for i in ins],
+                "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)}
+
+    key = rng.root_key(4357)
+    out = run(key, ell, L0, tallies())
+    _sync(out)
+    t0 = time.perf_counter()
+    out = run(jax.random.fold_in(key, 1), ell, L0, tallies())
+    _sync(out)
+    dt = time.perf_counter() - t0
+    print(f"octree lifecycle: {n / dt:,.0f} packets/s "
+          f"({dt:.2f}s per {n} packets)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -244,6 +244,33 @@ class OctreeGrid:
     def locate(self, pos):
         return self.cell_of(self.start(pos))
 
+    # -- analytic-mode panel quadrature support ---------------------------
+
+    def ray_span(self, pos, direction):
+        """(t_start, t_stop) of the ray inside the root box (slab test)."""
+        root_lo = self.lo[0]
+        root_hi = self.hi[0]
+        moving = jnp.abs(direction) > 1e-30
+        inv = jnp.where(moving, 1.0 / direction, 1.0)
+        t1 = (root_lo - pos) * inv
+        t2 = (root_hi - pos) * inv
+        tnear = jnp.max(jnp.where(moving, jnp.minimum(t1, t2), -_BIG),
+                        axis=-1)
+        tfar = jnp.min(jnp.where(moving, jnp.maximum(t1, t2), _BIG), axis=-1)
+        par_out = jnp.any(jnp.logical_not(moving)
+                          & ((pos < root_lo) | (pos > root_hi)), axis=-1)
+        t_start = jnp.maximum(tnear, 0.0)
+        hit = (t_start <= tfar) & (tfar > 0) & jnp.logical_not(par_out)
+        t_start = jnp.where(hit, t_start, 0.0)
+        return t_start, jnp.where(hit, tfar, t_start)
+
+    def locate_batched(self, points):
+        """Leaf cell ids for (..., 3) points via batched tree descent
+        (max_depth+1 rounds of one gather each)."""
+        node = self.descend(points)
+        safe = jnp.maximum(node, 0)
+        return jnp.where(node >= 0, self.cellnum[safe], -1)
+
     def enter(self, pos, direction):
         root_lo = self.lo[0]
         root_hi = self.hi[0]

@@ -300,3 +300,28 @@ class TestMoreAnalyticGeometries:
             if (~nz).any():
                 assert (got[~nz] <= want.max() * 1e-20).all(), \
                     type(g).__name__
+
+
+class TestOctreeAnalytic(TestCurvedGridAnalytic):
+    """Octree grids qualify for the analytic fast path via batched tree
+    descent + root-box ray span."""
+
+    def test_octree_matches_cartesian(self):
+        from skirt_tpu.grids.octree import OctreeGrid
+        b = np.linspace(-1.0, 1.0, 25)
+        cart = self._run(CartesianGrid(b, b, b))
+
+        geom = UniformSphereGeometry(0.8)
+
+        def rho_np(pts):
+            return np.asarray(geom.density(pts))
+
+        oct_grid = OctreeGrid((-1.0, -1.0, -1.0, 1.0, 1.0, 1.0), rho_np,
+                              min_level=2, max_level=4)
+        octo = self._run(oct_grid)
+        Fc = float(cart["instruments"][0]["Ftot"][0])
+        Fo = float(octo["instruments"][0]["Ftot"][0])
+        assert Fo > 0 and abs(Fo - Fc) / Fc < 0.03
+        lc = float(np.asarray(cart["labs"]).sum())
+        lo = float(np.asarray(octo["labs"]).sum())
+        assert abs(lo - lc) / lc < 0.03
