@@ -264,13 +264,13 @@ class TorusGeometry(AxGeometry):
                   & (xp.abs(costheta) <= np.sin(self.delta)))
         return xp.where(inside, rho, 0.0)
 
-    def density_scaled(self, pos_s, lscale: float):
+    def density_scaled_xyz(self, x_s, y_s, z_s, lscale: float):
         """rho * L^3 with float32-safe math: radii scaled by rmax before
         any power (r^-p in SI meters under/overflows float32)."""
         invr = 1.0 / self.rmax
-        Rn = jnp.sqrt(pos_s[..., 0] ** 2 + pos_s[..., 1] ** 2) \
+        Rn = jnp.sqrt(x_s * x_s + y_s * y_s) \
             * jnp.float32(lscale * invr)
-        zn = pos_s[..., 2] * jnp.float32(lscale * invr)
+        zn = z_s * jnp.float32(lscale * invr)
         rn = jnp.sqrt(Rn * Rn + zn * zn)
         rs = jnp.maximum(rn, 1e-20)
         amu = jnp.abs(zn) / rs
@@ -343,12 +343,12 @@ class ConicalShellGeometry(AxGeometry):
                   & (amu >= np.sin(self.dmin)) & (amu <= np.sin(self.dmax)))
         return xp.where(inside, rho, 0.0)
 
-    def density_scaled(self, pos_s, lscale: float):
-        """rho * L^3, float32-safe (see TorusGeometry.density_scaled)."""
+    def density_scaled_xyz(self, x_s, y_s, z_s, lscale: float):
+        """rho * L^3, float32-safe (see TorusGeometry.density_scaled_xyz)."""
         invr = 1.0 / self.rmax
-        Rn = jnp.sqrt(pos_s[..., 0] ** 2 + pos_s[..., 1] ** 2) \
+        Rn = jnp.sqrt(x_s * x_s + y_s * y_s) \
             * jnp.float32(lscale * invr)
-        zn = pos_s[..., 2] * jnp.float32(lscale * invr)
+        zn = z_s * jnp.float32(lscale * invr)
         rn = jnp.sqrt(Rn * Rn + zn * zn)
         rs = jnp.maximum(rn, 1e-20)
         amu = jnp.abs(zn) / rs

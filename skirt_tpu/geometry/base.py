@@ -125,17 +125,29 @@ class Geometry:
 
     @property
     def supports_analytic(self) -> bool:
-        # the generic SpheGeometry/AxGeometry density_scaled overrides only
-        # work when the subclass provides the shape hook; a class counts as
-        # analytic-capable if it defines its OWN density_scaled or a hook
-        cls_m = type(self).density_scaled
-        generic = (Geometry.density_scaled,
-                   SpheGeometry.density_scaled, AxGeometry.density_scaled)
-        if cls_m not in generic:
+        # the generic SpheGeometry/AxGeometry density hooks only work when
+        # the subclass provides the shape hook; a class counts as
+        # analytic-capable if it defines its OWN density_scaled[_xyz] or a
+        # shape hook
+        generic = (Geometry, SpheGeometry, AxGeometry)
+        if type(self).density_scaled not in (c.density_scaled
+                                             for c in generic):
+            return True
+        if type(self).density_scaled_xyz not in (c.density_scaled_xyz
+                                                 for c in generic):
             return True
         return hasattr(self, "radial_shape") or hasattr(self, "shape_rz")
 
     def density_scaled(self, pos_s, lscale: float):
+        """rho(pos) * lscale**3 from scaled positions pos_s = pos/lscale.
+
+        Thin wrapper over density_scaled_xyz — the coordinate-wise
+        primitive that Pallas kernels call directly (stacking (...,3)
+        arrays inside a TPU kernel wastes lanes)."""
+        return self.density_scaled_xyz(pos_s[..., 0], pos_s[..., 1],
+                                       pos_s[..., 2], lscale)
+
+    def density_scaled_xyz(self, x_s, y_s, z_s, lscale: float):
         raise NotImplementedError(
             f"{type(self).__name__} has no analytic device density; use "
             "density_mode='gridded'")
@@ -177,12 +189,12 @@ class SpheGeometry(Geometry):
         rho = self.radial_density(r)
         return xp.where((r <= self._rmax) & (r >= self._rmin), rho, 0.0)
 
-    def density_scaled(self, pos_s, lscale: float):
+    def density_scaled_xyz(self, x_s, y_s, z_s, lscale: float):
         """Generic analytic-mode density for subclasses with radial_shape
         (rho/rho0 as O(1) float32-safe math in r [m])."""
         if not hasattr(self, "radial_shape"):
-            return Geometry.density_scaled(self, pos_s, lscale)
-        r = jnp.sqrt(jnp.sum(pos_s * pos_s, axis=-1)) * jnp.float32(lscale)
+            return Geometry.density_scaled_xyz(self, x_s, y_s, z_s, lscale)
+        r = jnp.sqrt(x_s * x_s + y_s * y_s + z_s * z_s) * jnp.float32(lscale)
         pref = jnp.float32(float(self.rho0) * lscale ** 3)
         rho = pref * self.radial_shape(r)
         return jnp.where((r <= self._rmax) & (r >= self._rmin), rho, 0.0)
@@ -219,14 +231,14 @@ class AxGeometry(Geometry):
     def density_rz(self, R, z):
         raise NotImplementedError
 
-    def density_scaled(self, pos_s, lscale: float):
+    def density_scaled_xyz(self, x_s, y_s, z_s, lscale: float):
         """Generic analytic-mode density for subclasses with shape_rz
         (rho/rho0 as O(1) float32-safe math in R, z [m])."""
         if not hasattr(self, "shape_rz"):
-            return Geometry.density_scaled(self, pos_s, lscale)
+            return Geometry.density_scaled_xyz(self, x_s, y_s, z_s, lscale)
         L = jnp.float32(lscale)
-        R = jnp.sqrt(pos_s[..., 0] ** 2 + pos_s[..., 1] ** 2) * L
-        z = pos_s[..., 2] * L
+        R = jnp.sqrt(x_s * x_s + y_s * y_s) * L
+        z = z_s * L
         pref = jnp.float32(float(self.rho0) * lscale ** 3)
         return pref * self.shape_rz(R, z)
 

@@ -103,8 +103,8 @@ class UniformSphereGeometry(Geometry):
         r = xp.sqrt(xp.sum(pos * pos, axis=-1))
         return xp.where(r <= self.rmax, 1.0 / self.volume, 0.0)
 
-    def density_scaled(self, pos_s, lscale: float):
-        r_s = jnp.sqrt(jnp.sum(pos_s * pos_s, axis=-1))
+    def density_scaled_xyz(self, x_s, y_s, z_s, lscale: float):
+        r_s = jnp.sqrt(x_s * x_s + y_s * y_s + z_s * z_s)
         pref = jnp.float32(lscale ** 3 / self.volume)
         return jnp.where(r_s * lscale <= self.rmax, pref, 0.0)
 
