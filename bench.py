@@ -58,6 +58,7 @@ def main():
         refill_batches=refill,
         refill_every=int(os.environ.get("BENCH_REFILL_EVERY", "2")),
         peel_panels=int(os.environ.get("BENCH_PEEL_PANELS", "0")) or None,
+        fused=os.environ.get("BENCH_FUSED", "0") == "1",
     )
 
     key = jax.random.key(4357)

@@ -1,0 +1,607 @@
+"""Fused single-event Pallas megakernel (analytic panel quadrature).
+
+ref: SKIRTcore/MonteCarloSimulation.cpp — the per-event physics chain
+simulateescapeandabsorption (:438-515), simulatepropagation (:519-537),
+peeloffscattering (:319-363), simulatescattering (:541-549).
+
+TPU re-design rationale: the XLA analytic path materializes every (N, P)
+panel intermediate in HBM — at 2^21 lanes an event costs ~40 ms spread
+over ~20 XLA kernels, nearly all HBM traffic.  This kernel holds one lane
+tile's panels in VMEM through the WHOLE event: propagation quadrature,
+absorption-deposit sampling, forced-scattering inversion, per-instrument
+peel-off quadrature, and the Henyey-Greenstein scatter all run on the one
+tile before it is written back.  Per-event HBM traffic drops to the (N,)
+packet state plus (N,) tally deposits; the remaining off-kernel work is
+the MXU binned scatter into the tally arrays (ops/binned.py) and the
+per-event threefry uniforms.
+
+Supported configuration (the flagship fast path; anything else raises and
+the caller falls back to the XLA lifecycle):
+  - analytic single-component dust system (uniform albedo per wavelength),
+  - uniform-spacing Cartesian grid (locate is pure arithmetic),
+  - equal-panel quadrature (LifecycleOptions.quadrature_panels),
+  - distant instruments (constant observer direction),
+  - sampled absorption deposition, no polarization, no continuous
+    scattering, no refill, no io_state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rng
+from ..ops import binned_add
+from . import vector_traversal as vt
+
+_BIG = 3.4e38
+_MAX_CHAIN = 64   # wavelength-table lookups are where-chains inside the
+                  # kernel; beyond this the chain cost would overtake the
+                  # gather it replaces
+
+
+def _chain_table(ell, values):
+    """Per-lane table lookup as a select chain over compile-time floats."""
+    out = jnp.full(ell.shape, np.float32(values[0]), jnp.float32)
+    for l in range(1, len(values)):
+        out = jnp.where(ell == l, np.float32(values[l]), out)
+    return out
+
+
+def _expon_cutoff(u, taumax):
+    """Truncated-exponential optical-depth sample (rng.expon_cutoff).
+
+    Mosaic has no expm1/log1p; the plain exp/log forms lose relative
+    precision only for taumax ~< 1e-3, where the dedicated small branch
+    (uniform*taumax, same as the reference's limit) takes over anyway."""
+    tau = -jnp.log(jnp.maximum(1.0 - u * (1.0 - jnp.exp(-taumax)), 1e-37))
+    return jnp.where(taumax < 1e-4, u * taumax, jnp.minimum(tau, taumax))
+
+
+def _axis_span(o, d, lo, hi, tn, tf, const_d):
+    """Slab-test update for one axis; const_d means d is a python float."""
+    if const_d:
+        if abs(d) > 1e-30:
+            inv = 1.0 / d
+            ta = (np.float32(lo) - o) * inv
+            tb = (np.float32(hi) - o) * inv
+            near = jnp.minimum(ta, tb)
+            far = jnp.maximum(ta, tb)
+        else:
+            in_slab = (o >= lo) & (o <= hi)
+            near = jnp.where(in_slab, -_BIG, _BIG)
+            far = jnp.where(in_slab, _BIG, -_BIG)
+    else:
+        moving = jnp.abs(d) > 1e-30
+        inv = 1.0 / jnp.where(moving, d, 1.0)
+        ta = (np.float32(lo) - o) * inv
+        tb = (np.float32(hi) - o) * inv
+        in_slab = (o >= lo) & (o <= hi)
+        near = jnp.where(moving, jnp.minimum(ta, tb),
+                         jnp.where(in_slab, -_BIG, _BIG))
+        far = jnp.where(moving, jnp.maximum(ta, tb),
+                        jnp.where(in_slab, _BIG, -_BIG))
+    return jnp.maximum(tn, near), jnp.minimum(tf, far)
+
+
+def _make_span(box):
+    """Elementwise in-domain ray span (mirrors CartesianGrid.ray_span)."""
+    lo = (box[0], box[1], box[2])
+    hi = (box[3], box[4], box[5])
+
+    def span(X, Y, Z, DX, DY, DZ, const_d=False):
+        tn = jnp.full(X.shape, -_BIG, jnp.float32)
+        tf = jnp.full(X.shape, _BIG, jnp.float32)
+        for o, d, l, h in ((X, DX, lo[0], hi[0]), (Y, DY, lo[1], hi[1]),
+                           (Z, DZ, lo[2], hi[2])):
+            tn, tf = _axis_span(o, d, l, h, tn, tf, const_d)
+        t0 = jnp.maximum(tn, 0.0)
+        hit = (t0 <= tf) & (tf > 0)
+        t0 = jnp.where(hit, t0, 0.0)
+        return t0, jnp.where(hit, tf, t0)
+
+    return span
+
+
+def _make_locate(grid):
+    """Arithmetic point location for uniform-spacing Cartesian grids."""
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    lo = grid._lo
+    inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
+
+    def locate(X, Y, Z):
+        ix = jnp.floor((X - np.float32(lo[0]))
+                       * np.float32(inv[0])).astype(jnp.int32)
+        iy = jnp.floor((Y - np.float32(lo[1]))
+                       * np.float32(inv[1])).astype(jnp.int32)
+        iz = jnp.floor((Z - np.float32(lo[2]))
+                       * np.float32(inv[2])).astype(jnp.int32)
+        ok = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+              & (iz >= 0) & (iz < nz))
+        return jnp.where(ok, (ix * ny + iy) * nz + iz, -1)
+
+    return locate
+
+
+def _group_leaders(instruments):
+    """Group instruments by observer direction; returns (leaders, lead_of)
+    where leaders is a list of unit-direction tuples and lead_of[i] indexes
+    into it (same sharing rule as lifecycle._shared_leader)."""
+    groups = {}
+    lead_of = []
+    leaders = []
+    for ins in instruments:
+        key = tuple(np.round(np.asarray(ins.kobs, np.float64), 12))
+        if key not in groups:
+            groups[key] = len(leaders)
+            leaders.append(tuple(float(v) for v in
+                                 np.asarray(ins.kobs, np.float64)))
+        lead_of.append(groups[key])
+    return leaders, lead_of
+
+
+def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
+              stellar_system, launch_fn):
+    def bail(msg):
+        raise ValueError(f"fused lifecycle: {msg}")
+
+    if ds is None or not getattr(ds, "analytic", False):
+        bail("requires density_mode='analytic'")
+    if ds.ncomp != 1:
+        bail("requires a single dust component (uniform albedo)")
+    if mueller is not None:
+        bail("polarization not supported")
+    if io_state:
+        bail("io_state not supported")
+    if options.continuous_scattering:
+        bail("continuous_scattering not supported")
+    if options.store_absorption and options.deposition != "sampled":
+        bail("absorption tallies require deposition='sampled'")
+    if nlambda > _MAX_CHAIN:
+        bail(f"nlambda > {_MAX_CHAIN} (wavelength select chains)")
+    if not (hasattr(grid, "_uniform") and all(grid._uniform)
+            and hasattr(grid, "ray_span")):
+        bail("requires a uniform-spacing Cartesian grid")
+    for ins in instruments:
+        if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
+            bail("requires distant (constant-direction) instruments")
+    if options.refill_batches > 1:
+        # in-kernel persistent-lane relaunch: needs a gather-free sampler
+        if launch_fn is not None:
+            bail("refill requires the stellar launch (no launch_fn)")
+        if (stellar_system is None or stellar_system.ncomp != 1
+                or not stellar_system.is_isotropic):
+            bail("refill requires a single isotropic stellar component")
+        geom = stellar_system.components[0].geometry
+        if geom.device_sampler_xyz() is None:
+            bail(f"refill: {type(geom).__name__} has no closed-form "
+                 "device sampler (device_sampler_xyz)")
+
+
+def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
+                  want_labs, scattering_peeloff, sampler=None):
+    geom = ds.components[0].geometry
+    lscale = ds.lscale
+    invL = np.float32(1.0 / lscale)
+    mL3 = float(np.asarray(ds._mass_over_L3).ravel()[0])
+    # fold the mass prefactor into the extinction table: one multiply per
+    # panel saved (kext_rows = kextm * density_scaled)
+    kextm_t = [float(v) * mL3 for v in ds.kappaext[0]]
+    alb_t = [float(s) / max(float(e), 1e-37)
+             for s, e in zip(ds.kappasca[0], ds.kappaext[0])]
+    g_t = [float(v) for v in ds.g[0]]
+    span = _make_span(grid.bounding_box())
+    locate = _make_locate(grid)
+    xi = float(options.scatt_bias)
+    min_scatt = int(options.min_scatt_events)
+    inv_np = np.float32(1.0 / npanels)
+    inv_pp = np.float32(1.0 / np_peel)
+    inv_minred = np.float32(1.0 / options.min_weight_reduction)
+    refill = sampler is not None
+    K = int(options.refill_batches) if refill else 1
+    nu_pos, pos_fn = sampler if refill else (0, None)
+
+    def rho_s(X, Y, Z):
+        # density_scaled units (rho * L^3); the mass/L^3 factor lives in
+        # kextm_t.  ref: DustSystem.analytic_rows
+        return geom.density_scaled_xyz(X * invL, Y * invL, Z * invL, lscale)
+
+    nlead = len(leaders)
+
+    def kern(*refs):
+        u_ref = refs[0]
+        (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
+         L_r, alive_r, ns_r, ell_r, l0_r) = refs[1:12]
+        nin = 12
+        if refill:
+            bc_r = refs[nin]
+            nin += 1
+        out = refs[nin:]
+        opx, opy, opz, odx, ody, odz, oL, oalive, ons = out[:9]
+        k = 9
+        if want_labs:
+            odepi, odepv = out[k], out[k + 1]
+            k += 2
+        otau = out[k:k + nlead]
+        ocos = out[k + nlead:k + 2 * nlead]
+        k += 2 * nlead
+        if refill:
+            obc, ofresh = out[k], out[k + 1]
+
+        X, Y, Z = px_r[:], py_r[:], pz_r[:]
+        DX, DY, DZ = dx_r[:], dy_r[:], dz_r[:]
+        L = L_r[:]
+        alive = alive_r[:] != 0
+        nscatt = ns_r[:]
+        ell = ell_r[:]
+        L0 = l0_r[:]
+        Lth = L0 * inv_minred
+
+        kextm = _chain_table(ell, kextm_t)
+        albedo = _chain_table(ell, alb_t)
+        g = _chain_table(ell, g_t)
+
+        # -- traverse: equal-panel quadrature of the analytic density ------
+        # (ref: simulateescapeandabsorption's per-segment tau accumulation;
+        # the continuous-density panel form is vt.panel_paths)
+        t0, t1 = span(X, Y, Z, DX, DY, DZ)
+        delta = (t1 - t0) * inv_np
+        cum = jnp.zeros_like(L)
+        cums = []
+        for kk in range(npanels):
+            midk = t0 + np.float32(kk + 0.5) * delta
+            rho = rho_s(X + midk * DX, Y + midk * DY, Z + midk * DZ)
+            cum = cum + kextm * rho * delta
+            cums.append(cum)
+        taupath = cum
+        one_m_e = 1.0 - jnp.exp(-taupath)
+        Lm = jnp.where(alive, L, 0.0)
+
+        # -- sampled absorption deposit (ref: the path estimator's energy,
+        # deposited at one expon_cutoff-sampled segment; lifecycle.py
+        # 'sampled' deposition, uniform-albedo branch) --------------------
+        if want_labs:
+            u_dep = u_ref[2]
+            D = (1.0 - albedo) * Lm * one_m_e
+            tau_dep = _expon_cutoff(u_dep, taupath)
+            i_dep = jnp.zeros(X.shape, jnp.int32)
+            for kk in range(npanels - 1):
+                i_dep = i_dep + (cums[kk] < tau_dep).astype(jnp.int32)
+            mid_dep = t0 + (i_dep.astype(jnp.float32) + 0.5) * delta
+            cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
+                          Z + mid_dep * DZ)
+            okd = (cell >= 0) & (D > 0) & alive
+            odepi[:] = jnp.where(okd, cell * nlambda + ell, -1)
+            odepv[:] = jnp.where(okd, D, 0.0)
+
+        # -- scattered-luminosity update + termination ---------------------
+        # (ref: dostellaremissionchunk :284-293)
+        L = jnp.where(alive, albedo * Lm * one_m_e, L)
+        alive = alive & (L > 0) & jnp.logical_not(
+            (L <= Lth) & (nscatt >= min_scatt)) & (taupath > 0)
+
+        # -- forced propagation (ref: simulatepropagation) -----------------
+        u1 = u_ref[0]
+        u2 = u_ref[1]
+        tau_exp = _expon_cutoff(u2, taupath)
+        if xi == 0.0:
+            tau = tau_exp
+        else:
+            tau = jnp.where(u1 < xi, u2 * taupath, tau_exp)
+            p = jnp.exp(-tau) / jnp.maximum(one_m_e, 1e-30)
+            qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
+            L = jnp.where(alive, L * (p / jnp.maximum(qq, 1e-37)), L)
+        i_hit = jnp.zeros(X.shape, jnp.int32)
+        for kk in range(npanels - 1):
+            i_hit = i_hit + (cums[kk] < tau).astype(jnp.int32)
+        cum_h = jnp.zeros_like(L)
+        cum_prev = jnp.zeros_like(L)
+        for kk in range(npanels):
+            sel = i_hit == kk
+            cum_h = jnp.where(sel, cums[kk], cum_h)
+            if kk > 0:
+                cum_prev = jnp.where(sel, cums[kk - 1], cum_prev)
+        dtau_h = cum_h - cum_prev
+        frac = jnp.clip(jnp.where(dtau_h > 0,
+                                  (tau - cum_prev)
+                                  / jnp.maximum(dtau_h, 1e-30), 0.0),
+                        0.0, 1.0)
+        s = t0 + (i_hit.astype(jnp.float32) + frac) * delta
+        X = jnp.where(alive, X + s * DX, X)
+        Y = jnp.where(alive, Y + s * DY, Y)
+        Z = jnp.where(alive, Z + s * DZ, Z)
+
+        # -- persistent-lane relaunch (refill) ------------------------------
+        # Lockstep occupancy decays to ~20% as packets die; dead lanes with
+        # packet budget left relaunch IN-KERNEL (closed-form sampler) and
+        # get their emission peel-off from this iteration's shared peel
+        # quadrature — the SPMD analog of the reference thread pool pulling
+        # fresh chunks (Parallel.cpp:160).
+        fresh = jnp.zeros(X.shape, bool)
+        if refill:
+            bcount = bc_r[:]
+            eligible = jnp.logical_not(alive) & (bcount < K)
+            xs, ys, zs = pos_fn([u_ref[5 + j] for j in range(nu_pos)])
+            ct = 2.0 * u_ref[5 + nu_pos] - 1.0
+            st_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+            ph2 = np.float32(2.0 * np.pi) * u_ref[6 + nu_pos]
+            X = jnp.where(eligible, xs, X)
+            Y = jnp.where(eligible, ys, Y)
+            Z = jnp.where(eligible, zs, Z)
+            DX = jnp.where(eligible, st_ * jnp.cos(ph2), DX)
+            DY = jnp.where(eligible, st_ * jnp.sin(ph2), DY)
+            DZ = jnp.where(eligible, ct, DZ)
+            L = jnp.where(eligible, L0, L)
+            nscatt = jnp.where(eligible, 0, nscatt)
+            bcount = bcount + eligible.astype(jnp.int32)
+            fresh = eligible
+            alive = alive | eligible
+            obc[:] = bcount
+            ofresh[:] = fresh.astype(jnp.int32)
+
+        # -- peel-off extinction toward each observer direction ------------
+        # (ref: peeloffscattering; tau by the same panel quadrature along
+        # the constant kobs — lifecycle.vector_taus)
+        for j, (kx, ky, kz) in enumerate(leaders):
+            if not scattering_peeloff:
+                ocos[j][:] = jnp.zeros_like(L)
+                otau[j][:] = jnp.zeros_like(L)
+                continue
+            ocos[j][:] = (DX * np.float32(kx) + DY * np.float32(ky)
+                          + DZ * np.float32(kz))
+            pt0, pt1 = span(X, Y, Z, kx, ky, kz, const_d=True)
+            pd = (pt1 - pt0) * inv_pp
+            rsum = jnp.zeros_like(L)
+            for kk in range(np_peel):
+                midk = pt0 + np.float32(kk + 0.5) * pd
+                rsum = rsum + rho_s(X + midk * np.float32(kx),
+                                    Y + midk * np.float32(ky),
+                                    Z + midk * np.float32(kz))
+            otau[j][:] = kextm * rsum * pd
+
+        # -- Henyey-Greenstein scatter (ref: simulatescattering +
+        # Random::direction(bfk, costheta)) --------------------------------
+        u_g = u_ref[3]
+        u_phi = u_ref[4]
+        f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u_g)
+        small_g = jnp.abs(g) < 1e-6
+        cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(small_g, 1.0, g))
+        costheta = jnp.where(small_g, 2.0 * u_g - 1.0,
+                             jnp.clip(cos_hg, -1.0, 1.0))
+        phi = np.float32(2.0 * np.pi) * u_phi
+        sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
+        cosphi = jnp.cos(phi)
+        sinphi = jnp.sin(phi)
+        # branchless Frisvad frame about the old direction (rng.py)
+        sign = jnp.where(DZ >= 0.0, 1.0, -1.0)
+        a = -1.0 / (sign + DZ)
+        b = DX * DY * a
+        ux = 1.0 + sign * DX * DX * a
+        uy = sign * b
+        uz = -sign * DX
+        vx = b
+        vy = sign + DY * DY * a
+        vz = -DY
+        nxd = sintheta * (cosphi * ux + sinphi * vx) + costheta * DX
+        nyd = sintheta * (cosphi * uy + sinphi * vy) + costheta * DY
+        nzd = sintheta * (cosphi * uz + sinphi * vz) + costheta * DZ
+        inv_n = jax.lax.rsqrt(jnp.maximum(
+            nxd * nxd + nyd * nyd + nzd * nzd, 1e-30))
+        scat = alive & jnp.logical_not(fresh)   # fresh lanes keep launch dir
+        DX = jnp.where(scat, nxd * inv_n, DX)
+        DY = jnp.where(scat, nyd * inv_n, DY)
+        DZ = jnp.where(scat, nzd * inv_n, DZ)
+        nscatt = jnp.where(scat, nscatt + 1, nscatt)
+
+        opx[:] = X
+        opy[:] = Y
+        opz[:] = Z
+        odx[:] = DX
+        ody[:] = DY
+        odz[:] = DZ
+        oL[:] = L
+        oalive[:] = alive.astype(jnp.int32)
+        ons[:] = nscatt
+
+    return kern
+
+
+def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
+                         options, nlambda: int, launch_fn=None,
+                         emission_peeloff: bool = True,
+                         scattering_peeloff: bool = True,
+                         is_dust_emission=False, mueller=None,
+                         io_state: bool = False,
+                         max_iterations: int | None = None):
+    """Build run_batch(key, ell, L0, tallies[, launch_ctx]) -> tallies with
+    the whole scattering event fused into one Pallas kernel.
+
+    Same contract as lifecycle.make_lifecycle; raises ValueError for
+    configurations outside the fused fast path (see module docstring).
+    """
+    ds = dust_system
+    _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
+              stellar_system, launch_fn)
+    from .lifecycle import make_peel_off
+
+    npanels = int(options.quadrature_panels
+                  or getattr(grid, "max_steps", 96))
+    np_peel = int(options.peel_panels or npanels)
+    want_labs = bool(options.store_absorption)
+    leaders, lead_of = _group_leaders(instruments)
+    tile_rows = int(getattr(options, "fused_tile_rows", 32))
+    refill = options.refill_batches > 1
+    K = int(options.refill_batches) if refill else 1
+    sampler = (stellar_system.components[0].geometry.device_sampler_xyz()
+               if refill else None)
+    n_uniform = 5 + (sampler[0] + 2 if refill else 0)
+    kern = _build_kernel(grid, ds, leaders, npanels, np_peel, options,
+                         nlambda, want_labs, scattering_peeloff,
+                         sampler=sampler)
+    peels = [make_peel_off(grid, ds, ins) for ins in instruments]
+    mix = ds.components[0].mix
+    interpret = jax.default_backend() != "tpu"
+    nlead = len(leaders)
+    iter_cap = int(max_iterations if max_iterations is not None
+                   else options.max_scatt_events) * K
+    minred = float(options.min_weight_reduction)
+    anisotropic = (stellar_system is not None
+                   and not stellar_system.is_isotropic)
+
+    def leader_taus(pos, kext_pk):
+        """XLA panel quadrature toward each leader (launch peel-off)."""
+        taus = []
+        for kvec in leaders:
+            kobs = jnp.broadcast_to(
+                jnp.asarray(np.asarray(kvec, np.float32)), pos.shape)
+            dsg, _, mid = vt.panel_paths(grid, pos, kobs, np_peel)
+            rows = ds.analytic_rows(pos, kobs, mid, None, kext_pk,
+                                    want_sca=False)
+            taus.append(jnp.sum(rows * dsg, axis=1))
+        return taus
+
+    n_state = 12 if refill else 11
+
+    def call_kernel(u, state):
+        R = state[0].shape[0]
+        tr = min(tile_rows, R)
+
+        def blk():
+            return pl.BlockSpec((tr, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        out_dtypes = ([jnp.float32] * 7 + [jnp.int32] * 2
+                      + ([jnp.int32, jnp.float32] if want_labs else [])
+                      + [jnp.float32] * (2 * nlead)
+                      + ([jnp.int32, jnp.int32] if refill else []))
+        return pl.pallas_call(
+            kern,
+            grid=(R // tr,),
+            in_specs=[pl.BlockSpec((n_uniform, tr, 128),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [blk() for _ in range(n_state)],
+            out_specs=tuple(blk() for _ in range(len(out_dtypes))),
+            out_shape=tuple(jax.ShapeDtypeStruct((R, 128), dt)
+                            for dt in out_dtypes),
+            interpret=interpret,
+        )(u, *state)
+
+    def run_batch(key, ell, L0, tallies, launch_ctx=None):
+        n = ell.shape[0]
+        k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
+
+        comp = None
+        if launch_fn is not None:
+            pos, direction, L = launch_fn(k_launch, ell, L0, launch_ctx)
+        else:
+            pos, direction, L, comp = stellar_system.launch(k_launch, ell,
+                                                            L0)
+        alive = L > 0
+        _, kext_pk = ds.packet_kappas(ell)
+
+        dust_flags = jnp.full(n, bool(is_dust_emission))
+        if emission_peeloff:
+            # ref: peeloffemission — same XLA path as the vector lifecycle
+            taus0 = leader_taus(pos, kext_pk)
+            tags = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
+            for i, peel in enumerate(peels):
+                contribution = jnp.where(alive, L, 0.0)
+                if anisotropic and comp is not None:
+                    kobs = instruments[i].observer_direction(pos)
+                    contribution = contribution * \
+                        stellar_system.direction_probability(ell, pos, kobs,
+                                                             comp)
+                tallies["instruments"][i] = peel(
+                    tallies["instruments"][i], pos, ell, contribution, tags,
+                    tau=taus0[lead_of[i]])
+
+        # -- pack the lane state into (R, 128) tiles ------------------------
+        tile = tile_rows * 128
+        npad = -(-max(n, tile) // tile) * tile
+
+        def pack(a, fill=0.0):
+            if npad > n:
+                a = jnp.pad(a, (0, npad - n), constant_values=fill)
+            return a.reshape(-1, 128)
+
+        state = (pack(pos[:, 0]), pack(pos[:, 1]), pack(pos[:, 2]),
+                 pack(direction[:, 0]), pack(direction[:, 1]),
+                 pack(direction[:, 2], 1.0),   # unit dir on padded lanes
+                 pack(L), pack(alive.astype(jnp.int32)),
+                 pack(jnp.zeros(n, jnp.int32)), pack(ell),
+                 pack(L0, 0.0))
+        if refill:
+            # packet budget per lane; padded lanes start exhausted
+            state = state + (pack(jnp.ones(n, jnp.int32), K),)
+        R = state[0].shape[0]
+        labs = tallies.get("labs")
+
+        carry = {"it": jnp.int32(0), "state": state,
+                 "ins": tallies["instruments"],
+                 "labs": labs if labs is not None
+                 else jnp.zeros((1,), jnp.float32)}
+
+        def unpack(a):
+            return a.reshape(-1)[:n]
+
+        def body(st):
+            kit = rng.event_key(k_cycle, st["it"])
+            u = jnp.clip(jax.random.uniform(kit, (n_uniform, R, 128),
+                                            jnp.float32),
+                         1e-7, 1.0 - 1e-7)
+            outs = call_kernel(u, st["state"])
+            k = 9
+            labs_c = st["labs"]
+            if want_labs:
+                labs_c = binned_add(labs_c, outs[k].reshape(-1),
+                                    outs[k + 1].reshape(-1))
+                k += 2
+            taus = outs[k:k + nlead]
+            coss = outs[k + nlead:k + 2 * nlead]
+            k += 2 * nlead
+            new_state = tuple(outs[:9]) + (st["state"][9], st["state"][10])
+            fresh = None
+            if refill:
+                new_state = new_state + (outs[k],)
+                fresh = outs[k + 1]
+
+            ins = list(st["ins"])
+            if scattering_peeloff:
+                pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
+                                     unpack(outs[2])], axis=-1)
+                L_new = unpack(outs[6])
+                alive_new = unpack(outs[7]) != 0
+                ns_new = unpack(outs[8])
+                tags2 = {"nscatt": ns_new, "is_dust": dust_flags}
+                for i, peel in enumerate(peels):
+                    w = mix.phase_function(ell, unpack(coss[lead_of[i]]))
+                    if fresh is not None:
+                        # relaunched lanes: emission peel-off (isotropic —
+                        # unit direction weight), same quadrature
+                        w = jnp.where(unpack(fresh) != 0, 1.0, w)
+                    contribution = jnp.where(alive_new, L_new * w, 0.0)
+                    ins[i] = peel(ins[i], pos_new, ell, contribution, tags2,
+                                  tau=unpack(taus[lead_of[i]]))
+
+            return {"it": st["it"] + 1, "state": new_state, "ins": ins,
+                    "labs": labs_c}
+
+        def cond(st):
+            go = jnp.any(st["state"][7] != 0)
+            if refill:
+                go = go | jnp.any(st["state"][11] < K)
+            return (st["it"] < iter_cap) & go
+
+        final = jax.lax.while_loop(cond, body, carry)
+
+        out = dict(tallies)
+        out["instruments"] = final["ins"]
+        if labs is not None:
+            out["labs"] = final["labs"]
+        return out
+
+    return run_batch

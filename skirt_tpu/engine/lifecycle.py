@@ -80,6 +80,15 @@ class LifecycleOptions:
                                      # deposited there) — (N,) updates,
                                      # ~S times cheaper, higher per-cell
                                      # variance
+    fused: bool = False              # fuse the whole scattering event into
+                                     # one Pallas kernel (engine/fused.py):
+                                     # all panel intermediates stay in VMEM
+                                     # and per-event HBM traffic drops to
+                                     # the (N,) packet state.  Requires the
+                                     # analytic single-mix panel path on a
+                                     # uniform Cartesian grid with distant
+                                     # instruments; raises otherwise.
+    fused_tile_rows: int = 32        # lanes per kernel tile / 128
     path_record: bool | None = None  # record each event's path into (S, N)
                                      # buffers (ref: DustGridPath) so
                                      # absorption + propagation inversion
@@ -253,6 +262,15 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     (the north-star sorted-compaction divergence control).
     """
     ds = dust_system
+    if options.fused:
+        from . import fused as _fused
+        return _fused.make_fused_lifecycle(
+            grid, dust_system, stellar_system, instruments, options,
+            nlambda, launch_fn=launch_fn,
+            emission_peeloff=emission_peeloff,
+            scattering_peeloff=scattering_peeloff,
+            is_dust_emission=is_dust_emission, mueller=mueller,
+            io_state=io_state, max_iterations=max_iterations)
     if options.continuous_scattering and not options.fast_peeloff:
         raise ValueError("continuous_scattering requires fast_peeloff "
                          "(per-segment peel-off needs the tau maps)")

@@ -145,7 +145,12 @@ class OligoSimulation:
         nl = self.nlambda
         per_batch = max(self.batch_size // nl, 1)
         Lv = self.stellar_system.Lv
-        nbatches = int(np.ceil(self.packets / per_batch))
+        # persistent-lane refill: each lane launches `refill_batches`
+        # packets over the batch, so one lane-batch covers k x the packets
+        # (the final batch may overshoot `packets` by < k lanes-worth; L0
+        # stays Lv/packets, a <=(k-1)/packets normalization excess)
+        k = max(int(self.options.refill_batches), 1)
+        nbatches = int(np.ceil(self.packets / (per_batch * k)))
         ell_np = np.tile(np.arange(nl, dtype=np.int32), per_batch)
         # one shared device buffer for every full batch (the phase driver
         # materializes the batch list; per-batch copies would pin
@@ -154,14 +159,14 @@ class OligoSimulation:
         L0_full = jnp.asarray((Lv[ell_np] / self.packets).astype(np.float32))
         launched = 0
         for b in range(nbatches):
-            count = min(per_batch, self.packets - launched)
+            count = min(per_batch, -(-(self.packets - launched) // k))
             if count < per_batch:
                 tail_np = np.tile(np.arange(nl, dtype=np.int32), count)
                 yield b, jnp.asarray(tail_np), jnp.asarray(
                     (Lv[tail_np] / self.packets).astype(np.float32))
             else:
                 yield b, ell_full, L0_full
-            launched += count
+            launched += count * k
 
     def run(self):
         """Run the stellar-emission phase and write results."""

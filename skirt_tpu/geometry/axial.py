@@ -73,14 +73,42 @@ class ExpDiskGeometry(AxGeometry):
         return jnp.where(inside, shape, 0.0)
 
     def generate_position(self, key, n: int):
-        k1, k2, k3 = jax.random.split(key, 3)
-        R = self._r_sampler.sample(rng.uniform_open(k1, (n,)))
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        if self.Rmin > 0 or self.Rmax > 0:
+            R = self._r_sampler.sample(rng.uniform_open(k1, (n,)))
+        else:
+            # R exp(-R/hR) is a Gamma(2, hR) density: R = -hR ln(u1 u2) —
+            # closed form, no table gathers (the inverse-CDF gather costs
+            # more than a whole fused scattering event per launch)
+            u1 = rng.uniform_open(k1, (n,))
+            u2 = rng.uniform_open(k4, (n,))
+            R = -self.hR * jnp.log(u1 * u2)
         # |z| from truncated exponential, sign from the same deviate
         uz = rng.uniform_open(k2, (n,))
         cut = -jnp.expm1(-self._zcut / self.hz)
         absz = -self.hz * jnp.log1p(-jnp.abs(2.0 * uz - 1.0) * cut)
         z = jnp.sign(uz - 0.5) * absz
         return self.cylindrical_to_cartesian(k3, R, z)
+
+    def device_sampler_xyz(self):
+        """Closed-form (gather-free) sampler: Gamma(2) radius + truncated
+        Laplace height — kernel-safe for the fused refill path."""
+        if self.Rmin > 0 or self.Rmax > 0:
+            return None
+        hR = np.float32(self.hR)
+        hz = np.float32(self.hz)
+        cut = np.float32(-np.expm1(-self._zcut / self.hz))
+
+        def fn(u):
+            u1, u2, uz, uphi = u
+            R = -hR * jnp.log(u1 * u2)
+            absz = -hz * jnp.log(jnp.maximum(
+                1.0 - jnp.abs(2.0 * uz - 1.0) * cut, 1e-37))
+            z = jnp.where(uz < 0.5, -absz, absz)
+            phi = np.float32(2.0 * np.pi) * uphi
+            return R * jnp.cos(phi), R * jnp.sin(phi), z
+
+        return 4, fn
 
     def sigma_r(self) -> float:
         if self.Rmax > 0:

@@ -42,16 +42,25 @@ class InverseCdf:
         self.xv64 = np.asarray(xv)
         self.cdfv64 = np.asarray(cdfv)
         self.total = float(total)
+        # equal-probability quantile table: xq[k] = invCDF(k/M).  Device
+        # sampling becomes index arithmetic + ONE lerp gather pair instead
+        # of a searchsorted (which lowers to ~log2(n) sequential dependent
+        # gathers on the TPU's serial gather unit — measured ~300 ms for a
+        # 2^21-lane launch).  The quantile grid adapts to probability mass,
+        # so interpolation accuracy matches the source table's.
+        M = max(4096, self.xv64.size)
+        self._M = M
+        self.xq = np.asarray(
+            np.interp(np.linspace(0.0, 1.0, M + 1), self.cdfv64, self.xv64),
+            np.float32)
 
     def sample(self, u):
-        cdfv = jnp.asarray(self.cdfv)
-        xv = jnp.asarray(self.xv)
-        i = jnp.clip(jnp.searchsorted(cdfv, u, side="right") - 1,
-                     0, cdfv.shape[0] - 2)
-        c0 = cdfv[i]
-        c1 = cdfv[i + 1]
-        t = (u - c0) / jnp.where(c1 == c0, 1.0, c1 - c0)
-        return xv[i] + jnp.clip(t, 0.0, 1.0) * (xv[i + 1] - xv[i])
+        xq = jnp.asarray(self.xq)
+        f = u * np.float32(self._M)
+        i = jnp.clip(f.astype(jnp.int32), 0, self._M - 1)
+        frac = f - i.astype(jnp.float32)
+        x0 = xq[i]
+        return x0 + frac * (xq[i + 1] - x0)
 
 
 def build_inverse_cdf(pdf, xmin: float, xmax: float, n: int = 8192,
@@ -151,6 +160,17 @@ class Geometry:
         raise NotImplementedError(
             f"{type(self).__name__} has no analytic device density; use "
             "density_mode='gridded'")
+
+    def device_sampler_xyz(self):
+        """Kernel-safe position sampler, or None.
+
+        Returns (nu, fn) where fn maps a list of nu uniform (0,1) arrays
+        to SI coordinate arrays (x, y, z) using ONLY elementwise ops (no
+        table gathers) — usable inside Pallas kernels for persistent-lane
+        relaunch (engine/fused.py refill).  None = no closed-form sampler;
+        the fused refill path is then unavailable for this geometry.
+        """
+        return None
 
 
 class SpheGeometry(Geometry):

@@ -1,0 +1,94 @@
+"""Fused event-megakernel (engine/fused.py) parity with the XLA lifecycle.
+
+Runs the Pallas kernel in interpreter mode on CPU.  The two engines share
+the launch + emission-peel-off stream (identical keys), so the direct flux
+matches tightly; scattered flux and absorption differ only by the event
+RNG streams (in-kernel sampling order), bounded by MC noise.
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from __graft_entry__ import _build
+
+
+KW = dict(nlambda=2, ncells=8, packets=1 << 13, n_instruments=2,
+          store_absorption=True, max_scatt=24, quadrature_panels=8)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    run_x, zeros_x, ell, L0 = _build(**KW)
+    run_f, zeros_f, _, _ = _build(fused=True, **KW)
+    key = jax.random.key(4357)
+    tx = jax.jit(lambda k: run_x(k, ell, L0, zeros_x()))(key)
+    tf = jax.jit(lambda k: run_f(k, ell, L0, zeros_f()))(key)
+    return tx, tf
+
+
+class TestFusedParity:
+    def test_sed_matches(self, pair):
+        tx, tf = pair
+        fx = np.asarray(tx["instruments"][0]["Ftot"], np.float64)
+        ff = np.asarray(tf["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(ff, fx, rtol=0.03)
+
+    def test_frame_total_matches(self, pair):
+        tx, tf = pair
+        cx = float(np.asarray(tx["instruments"][1]["ftot"]).sum())
+        cf = float(np.asarray(tf["instruments"][1]["ftot"]).sum())
+        assert cf == pytest.approx(cx, rel=0.03)
+
+    def test_absorption_matches(self, pair):
+        tx, tf = pair
+        lx = float(np.asarray(tx["labs"]).sum())
+        lf = float(np.asarray(tf["labs"]).sum())
+        assert lf == pytest.approx(lx, rel=0.05)
+        # bolometric z-profile (sum over x, y, lambda): enough samples per
+        # bin that only the event-RNG stream difference remains
+        nc = KW["ncells"]
+        shape = (nc, nc, nc // 2, KW["nlambda"])
+        px = np.asarray(tx["labs"], np.float64).reshape(shape).sum((0, 1, 3))
+        pf = np.asarray(tf["labs"], np.float64).reshape(shape).sum((0, 1, 3))
+        hot = px > 0.05 * px.max()   # outer bins hold O(10) deposits
+        assert hot.any()
+        np.testing.assert_allclose(pf[hot], px[hot], rtol=0.1)
+
+    def test_everything_finite(self, pair):
+        _, tf = pair
+        for leaf in jax.tree.leaves(tf):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestFusedRefill:
+    def test_refill_normalization_and_parity(self, pair):
+        """K lanes-worth of packets on N/K persistent lanes must reproduce
+        the plain fused run (exact per-lane budget => exact norm)."""
+        tx, _ = pair
+        kw = dict(KW, packets=KW["packets"] // 4)
+        run_r, zeros_r, ell, L0 = _build(fused=True, refill_batches=4, **kw)
+        tr = jax.jit(lambda k: run_r(k, ell, L0, zeros_r()))(
+            jax.random.key(4357))
+        fx = np.asarray(tx["instruments"][0]["Ftot"], np.float64)
+        fr = np.asarray(tr["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fr, fx, rtol=0.04)
+        lx = float(np.asarray(tx["labs"]).sum())
+        lr = float(np.asarray(tr["labs"]).sum())
+        assert lr == pytest.approx(lx, rel=0.05)
+
+
+class TestFusedValidation:
+    def test_gridded_mode_rejected(self):
+        with pytest.raises(ValueError, match="fused"):
+            _build(fused=True, density_mode="gridded", **{
+                k: v for k, v in KW.items()})
+
+    def test_path_deposition_rejected(self):
+        with pytest.raises(ValueError, match="fused"):
+            _build(fused=True, deposition="path", **KW)

@@ -22,10 +22,14 @@ sys.path.insert(0, "/root/repo")
 from skirt_tpu import rng
 
 
-GOLDEN_F = np.array([2.3750366906889483e+35, 2.3762633407150754e+35,
-                     2.394911471396464e+35, 2.3790717810057998e+35])
-GOLDEN_LABS = 1.142343338395669e+35
-GOLDEN_CUBE = 4.4048156677589235e+35
+# re-pinned 2026-08-19: gather-free launch samplers (quantile-table
+# inverse CDF + closed-form ExpDisk Gamma(2) radius) changed the random
+# stream; physics drift was cross-checked against the previous pins
+# (all deltas < 0.6%, consistent with the stream change at 2^14 packets)
+GOLDEN_F = np.array([2.36452766914265e+35, 2.380970483920454e+35,
+                     2.3859808729178562e+35, 2.3849237711595097e+35])
+GOLDEN_LABS = 1.1405006894059934e+35
+GOLDEN_CUBE = 4.4077348294067616e+35
 
 
 class TestFlagshipGolden:
