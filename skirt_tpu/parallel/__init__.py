@@ -2,6 +2,7 @@
 
 from .mesh import (packet_mesh, make_sharded_lifecycle,
                    make_sharded_lifecycle_scattered)
+from .slab import make_slab_lifecycle
 
 __all__ = ["packet_mesh", "make_sharded_lifecycle",
-           "make_sharded_lifecycle_scattered"]
+           "make_sharded_lifecycle_scattered", "make_slab_lifecycle"]

@@ -1,0 +1,156 @@
+"""Domain-decomposed (slab-sharded) lifecycle tests on the 8-device mesh.
+
+The slab lifecycle mirrors the single-device engine's vector gridded path
+event for event with identical RNG streams, so its outputs must match the
+unsharded run to float32 reduction-order tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu import rng
+from skirt_tpu.engine.lifecycle import LifecycleOptions, make_lifecycle
+from skirt_tpu.geometry import BoxGeometry, ExpDiskGeometry, PointGeometry
+from skirt_tpu.grids import CartesianGrid
+from skirt_tpu.instruments import SEDInstrument, SimpleInstrument
+from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                             DustSystem, SimpleOligoDustMix)
+from skirt_tpu.parallel import make_slab_lifecycle
+from skirt_tpu.parallel.slab import SLAB_AXIS
+from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                       StellarSystem)
+from skirt_tpu.wavelengths import OligoWavelengthGrid
+from jax.sharding import Mesh
+
+
+def slab_mesh8():
+    return Mesh(np.asarray(jax.devices()[:8]), (SLAB_AXIS,))
+
+
+def build(tau=2.0, albedo=0.4, n=16, ncomp=1, nlambda=1):
+    wg = OligoWavelengthGrid(list(np.linspace(0.5e-6, 1e-6, nlambda)))
+    ss = StellarSystem([LuminosityStellarComponent(
+        PointGeometry(), wg, [1.0] * nlambda)])
+    half = 1.0
+    b = np.linspace(-half, half, n + 1)
+    grid = CartesianGrid(b, b, b)
+    mix = SimpleOligoDustMix(wg, [1.0] * nlambda, [albedo] * nlambda,
+                             [0.3] * nlambda)
+    volume = (2 * half) ** 3
+    comps = []
+    for h in range(ncomp):
+        geom = BoxGeometry(-half, half, -half, half, -half, half) \
+            if h == 0 else ExpDiskGeometry(0.5, 0.3)
+        mass = (tau / half * volume) / ncomp
+        comps.append(DustComponent(geom, mix, DustMassNormalization(mass)))
+    dsys = DustSystem(grid, comps, samples_per_cell=1)
+    instruments = [
+        SEDInstrument("sed", 100.0, nlambda, inclination=1.0),
+        SimpleInstrument("img", 100.0, nlambda, 8, 8, fov_x=2.0, fov_y=2.0,
+                         inclination=1.0),
+    ]
+    return wg, ss, grid, dsys, instruments
+
+
+def run_single(wg, ss, grid, dsys, instruments, opts, n, key):
+    run = make_lifecycle(grid, dsys, ss, instruments, opts, wg.nlambda)
+    tallies = {"instruments": [i.zero_tallies() for i in instruments]}
+    if opts.store_absorption:
+        tallies["labs"] = jnp.zeros((grid.ncells * wg.nlambda,), jnp.float32)
+    ell = jnp.zeros((n,), jnp.int32)
+    L0 = jnp.full((n,), 1.0 / n, jnp.float32)
+    return jax.jit(run)(key, ell, L0, tallies)
+
+
+def run_slab(wg, ss, grid, dsys, instruments, opts, n, key):
+    mesh = slab_mesh8()
+    run = make_slab_lifecycle(mesh, grid, dsys, ss, instruments, opts,
+                              wg.nlambda)
+    ell = jnp.zeros((n,), jnp.int32)
+    L0 = jnp.full((n,), 1.0 / n, jnp.float32)
+    return run(key, ell, L0)
+
+
+class TestSlabLifecycleParity:
+    """slab-decomposed run == single-device run (same RNG streams)."""
+
+    @pytest.mark.parametrize("deposition", ["path", "sampled"])
+    def test_single_component(self, deposition):
+        assert jax.device_count() >= 8
+        wg, ss, grid, dsys, instruments = build(tau=2.0, albedo=0.5)
+        opts = LifecycleOptions(store_absorption=True, deposition=deposition)
+        key = rng.root_key(11)
+        n = 4096
+        ref = run_single(wg, ss, grid, dsys, instruments, opts, n, key)
+        out = run_slab(wg, ss, grid, dsys, instruments, opts, n, key)
+        F_ref = np.asarray(ref["instruments"][0]["Ftot"])
+        F_out = np.asarray(out["instruments"][0]["Ftot"])
+        np.testing.assert_allclose(F_out, F_ref, rtol=2e-4)
+        img_ref = np.asarray(ref["instruments"][1]["Ftot"]).ravel()
+        img_out = np.asarray(out["instruments"][1]["Ftot"]).ravel()
+        np.testing.assert_allclose(img_out, img_ref, rtol=5e-3, atol=1e-9)
+        labs_ref = np.asarray(ref["labs"])
+        labs_out = np.asarray(jax.device_get(out["labs"]))
+        assert labs_out.shape == labs_ref.shape
+        np.testing.assert_allclose(labs_out.sum(), labs_ref.sum(), rtol=3e-4)
+        np.testing.assert_allclose(labs_out, labs_ref, rtol=2e-2, atol=1e-7)
+
+    def test_two_components(self):
+        wg, ss, grid, dsys, instruments = build(tau=1.5, albedo=0.4, ncomp=2)
+        opts = LifecycleOptions(store_absorption=True, deposition="path")
+        key = rng.root_key(12)
+        n = 2048
+        ref = run_single(wg, ss, grid, dsys, instruments, opts, n, key)
+        out = run_slab(wg, ss, grid, dsys, instruments, opts, n, key)
+        F_ref = np.asarray(ref["instruments"][0]["Ftot"])
+        F_out = np.asarray(out["instruments"][0]["Ftot"])
+        np.testing.assert_allclose(F_out, F_ref, rtol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(out["labs"])).sum(),
+            np.asarray(ref["labs"]).sum(), rtol=5e-4)
+
+    def test_pure_absorption_physics(self):
+        # albedo 0: detected flux is exactly exp(-tau) of the central source
+        wg, ss, grid, dsys, instruments = build(tau=2.0, albedo=0.0)
+        opts = LifecycleOptions(store_absorption=True)
+        out = run_slab(wg, ss, grid, dsys, instruments, opts, 8192,
+                       rng.root_key(13))
+        F = float(np.asarray(out["instruments"][0]["Ftot"])[0])
+        # observer at inclination 1 rad: the ray from the center exits the
+        # unit cube at x=1, path length 1/sin(1), tau = 2/sin(1)
+        expected = np.exp(-2.0 / np.sin(1.0))
+        assert F == pytest.approx(expected, rel=1e-3)
+
+    def test_labs_is_sharded(self):
+        wg, ss, grid, dsys, instruments = build()
+        opts = LifecycleOptions(store_absorption=True)
+        out = run_slab(wg, ss, grid, dsys, instruments, opts, 1024,
+                       rng.root_key(14))
+        labs = out["labs"]
+        assert labs.shape == (grid.ncells * wg.nlambda,)
+        # sharded over the slab axis: 8 single-device shards
+        assert len(labs.sharding.device_set) == 8
+
+    def test_rejects_analytic_mode(self):
+        wg, ss, grid, dsys, instruments = build()
+        dsys.analytic = True
+        with pytest.raises(ValueError, match="gridded"):
+            make_slab_lifecycle(slab_mesh8(), grid, dsys, ss, instruments,
+                                LifecycleOptions(), wg.nlambda)
+
+    def test_rejects_indivisible_nx(self):
+        wg = OligoWavelengthGrid([1e-6])
+        b = np.linspace(-1, 1, 13)  # nx = 12, not divisible by 8
+        grid = CartesianGrid(b, b, b)
+        mix = SimpleOligoDustMix(wg, [1.0], [0.4], [0.0])
+        comp = DustComponent(BoxGeometry(-1, 1, -1, 1, -1, 1), mix,
+                             DustMassNormalization(1.0))
+        dsys = DustSystem(grid, [comp], samples_per_cell=1)
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        with pytest.raises(ValueError, match="divisible"):
+            make_slab_lifecycle(slab_mesh8(), grid, dsys, ss,
+                                [SEDInstrument("sed", 100.0, 1)],
+                                LifecycleOptions(), 1)
