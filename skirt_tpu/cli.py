@@ -50,6 +50,12 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-host: initialize jax.distributed when the standard env vars
+    # describe a multi-process run; silently a no-op otherwise (ref: the
+    # no-MPI ProcessManager build, MPIsupport/ProcessManager.cpp:21-188)
+    from .parallel import initialize_distributed
+    initialize_distributed()
+
     if args.export_schema:
         from .discover import write_schema
         out = os.path.join(args.output, "skirt_tpu_schema.xml")
