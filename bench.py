@@ -42,8 +42,11 @@ def main():
     # the analytic fast path; dispatches > ~2 minutes can crash the
     # tunneled TPU worker).  32 quadrature panels: measured tau error
     # ~2e-5 relative on this model — far below MC noise (BASELINE.md).
+    # defaults = the flagship fast path: fused Pallas event megakernel +
+    # in-kernel persistent-lane refill (measured 30.1M pps vs 5.7M for the
+    # unfused XLA path on the same config; BASELINE.md)
     packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "21"))
-    refill = int(os.environ.get("BENCH_REFILL", "0"))
+    refill = int(os.environ.get("BENCH_REFILL", "8"))
     run_batch, zero_tallies, ell, L0 = _build(
         nlambda=int(os.environ.get("BENCH_NLAMBDA", "4")),
         ncells=int(os.environ.get("BENCH_NCELLS", "32")),
@@ -58,7 +61,7 @@ def main():
         refill_batches=refill,
         refill_every=int(os.environ.get("BENCH_REFILL_EVERY", "2")),
         peel_panels=int(os.environ.get("BENCH_PEEL_PANELS", "0")) or None,
-        fused=os.environ.get("BENCH_FUSED", "0") == "1",
+        fused=os.environ.get("BENCH_FUSED", "1") == "1",
     )
 
     key = jax.random.key(4357)
