@@ -1,0 +1,90 @@
+"""Voronoi-grid lifecycle throughput: gridded sweep vs analytic panels.
+
+Gridded Voronoi traversal is the worst case for TPU (sequential
+bisector-plane stepping, dependent gathers per step).  With device point
+location (locate_batched: MXU distance scan / block candidates) the grid
+qualifies for the analytic panel fast path, which needs only the ray box
+span plus two (N,)-sized locates per event.
+
+VORONOI_MODE=gridded|analytic, VORONOI_SITES, VORONOI_LOG2N env overrides.
+"""
+
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, "/root/repo")
+
+from skirt_tpu import rng
+from skirt_tpu.constants import KPC
+from skirt_tpu.engine.lifecycle import LifecycleOptions, make_lifecycle
+from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+from skirt_tpu.grids.voronoi import VoronoiGrid
+from skirt_tpu.instruments import SEDInstrument
+from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                             DustSystem, SimpleOligoDustMix)
+from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                       StellarSystem)
+from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+
+def _sync(o):
+    return float(np.asarray(jax.tree.leaves(o)[0]).ravel()[:4].sum())
+
+
+def main():
+    nsites = int(os.environ.get("VORONOI_SITES", "4096"))
+    mode = os.environ.get("VORONOI_MODE", "analytic")
+    n = 1 << int(os.environ.get("VORONOI_LOG2N", "15"))
+
+    half = 2.0 * KPC
+    extent = (-half, -half, -half, half, half, half)
+    rs = np.random.default_rng(3)
+    sites = rs.uniform(-0.98 * half, 0.98 * half, size=(nsites, 3))
+    t0 = time.perf_counter()
+    grid = VoronoiGrid(sites, extent, volume_samples=32)
+    print(f"voronoi: {nsites} sites built in {time.perf_counter()-t0:.1f}s "
+          f"(native={grid.used_native}), max_steps={grid.max_steps}",
+          flush=True)
+
+    wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+    ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                   [1e36, 1e36])])
+    sphere = UniformSphereGeometry(1.8 * KPC)
+    mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
+    mass = 2.0 / (2600.0) * (4 / 3 * np.pi * (1.8 * KPC) ** 3) / (1.8 * KPC)
+    comp = DustComponent(sphere, mix, DustMassNormalization(mass))
+    dsys = DustSystem(grid, [comp], density_mode=mode)
+    ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+    opts = LifecycleOptions(store_absorption=True, max_scatt_events=64,
+                            deposition=("sampled" if mode == "analytic"
+                                        else "path"))
+    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
+
+    ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+    L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+
+    def tallies():
+        return {"instruments": [i.zero_tallies() for i in ins],
+                "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)}
+
+    key = rng.root_key(4357)
+    out = run(key, ell, L0, tallies())
+    _sync(out)
+    t0 = time.perf_counter()
+    out = run(jax.random.fold_in(key, 1), ell, L0, tallies())
+    _sync(out)
+    dt = time.perf_counter() - t0
+    print(f"voronoi {mode} lifecycle: {n / dt:,.0f} packets/s "
+          f"({dt:.2f}s per {n} packets)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -190,32 +190,150 @@ class VoronoiGrid:
     def _scaled(self, pos):
         return pos * jnp.float32(1.0 / self.scale)
 
-    def nearest_site(self, p_scaled):
-        """Nearest site index via blocked distance scan (vectorized).
+    # site-count threshold between the two point-location schemes: below,
+    # an MXU distance scan (zero gathers, traffic N*C*8 bytes); above, the
+    # block-candidate tables (K gathers/point, independent of C).  The
+    # crossover on the serial gather unit (~8.7 ns/elem) vs HBM (~0.8 TB/s)
+    # sits around C ~ 1e4-1e5.
+    _SCAN_MAX_SITES = 32768
 
-        For locate-only use; traversal never calls this per step.
+    def nearest_site(self, p_scaled):
+        """Nearest site index for scaled points (..., 3) — exact.
+
+        ref: VoronoiMesh::cellIndex (VoronoiMesh.cpp:512-543) — the
+        reference walks nb^3 block lists with per-block kd-trees.  Device
+        re-design: for small meshes an MXU distance scan (argmin of
+        |s|^2 - 2 p.s over site chunks — a matmul, no gathers); for large
+        meshes precomputed per-block candidate lists (block of p is
+        arithmetic; candidates are the sites within dnn(center) + 2r of
+        the block center, which provably contains the nearest site of
+        every point in the block), so lookups cost K gathers regardless
+        of the site count.
         """
-        # chunked argmin keeps memory bounded for large batches x sites
-        def dist_chunk(carry, chunk):
-            best_d, best_i, offset = carry
-            d = jnp.sum((p_scaled[:, None, :] - chunk[None, :, :]) ** 2, axis=-1)
-            i = jnp.argmin(d, axis=1)
-            dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+        if self.ncells <= self._SCAN_MAX_SITES:
+            return self._nearest_scan(p_scaled)
+        return self._nearest_blocks(p_scaled)
+
+    def _nearest_scan(self, p):
+        shape = p.shape[:-1]
+        p2 = p.reshape(-1, 3)
+        chunk = 512
+        npad = (-self.ncells) % chunk
+        sites_np = np.concatenate(
+            [self._sites_np, np.full((npad, 3), 1e9, np.float32)], axis=0)
+        s2_np = np.sum(sites_np.astype(np.float64) ** 2,
+                       axis=-1).astype(np.float32)
+        nchunks = sites_np.shape[0] // chunk
+        sites_c = jnp.asarray(sites_np.reshape(nchunks, chunk, 3))
+        s2_c = jnp.asarray(s2_np.reshape(nchunks, chunk))
+        offs = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+
+        def body(carry, inp):
+            best_d, best_i = carry
+            sc, s2c, off = inp
+            # d + |p|^2 = |s|^2 - 2 p.s: the |p|^2 term is constant per
+            # point and cancels in the argmin.  HIGHEST: default TPU
+            # matmul precision rounds f32 operands toward bf16, which
+            # would misassign near-bisector points.
+            d = s2c[None, :] - 2.0 * jax.lax.dot_general(
+                p2, sc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            i = jnp.argmin(d, axis=1).astype(jnp.int32)
+            dmin = jnp.min(d, axis=1)
             better = dmin < best_d
             return (jnp.where(better, dmin, best_d),
-                    jnp.where(better, offset + i.astype(jnp.int32), best_i),
-                    offset + chunk.shape[0]), None
+                    jnp.where(better, off + i, best_i)), None
 
-        chunk_size = 128  # bounds the (batch x chunk) distance matrix
-        npad = (-self.ncells) % chunk_size
-        sites = jnp.concatenate(
-            [self.sites, jnp.full((npad, 3), 1e9, jnp.float32)], axis=0)
-        chunks = sites.reshape(-1, chunk_size, 3)
-        n = p_scaled.shape[0]
-        init = (jnp.full((n,), jnp.inf, jnp.float32),
-                jnp.zeros((n,), jnp.int32), jnp.int32(0))
-        (_, best_i, _), _ = jax.lax.scan(dist_chunk, init, chunks)
-        return best_i
+        init = (jnp.full((p2.shape[0],), jnp.inf, jnp.float32),
+                jnp.zeros((p2.shape[0],), jnp.int32))
+        (_, best_i), _ = jax.lax.scan(body, init, (sites_c, s2_c, offs))
+        return best_i.reshape(shape)
+
+    def _ensure_blocks(self):
+        """Lazy host-side build of the per-block candidate tables.
+
+        Correctness bound: for a block with center c and half-diagonal r,
+        any point p in the block has |p - c| <= r, so its nearest site is
+        within dnn(c) + r of p and hence within dnn(c) + 2r of c; the
+        candidate list "all sites within dnn(c) + 2r of c" therefore
+        contains the true nearest site of every point in the block.
+        """
+        if hasattr(self, "_blk_cand_np"):
+            return
+        # ~4 sites per block on average (ref uses nb = 3 N^(1/3) with
+        # per-block kd-trees, VoronoiMesh.cpp:314; flat candidate tables
+        # want fewer, fatter blocks)
+        nb = int(np.clip(round((self.ncells / 4.0) ** (1.0 / 3.0)), 2, 512))
+        lo, hi = self._lo, self._hi
+        bsize = (hi - lo) / nb
+        ax = [lo[k] + (np.arange(nb) + 0.5) * bsize[k] for k in range(3)]
+        centers = np.stack(np.meshgrid(*ax, indexing="ij"),
+                           axis=-1).reshape(-1, 3)
+        dnn, _ = self._tree.query(centers, workers=-1)
+        r = 0.5 * float(np.linalg.norm(bsize))
+        radius = dnn + 2.0 * r
+        cand = self._tree.query_ball_point(centers, radius, workers=-1)
+        kc = max(len(c) for c in cand)
+        table = np.full((nb ** 3, kc), -1, np.int32)
+        for i, c in enumerate(cand):
+            table[i, :len(c)] = c
+        self._blk_nb = nb
+        self._blk_cand_np = table
+        inv = 1.0 / self.scale
+        self._blk_lo_np = np.asarray(lo * inv, np.float32)
+        self._blk_inv_np = np.asarray(1.0 / (bsize * inv), np.float32)
+
+    def _nearest_blocks(self, p):
+        self._ensure_blocks()
+        shape = p.shape[:-1]
+        p2 = p.reshape(-1, 3)
+        nb = self._blk_nb
+        rel = (p2 - jnp.asarray(self._blk_lo_np)) \
+            * jnp.asarray(self._blk_inv_np)
+        ib = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nb - 1)
+        blk = (ib[:, 0] * nb + ib[:, 1]) * nb + ib[:, 2]
+        cand = jnp.asarray(self._blk_cand_np)[blk]          # (M, K)
+        cs = jnp.asarray(self._sites_np)[jnp.maximum(cand, 0)]  # (M, K, 3)
+        d = jnp.sum((p2[:, None, :] - cs) ** 2, axis=-1)
+        d = jnp.where(cand >= 0, d, jnp.inf)
+        k = jnp.argmin(d, axis=1)
+        best = jnp.take_along_axis(cand, k[:, None], axis=1)[:, 0]
+        return best.reshape(shape)
+
+    def locate_batched(self, points):
+        """Flat cell ids for arbitrary-shaped point batches (-1 outside).
+
+        Vector-traversal / analytic-mode protocol (engine/
+        vector_traversal.py): purely batched device point location.
+        """
+        p = self._scaled(points)
+        inside = jnp.all((p >= self.lo) & (p <= self.hi), axis=-1)
+        return jnp.where(inside, self.nearest_site(p), -1)
+
+    def ray_span(self, pos, direction):
+        """(t_start, t_stop) of the ray inside the domain box, in meters.
+
+        Analytic panel-quadrature protocol (vector_traversal.panel_paths):
+        only the in-domain span is needed, not wall crossings.
+        """
+        p = self._scaled(pos)
+        moving = jnp.abs(direction) > 1e-30
+        inv = 1.0 / jnp.where(moving, direction, 1.0)
+        t1 = (self.lo - p) * inv
+        t2 = (self.hi - p) * inv
+        in_slab = (p >= self.lo) & (p <= self.hi)
+        near = jnp.where(moving, jnp.minimum(t1, t2),
+                         jnp.where(in_slab, -_BIG, _BIG))
+        far = jnp.where(moving, jnp.maximum(t1, t2),
+                        jnp.where(in_slab, _BIG, -_BIG))
+        t_near = jnp.max(near, axis=-1)
+        t_far = jnp.min(far, axis=-1)
+        t_start = jnp.maximum(t_near, 0.0)
+        hit = (t_start <= t_far) & (t_far > 0)
+        t_start = jnp.where(hit, t_start, 0.0)
+        t_stop = jnp.where(hit, t_far, t_start)
+        return t_start * self.scale, t_stop * self.scale
 
     def cell_of(self, state: VoronoiState):
         return state.cell

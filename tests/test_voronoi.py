@@ -136,3 +136,92 @@ class TestNativeBuilder:
             t2 = np.where(np.abs(dd) > 1e-12, (np.sign(dd) - p) / dd, np.inf)
         np.testing.assert_allclose(np.asarray(total), np.min(t2, axis=1),
                                    rtol=1e-2, atol=5e-3)
+
+
+class TestDevicePointLocation:
+    """Device locate_batched (MXU scan + block-candidate schemes)."""
+
+    def test_scan_matches_kdtree(self):
+        g = make_grid(n_sites=300)
+        rs = np.random.default_rng(7)
+        pts = rs.uniform(-0.99, 0.99, size=(800, 3))
+        _, expected = g._tree.query(pts)
+        got = np.asarray(g.locate_batched(jnp.asarray(pts, jnp.float32)))
+        assert (got == expected).mean() > 0.995  # float32 boundary ties
+
+    def test_blocks_match_kdtree(self):
+        g = make_grid(n_sites=300)
+        g._SCAN_MAX_SITES = 0  # force the block-candidate path
+        rs = np.random.default_rng(8)
+        pts = rs.uniform(-0.99, 0.99, size=(800, 3))
+        _, expected = g._tree.query(pts)
+        got = np.asarray(g.locate_batched(jnp.asarray(pts, jnp.float32)))
+        assert (got == expected).mean() > 0.995
+
+    def test_outside_is_minus_one(self):
+        g = make_grid()
+        pts = jnp.asarray([[1.5, 0.0, 0.0], [0.0, 0.0, 0.5]], jnp.float32)
+        got = np.asarray(g.locate_batched(pts))
+        assert got[0] == -1 and got[1] >= 0
+
+    def test_ray_span_matches_box(self):
+        g = make_grid()
+        pos, d = random_rays(64, seed=9)
+        t0, t1 = g.ray_span(pos, d)
+        p, dd = np.asarray(pos, np.float64), np.asarray(d, np.float64)
+        with np.errstate(divide="ignore"):
+            tfar = np.min(np.where(np.abs(dd) > 1e-12,
+                                   (np.sign(dd) - p) / dd, np.inf), axis=1)
+        np.testing.assert_allclose(np.asarray(t1), tfar, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(t0), 0.0, atol=1e-6)
+
+
+class TestAnalyticFastPath:
+    """Voronoi grids qualify for the analytic panel quadrature
+    (ray_span + locate_batched): lifecycle results match gridded mode."""
+
+    def test_lifecycle_analytic_vs_gridded(self):
+        import jax
+        from skirt_tpu import rng as _rng
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle)
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.instruments import SEDInstrument
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem, SimpleOligoDustMix)
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        g = make_grid(n_sites=400, volume_samples=512)
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        mix = SimpleOligoDustMix(wg, [1.0], [0.4], [0.2])
+        sphere = UniformSphereGeometry(0.9)
+        mass = 2.0 * (4.0 / 3.0) * np.pi * 0.9 ** 3 / 0.9  # tau_r ~ 2
+        comp = DustComponent(sphere, mix, DustMassNormalization(mass))
+        ins = SEDInstrument("sed", 100.0, 1)
+        n = 8192
+        ell = jnp.zeros((n,), jnp.int32)
+        L0 = jnp.full((n,), 1.0 / n, jnp.float32)
+
+        outs = {}
+        for mode in ("gridded", "analytic"):
+            dsys = DustSystem(g, [comp], density_mode=mode)
+            run = make_lifecycle(g, dsys, ss, [ins],
+                                 LifecycleOptions(store_absorption=True),
+                                 1)
+            t0 = {"instruments": [ins.zero_tallies()],
+                  "labs": jnp.zeros((g.ncells,), jnp.float32)}
+            outs[mode] = jax.jit(run)(_rng.root_key(21), ell, L0, t0)
+        Fg = float(np.asarray(outs["gridded"]["instruments"][0]["Ftot"])[0])
+        Fa = float(np.asarray(outs["analytic"]["instruments"][0]["Ftot"])[0])
+        # same MC stream; modes differ only in density discretization
+        assert Fa == pytest.approx(Fg, rel=0.1)
+        la = float(np.asarray(outs["analytic"]["labs"]).sum())
+        lg = float(np.asarray(outs["gridded"]["labs"]).sum())
+        assert la == pytest.approx(lg, rel=0.1)
+        # energy balance: emitted = detected-direction flux + absorbed is
+        # not closed (scattering), but both tallies must be positive
+        assert Fa > 0 and la > 0
