@@ -125,15 +125,20 @@ class PanSimulation(OligoSimulation):
             self.transient = TransientEmissivity(
                 self.dust_system.components[0].mix)
 
-        # dust-emission lifecycle variants
+        # dust-emission lifecycle variants.  Persistent-lane refill only
+        # applies to the stellar launch (the dust launch_fn samples from
+        # the per-cycle luminosity CDF, which the in-kernel relauncher
+        # cannot reproduce), so it is stripped here; the fused megakernel
+        # itself supports launch_fn and carries over when enabled.
         launch = make_dust_launch(self.grid, self.nlambda)
+        from .lifecycle import LifecycleOptions as _LO
+        dust_opts = _LO(**{**self.options.__dict__, "refill_batches": 0})
         self._run_dust_absorb = jax.jit(make_lifecycle(
-            self.grid, self.dust_system, None, self.instruments, self.options,
+            self.grid, self.dust_system, None, self.instruments, dust_opts,
             self.nlambda, launch_fn=launch, emission_peeloff=False,
             scattering_peeloff=False, is_dust_emission=True,
             mueller=self._mueller), donate_argnums=(3,))
-        from .lifecycle import LifecycleOptions as _LO
-        final_opts = _LO(**{**self.options.__dict__, "store_absorption": False})
+        final_opts = _LO(**{**dust_opts.__dict__, "store_absorption": False})
         self._run_dust_emit = jax.jit(make_lifecycle(
             self.grid, self.dust_system, None, self.instruments, final_opts,
             self.nlambda, launch_fn=launch, emission_peeloff=True,

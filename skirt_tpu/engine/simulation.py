@@ -109,13 +109,28 @@ class OligoSimulation:
                 donate_argnums=(1,))
 
         # multi-device execution: shard the packet axis over all local
-        # devices, psum tallies (ref: the reference's MPI peer-to-peer model)
+        # devices, psum tallies (ref: the reference's MPI peer-to-peer
+        # model).  use_mesh="slab" instead selects the domain-decomposed
+        # lifecycle (parallel/slab.py): density + Labs tables sharded by
+        # x-slab, replicated packets — per-device table memory ~1/D.
         self.mesh = None
         self._run_batch_sharded = None
         ndev = jax.local_device_count()
         if use_mesh is None:
             use_mesh = ndev > 1
-        if use_mesh and ndev > 1:
+        if use_mesh == "slab":
+            if ndev <= 1:
+                raise ValueError("use_mesh='slab' needs more than 1 device")
+            from jax.sharding import Mesh as _Mesh
+            from ..parallel import make_slab_lifecycle
+            from ..parallel.slab import SLAB_AXIS
+            import numpy as _np
+            self.mesh = _Mesh(_np.asarray(jax.devices()), (SLAB_AXIS,))
+            self._run_batch_sharded = make_slab_lifecycle(
+                self.mesh, grid, dust_system, stellar_system,
+                self.instruments, self.options, self.nlambda)
+            self._ndev = ndev
+        elif use_mesh and ndev > 1:
             from ..parallel import make_sharded_lifecycle, packet_mesh
             self.mesh = packet_mesh()
             lifecycle = make_lifecycle(

@@ -26,6 +26,13 @@ class PointGeometry(Geometry):
     def generate_position(self, key, n: int):
         return jnp.zeros((n, 3), dtype=jnp.float32)
 
+    def device_sampler_xyz(self):
+        """Kernel-safe sampler: the position is the constant origin."""
+        def fn(u):
+            zero = u[0] * 0.0
+            return zero, zero, zero
+        return 1, fn
+
     def sigma_x(self) -> float:
         return 0.0
 
@@ -114,6 +121,21 @@ class UniformSphereGeometry(Geometry):
         r = self.rmax * u ** (1.0 / 3.0)
         d = rng.isotropic_direction(k2, (n,))
         return r[:, None] * d
+
+    def device_sampler_xyz(self):
+        """Kernel-safe sampler: r = rmax u^(1/3), isotropic direction from
+        (cos theta, phi) — pure elementwise math (fused refill path)."""
+        rmax = np.float32(self.rmax)
+
+        def fn(u):
+            u1, u2, u3 = u
+            r = rmax * jnp.cbrt(u1)
+            ct = 1.0 - 2.0 * u2
+            st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+            phi = np.float32(2.0 * np.pi) * u3
+            return r * st * jnp.cos(phi), r * st * jnp.sin(phi), r * ct
+
+        return 3, fn
 
     def sigma_x(self) -> float:
         return float(2.0 * self.rmax / self.volume)

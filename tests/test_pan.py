@@ -53,7 +53,7 @@ class TestGreyBodyEmissivity:
 
 
 def build_pan_sim(tau=2.0, packets=2000, nlambda=24, self_absorption=False,
-                  density_mode="gridded", deposition="path"):
+                  density_mode="gridded", deposition="path", **opt_kw):
     wg = LogWavelengthGrid(0.1e-6, 1000e-6, nlambda)
     star = StellarComponent(PointGeometry(), BlackBodySED(wg, 6000.0),
                             BolometricLuminosityNormalization(100.0))
@@ -81,7 +81,8 @@ def build_pan_sim(tau=2.0, packets=2000, nlambda=24, self_absorption=False,
                          self_absorption=self_absorption, log=SilentLog(),
                          batch_size=1 << 14,
                          options=LifecycleOptions(store_absorption=True,
-                                                  deposition=deposition))
+                                                  deposition=deposition,
+                                                  **opt_kw))
 
 
 class TestPanSimulation:
@@ -199,3 +200,28 @@ class TestPanAnalyticFastPath:
         big = Fg > 1e-3 * Fg.sum()
         np.testing.assert_allclose(Fa[big], Fg[big], rtol=0.35)
         assert Fa[-1] < 3.0 * max(Fg[-1], 1e-30)
+
+
+class TestPanFused:
+    """Fused Pallas megakernel through every pan phase (stellar + dust
+    emission launch_fn); refill stays stellar-only and is stripped from
+    the dust variants automatically."""
+
+    def test_fused_pan_energy_conservation(self):
+        sim = build_pan_sim(tau=2.0, packets=1024, density_mode="analytic",
+                            deposition="sampled", fused=True,
+                            quadrature_panels=8, max_scatt_events=24)
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        assert F.sum() == pytest.approx(100.0, rel=0.12)
+        lam = sim.wavelength_grid.lambdav
+        assert F[lam > 1e-6].sum() / F.sum() > 0.25
+
+    def test_fused_with_refill_builds_dust_variants(self):
+        # refill_batches on the user options must not leak into the dust
+        # launch_fn variants (which would raise in the fused validator)
+        sim = build_pan_sim(tau=1.0, packets=1024, density_mode="analytic",
+                            deposition="sampled", fused=True,
+                            quadrature_panels=8, max_scatt_events=24,
+                            refill_batches=2)
+        assert sim._run_dust_emit is not None

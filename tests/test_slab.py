@@ -154,3 +154,20 @@ class TestSlabLifecycleParity:
             make_slab_lifecycle(slab_mesh8(), grid, dsys, ss,
                                 [SEDInstrument("sed", 100.0, 1)],
                                 LifecycleOptions(), 1)
+
+
+class TestDriverIntegration:
+    def test_oligo_simulation_use_mesh_slab(self):
+        from skirt_tpu.engine.simulation import OligoSimulation
+        from skirt_tpu.log import SilentLog
+        wg, ss, grid, dsys, instruments = build(tau=2.0, albedo=0.0)
+        sim = OligoSimulation(stellar_system=ss, instruments=instruments,
+                              dust_system=dsys, packets=4096,
+                              log=SilentLog(), batch_size=4096,
+                              use_mesh="slab",
+                              options=LifecycleOptions(store_absorption=True))
+        assert sim.mesh is not None and sim._run_batch_sharded is not None
+        acc = sim._run_phase(rng.root_key(7), 0)
+        F = float(acc["instruments"][0]["Ftot"][0])
+        assert F == pytest.approx(np.exp(-2.0 / np.sin(1.0)), rel=1e-3)
+        assert acc["labs"].sum() > 0
