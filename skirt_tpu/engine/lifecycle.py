@@ -99,6 +99,44 @@ class LifecycleOptions:
                                      # 3*S*N words)
 
 
+def propagate_tau_sample(taupath, u1, u2, xi, n):
+    """Forced-scattering optical-depth sample + bias weight.
+
+    ref: MonteCarloSimulation::simulatepropagation (:519-537) — composite
+    bias xi between the uniform and truncated-exponential tau densities,
+    weight = p/q.  Shared by the single-device and slab-decomposed
+    lifecycles so the two stay identical event for event.
+    """
+    tau_exp = rng.expon_cutoff(u2, taupath)
+    if xi == 0.0:
+        return tau_exp, jnp.ones(n, jnp.float32)
+    tau_uni = u2 * taupath
+    tau = jnp.where(u1 < xi, tau_uni, tau_exp)
+    p = -jnp.exp(-tau) / jnp.expm1(-jnp.maximum(taupath, 1e-30))
+    qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
+    return tau, p / jnp.maximum(qq, 1e-37)
+
+
+def hg_costheta(g, u):
+    """Henyey-Greenstein deflection cosine from one uniform deviate.
+
+    ref: MonteCarloSimulation::simulatescattering + DustMix HG sampling;
+    the |g| < 1e-6 branch is the isotropic limit.
+    """
+    f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u)
+    cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(
+        jnp.abs(g) < 1e-6, 1.0, g))
+    return jnp.where(jnp.abs(g) < 1e-6, 2.0 * u - 1.0,
+                     jnp.clip(cos_hg, -1.0, 1.0))
+
+
+def terminate_alive(alive, L, taupath, Lthreshold, nscatt, min_scatt):
+    """Packet termination rule (ref: dostellaremissionchunk :289)."""
+    alive = alive & (L > 0) & jnp.logical_not(
+        (L <= Lthreshold) & (nscatt >= min_scatt))
+    return alive & (taupath > 0)
+
+
 def make_multibatch(run_batch, nbatches: int, key_fn=None):
     """Fold `nbatches` lifecycle batches into ONE jittable dispatch.
 
@@ -643,26 +681,13 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     L = jnp.where(alive,
                                   jnp.sum(albedo_rows * Lint_r, axis=1), L)
 
-                # termination (ref: dostellaremissionchunk :289)
-                alive = alive & (L > 0) & jnp.logical_not(
-                    (L <= Lthreshold) & (nscatt >= options.min_scatt_events))
-                alive = alive & (taupath > 0)
-
-                # propagate (ref: simulatepropagation)
-                xi = options.scatt_bias
+                # termination + forced propagation (shared helpers)
+                alive = terminate_alive(alive, L, taupath, Lthreshold,
+                                        nscatt, options.min_scatt_events)
                 u1 = rng.uniform_open(jax.random.fold_in(k1, 0), (n,))
                 u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
-                tau_exp = rng.expon_cutoff(u2, taupath)
-                if xi == 0.0:
-                    tau = tau_exp
-                    weight = jnp.ones(n, jnp.float32)
-                else:
-                    tau_uni = u2 * taupath
-                    tau = jnp.where(u1 < xi, tau_uni, tau_exp)
-                    p = -jnp.exp(-tau) / jnp.expm1(
-                        -jnp.maximum(taupath, 1e-30))
-                    qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
-                    weight = p / jnp.maximum(qq, 1e-37)
+                tau, weight = propagate_tau_sample(taupath, u1, u2,
+                                                   options.scatt_bias, n)
                 L = jnp.where(alive, L * weight, L)
 
                 if analytic and npanels is not None:
@@ -746,26 +771,13 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     ins_tallies = carry["ins"]
                 L = jnp.where(alive, carry["Lsca"], L)
 
-                # -- termination (ref: dostellaremissionchunk :289) --------
-                alive = alive & (L > 0) & jnp.logical_not(
-                    (L <= Lthreshold) & (nscatt >= options.min_scatt_events))
-                alive = alive & (taupath > 0)
-
-                # -- propagate (ref: simulatepropagation) ------------------
-                xi = options.scatt_bias
+                # -- termination + forced propagation (shared helpers) -----
+                alive = terminate_alive(alive, L, taupath, Lthreshold,
+                                        nscatt, options.min_scatt_events)
                 u1 = rng.uniform_open(jax.random.fold_in(k1, 0), (n,))
                 u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
-                tau_exp = rng.expon_cutoff(u2, taupath)
-                if xi == 0.0:
-                    tau = tau_exp
-                    weight = jnp.ones(n, jnp.float32)
-                else:
-                    tau_uni = u2 * taupath
-                    tau = jnp.where(u1 < xi, tau_uni, tau_exp)
-                    p = -jnp.exp(-tau) / jnp.expm1(
-                        -jnp.maximum(taupath, 1e-30))
-                    qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
-                    weight = p / jnp.maximum(qq, 1e-37)
+                tau, weight = propagate_tau_sample(taupath, u1, u2,
+                                                   options.scatt_bias, n)
                 L = jnp.where(alive, L * weight, L)
 
                 if use_path_record:
@@ -861,11 +873,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             if mueller is None:
                 g = ds.sample_scatter_g(jax.random.fold_in(k2, 0), cell_at, ell)
                 u = rng.uniform_open(jax.random.fold_in(k2, 1), (n,))
-                f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u)
-                cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(
-                    jnp.abs(g) < 1e-6, 1.0, g))
-                costheta = jnp.where(jnp.abs(g) < 1e-6, 2.0 * u - 1.0,
-                                     jnp.clip(cos_hg, -1.0, 1.0))
+                costheta = hg_costheta(g, u)
                 new_dir = rng.direction_about_axis(k3, direction, costheta)
             else:
                 # ref: DustMix::scatteringDirectionAndPolarization

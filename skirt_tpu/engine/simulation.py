@@ -118,6 +118,7 @@ class OligoSimulation:
         ndev = jax.local_device_count()
         if use_mesh is None:
             use_mesh = ndev > 1
+        self._sharded_any_batch = False
         if use_mesh == "slab":
             if ndev <= 1:
                 raise ValueError("use_mesh='slab' needs more than 1 device")
@@ -130,6 +131,9 @@ class OligoSimulation:
                 self.mesh, grid, dust_system, stellar_system,
                 self.instruments, self.options, self.nlambda)
             self._ndev = ndev
+            # slab mode replicates packets: any batch length works (the
+            # divisibility gate below is a packet-sharding constraint)
+            self._sharded_any_batch = True
         elif use_mesh and ndev > 1:
             from ..parallel import make_sharded_lifecycle, packet_mesh
             self.mesh = packet_mesh()
@@ -323,7 +327,8 @@ class OligoSimulation:
             else:
                 bkey = rng.event_key(key, phase_tag, b)
                 if self._run_batch_sharded is not None \
-                        and ell.shape[0] % self._ndev == 0:
+                        and (self._sharded_any_batch
+                             or ell.shape[0] % self._ndev == 0):
                     tallies = self._run_batch_sharded(bkey, ell, L0)
                 else:
                     tallies = self._run_batch(bkey, ell, L0, tallies)

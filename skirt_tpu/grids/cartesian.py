@@ -254,12 +254,22 @@ class CartesianGrid:
         S = nx+ny+nz+3; non-crossings (rays parallel to an axis) are BIG
         and rays that miss the box get t_start = t_stop = 0.
         """
-        borders = (self.xb, self.yb, self.zb)
+        return self.crossings_with_x(jnp.asarray(self.xb), pos, direction)
+
+    def crossings_with_x(self, xb, pos, direction):
+        """crossings() against a caller-supplied (traced) x-border array.
+
+        Used by the slab-decomposed lifecycle (parallel/slab.py): each
+        device passes only ITS slab's x-planes, so the entry/exit span
+        comes out already clipped to the slab and the candidate count
+        drops from nx+ny+nz+3 to nx/D+ny+nz+3.
+        """
+        borders = (xb, jnp.asarray(self.yb), jnp.asarray(self.zb))
         t_parts = []
         t_near = jnp.full(pos.shape[:-1], -_BIG, pos.dtype)
         t_far = jnp.full(pos.shape[:-1], _BIG, pos.dtype)
         for axis in range(3):
-            b = jnp.asarray(borders[axis])
+            b = borders[axis]
             oa = pos[..., axis]
             da = direction[..., axis]
             moving = jnp.abs(da) > 1e-30

@@ -273,8 +273,24 @@ class VoronoiGrid:
         dnn, _ = self._tree.query(centers, workers=-1)
         r = 0.5 * float(np.linalg.norm(bsize))
         radius = dnn + 2.0 * r
+        # clustered site distributions can inflate a sparse-region block's
+        # candidate ball to ~all sites; probe the row lengths first and
+        # refuse to build a table past the memory budget (the caller then
+        # falls back to the exact MXU scan — slower, never wrong)
+        counts = self._tree.query_ball_point(centers, radius, workers=-1,
+                                             return_length=True)
+        kc = int(np.max(counts))
+        budget_bytes = 256 << 20
+        if nb ** 3 * kc * 4 > budget_bytes:
+            import warnings
+            warnings.warn(
+                f"VoronoiGrid: block-candidate table would need "
+                f"{nb**3 * kc * 4 / 1e9:.1f} GB (kc={kc}; clustered "
+                "sites); falling back to the MXU distance scan for point "
+                "location")
+            self._blk_cand_np = None
+            return
         cand = self._tree.query_ball_point(centers, radius, workers=-1)
-        kc = max(len(c) for c in cand)
         table = np.full((nb ** 3, kc), -1, np.int32)
         for i, c in enumerate(cand):
             table[i, :len(c)] = c
@@ -286,6 +302,8 @@ class VoronoiGrid:
 
     def _nearest_blocks(self, p):
         self._ensure_blocks()
+        if self._blk_cand_np is None:   # table over budget: exact fallback
+            return self._nearest_scan(p)
         shape = p.shape[:-1]
         p2 = p.reshape(-1, 3)
         nb = self._blk_nb
@@ -298,7 +316,11 @@ class VoronoiGrid:
         d = jnp.sum((p2[:, None, :] - cs) ** 2, axis=-1)
         d = jnp.where(cand >= 0, d, jnp.inf)
         k = jnp.argmin(d, axis=1)
-        best = jnp.take_along_axis(cand, k[:, None], axis=1)[:, 0]
+        # one-hot masked pick: take_along_axis lowers to a slow per-lane
+        # gather on TPU (vector_traversal.masked_row_pick rationale)
+        sel = jnp.arange(cand.shape[1], dtype=jnp.int32)[None, :] \
+            == k[:, None]
+        best = jnp.sum(jnp.where(sel, cand, 0), axis=1)
         return best.reshape(shape)
 
     def locate_batched(self, points):

@@ -49,7 +49,13 @@ def initialize_distributed(coordinator_address: str | None = None,
     num = num_processes if num_processes is not None else \
         int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if num <= 1 and addr is None:
+    # cluster auto-detection (jax.distributed's built-in SlurmCluster /
+    # OMPI / TPU-pod detectors) must still fire when only the scheduler's
+    # own env vars are present
+    cluster_size = max(int(os.environ.get("SLURM_NTASKS", "1")),
+                       int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1")),
+                       int(os.environ.get("TPU_WORKER_COUNT", "1") or 1))
+    if num <= 1 and addr is None and cluster_size <= 1:
         return False
     kwargs = {}
     if addr is not None:

@@ -59,48 +59,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import rng
+from ..engine import lifecycle as lc
 from ..engine import vector_traversal as vt
 from ..ops import binned_add
 
 SLAB_AXIS = "slabs"
 
 _BIG = 3.4e38
-
-
-def _crossings_slab(xb_l, yb, zb, pos, direction):
-    """All candidate wall crossings against slab-local x-borders.
-
-    Same all-crossings formulation as CartesianGrid.crossings
-    (grids/cartesian.py), but the x-axis contributes only the slab's own
-    nx/D + 1 planes (xb_l is a traced per-device array), so the entry/exit
-    span comes out already clipped to the slab.
-    """
-    borders = (xb_l, jnp.asarray(yb), jnp.asarray(zb))
-    t_parts = []
-    t_near = jnp.full(pos.shape[:-1], -_BIG, pos.dtype)
-    t_far = jnp.full(pos.shape[:-1], _BIG, pos.dtype)
-    for axis in range(3):
-        b = borders[axis]
-        oa = pos[..., axis]
-        da = direction[..., axis]
-        moving = jnp.abs(da) > 1e-30
-        inv = 1.0 / jnp.where(moving, da, 1.0)
-        t = (b[None, :] - oa[:, None]) * inv[:, None]
-        t_parts.append(jnp.where(moving[:, None], t, _BIG))
-        tlo = t[:, 0]
-        thi = t[:, -1]
-        near = jnp.minimum(tlo, thi)
-        far = jnp.maximum(tlo, thi)
-        in_slab = (oa >= b[0]) & (oa <= b[-1])
-        near = jnp.where(moving, near, jnp.where(in_slab, -_BIG, _BIG))
-        far = jnp.where(moving, far, jnp.where(in_slab, _BIG, -_BIG))
-        t_near = jnp.maximum(t_near, near)
-        t_far = jnp.minimum(t_far, far)
-    t_start = jnp.maximum(t_near, 0.0)
-    hit = (t_start <= t_far) & (t_far > 0)
-    t_start = jnp.where(hit, t_start, 0.0)
-    t_stop = jnp.where(hit, t_far, 0.0)
-    return jnp.concatenate(t_parts, axis=-1), t_start, t_stop
 
 
 def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
@@ -174,12 +139,14 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
         xb_l = jax.lax.dynamic_slice(jnp.asarray(xb_full), (idx * nxl,),
                                      (nxl + 1,))
 
-        def slab_rows(pos, direction, kpk_list, want_cells=True):
+        def slab_rows(pos, direction, kpk_list):
             """Per-slab path record: (rows per kappa list entry, ds, te,
             local cells).  kpk_list: list of per-packet kappa lists (one
-            row set per entry, e.g. [kext_pk] or [ksca_pk, kext_pk])."""
-            t_all, t_start, t_stop = _crossings_slab(
-                xb_l, grid.yb, grid.zb, pos, direction)
+            row set per entry, e.g. [kext_pk] or [ksca_pk, kext_pk]).
+            Cell ids are always materialized — the density gathers need
+            them (unlike vt.record_paths' analytic want_cells=False)."""
+            t_all, t_start, t_stop = grid.crossings_with_x(
+                xb_l, pos, direction)
             t = jnp.clip(t_all, t_start[:, None], t_stop[:, None])
             ts = jnp.sort(t, axis=-1)
             ds_r = ts[:, 1:] - ts[:, :-1]
@@ -202,8 +169,7 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
 
         def slab_tau(pos, direction, kext_pk):
             (kext_rows,), ds_r, _, _, _ = slab_rows(pos, direction,
-                                                    [kext_pk],
-                                                    want_cells=True)
+                                                    [kext_pk])
             return jnp.sum(kext_rows * ds_r, axis=1)
 
         def ray_ordered(tau_slab, dirx):
@@ -275,15 +241,14 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
 
         def rho_at_cell(gcell):
             """Per-component rho at a global cell: owner gathers from its
-            shard, psum publishes (one (N,) float per component)."""
+            shard, ONE stacked psum publishes all components."""
             mine = (gcell >= cell_offset) \
                 & (gcell < cell_offset + cells_per_slab)
             safe = jnp.clip(gcell - cell_offset, 0, cells_per_slab - 1)
-            vals = []
-            for h in range(ncomp):
-                v = jnp.where(mine, rho_loc[h][safe], 0.0)
-                vals.append(jax.lax.psum(v, SLAB_AXIS))
-            return vals
+            stacked = jnp.stack([jnp.where(mine, rho_loc[h][safe], 0.0)
+                                 for h in range(ncomp)])
+            out = jax.lax.psum(stacked, SLAB_AXIS)
+            return [out[h] for h in range(ncomp)]
 
         state = dict(it=jnp.int32(0), pos=pos, dir=direction, L=L,
                      nscatt=jnp.zeros(n, jnp.int32), alive=alive,
@@ -376,25 +341,14 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
             else:
                 L = jnp.where(alive, albedo_l * L * one_m_e, L)
 
-            # -- termination (ref: dostellaremissionchunk :289) ------------
-            alive = alive & (L > 0) & jnp.logical_not(
-                (L <= Lthreshold) & (nscatt >= options.min_scatt_events))
-            alive = alive & (taupath > 0)
-
-            # -- propagate (ref: simulatepropagation) ----------------------
-            xi = options.scatt_bias
+            # -- termination + forced propagation (shared helpers, so the
+            # slab engine stays identical to lifecycle.py event for event)
+            alive = lc.terminate_alive(alive, L, taupath, Lthreshold,
+                                       nscatt, options.min_scatt_events)
             u1 = rng.uniform_open(jax.random.fold_in(k1, 0), (n,))
             u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
-            tau_exp = rng.expon_cutoff(u2, taupath)
-            if xi == 0.0:
-                tau = tau_exp
-                weight = jnp.ones(n, jnp.float32)
-            else:
-                tau_uni = u2 * taupath
-                tau = jnp.where(u1 < xi, tau_uni, tau_exp)
-                p = -jnp.exp(-tau) / jnp.expm1(-jnp.maximum(taupath, 1e-30))
-                qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
-                weight = p / jnp.maximum(qq, 1e-37)
+            tau, weight = lc.propagate_tau_sample(taupath, u1, u2,
+                                                  options.scatt_bias, n)
             L = jnp.where(alive, L * weight, L)
 
             # ownership + local inversion + psum publication
@@ -447,14 +401,10 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                 g = jnp.asarray(ds.g)[0, ell]
                 acc = wv[0]
                 for h in range(1, ncomp):
-                    g = jnp.where(u >= acc, jnp.asarray(ds.g)[h, ell], g)
+                    g = jnp.where(u > acc, jnp.asarray(ds.g)[h, ell], g)
                     acc = acc + wv[h]
             u = rng.uniform_open(jax.random.fold_in(k2, 1), (n,))
-            f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u)
-            cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(
-                jnp.abs(g) < 1e-6, 1.0, g))
-            costheta = jnp.where(jnp.abs(g) < 1e-6, 2.0 * u - 1.0,
-                                 jnp.clip(cos_hg, -1.0, 1.0))
+            costheta = lc.hg_costheta(g, u)
             new_dir = rng.direction_about_axis(k3, direction, costheta)
             direction = jnp.where(alive[:, None], new_dir, direction)
             nscatt = jnp.where(alive, nscatt + 1, nscatt)
@@ -489,7 +439,11 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
         check_vma=False)
 
     from jax.sharding import NamedSharding
-    rho_dev = jax.device_put(jnp.asarray(ds.rho, jnp.float32),
+    # device_put straight from host numpy: going through jnp.asarray first
+    # would materialize the FULL table on the default device before
+    # resharding — an OOM at exactly the import-scale grids slab
+    # decomposition exists for
+    rho_dev = jax.device_put(np.asarray(ds.rho, np.float32),
                              NamedSharding(mesh, P(None, SLAB_AXIS)))
     jitted = jax.jit(sharded)
 
