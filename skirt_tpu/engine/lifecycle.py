@@ -395,11 +395,10 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
         independent and batchable.
         """
         safe = jnp.clip(cells, 0)
-        rho_t = jnp.asarray(ds.rho)
         ksca = 0.0
         kext = 0.0
         for h in range(ds.ncomp):
-            rho_r = rho_t[h][safe]
+            rho_r = ds.rho_at(h, safe)
             if want_sca:
                 ksca = ksca + ksca_pk[h][:, None] * rho_r
             kext = kext + kext_pk[h][:, None] * rho_r

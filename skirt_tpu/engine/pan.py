@@ -39,30 +39,35 @@ def make_dust_launch(grid, nlambda: int):
     and luminosity-weighted distributions, position uniform in cell,
     isotropic direction, weight compensation 1/(1-xi+xi*Lmean/Lv[m]).
 
-    Packets must arrive in per-wavelength blocks: ell = repeat(arange(nl), P).
-    launch_ctx = {"cdf": (nl, Ncells+1), "Lv": (nl, Ncells),
-                  "Ltot": (nl,), "xi": scalar}
+    TPU re-design: the reference's per-packet CDF binary search
+    (PanMonteCarloSimulation.cpp:303, NR::locate) would lower to ~log2(N)
+    sequential dependent gathers per packet; the luminosity branch instead
+    samples Walker alias tables (numerics.build_alias_tables, rebuilt on
+    the host each emission cycle) — 2 independent gathers per packet,
+    exact distribution.
+
+    launch_ctx = {"alias_prob"/"alias_idx": (nl, Ncells), "Lv": (nl,
+    Ncells), "Ltot": (nl,), "xi": scalar}
     """
     ncells = grid.ncells
 
     def launch(key, ell, L0, ctx):
         n = ell.shape[0]
-        per = n // nlambda
         k1, k2, k3 = jax.random.split(key, 3)
         X = rng.uniform_open(k1, (n,))
+        u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
         xi = ctx["xi"]
 
-        # uniform branch
+        # uniform branch (reuses X below xi, exactly the ref's scheme)
         m_uni = jnp.clip((ncells * X / jnp.maximum(xi, 1e-9)).astype(jnp.int32),
                          0, ncells - 1)
-        # luminosity branch: shared-row binary search per wavelength block
-        Xl = ((X - xi) / (1.0 - xi)).reshape(nlambda, per)
-
-        def row_search(cdf_row, x_row):
-            i = jnp.searchsorted(cdf_row, x_row, side="right") - 1
-            return jnp.clip(i, 0, ncells - 1)
-
-        m_lum = jax.vmap(row_search)(ctx["cdf"], Xl).reshape(n).astype(jnp.int32)
+        # luminosity branch: alias sampling (2 gathers, exact)
+        Xl = (X - xi) / (1.0 - xi)
+        j = jnp.clip((Xl * ncells).astype(jnp.int32), 0, ncells - 1)
+        flat = ell * ncells + j
+        pj = ctx["alias_prob"].reshape(-1)[flat]
+        aj = ctx["alias_idx"].reshape(-1)[flat]
+        m_lum = jnp.where(u2 < pj, j, aj).astype(jnp.int32)
         m = jnp.where(X < xi, m_uni, m_lum)
 
         # weight compensation (ref: :316-318)
@@ -182,11 +187,14 @@ class PanSimulation(OligoSimulation):
         # per-wavelength per-cell luminosities: (nl, Ncells)
         Lv = (labs_bol_dev[:, None] * frac).T
         Ltot = jnp.sum(Lv, axis=1)
-        cum = jnp.cumsum(Lv, axis=1)
-        denom = jnp.maximum(Ltot[:, None], 1e-37)
-        cdf = jnp.concatenate(
-            [jnp.zeros((self.nlambda, 1), jnp.float32), cum / denom], axis=1)
-        return {"cdf": cdf, "Lv": Lv, "Ltot": Ltot,
+        # exact alias tables for the cell-selection sampling, rebuilt on
+        # the host once per emission cycle (ms-scale; the launch itself
+        # then costs 2 gathers/packet instead of a binary search)
+        from ..numerics import build_alias_tables
+        prob_np, alias_np = build_alias_tables(np.asarray(Lv, np.float64))
+        return {"alias_prob": jnp.asarray(prob_np),
+                "alias_idx": jnp.asarray(alias_np),
+                "Lv": Lv, "Ltot": Ltot,
                 "xi": jnp.float32(self.emission_bias)}
 
     def _multicomp_fractions(self, labs_bol_dev):

@@ -114,18 +114,27 @@ class CartesianGrid:
         """Device-side uniform positions inside given cells (N,) -> (N, 3).
 
         ref: DustGrid::randomPositionInCell (used by the dust-emission
-        launch, PanMonteCarloSimulation.cpp:303).
+        launch, PanMonteCarloSimulation.cpp:303).  Uniform-spacing axes
+        use arithmetic borders — no gathers, the common dust-launch case.
         """
         iz = cells % self.nz
         iy = (cells // self.nz) % self.ny
         ix = cells // (self.ny * self.nz)
-        xb, yb, zb = (jnp.asarray(self.xb), jnp.asarray(self.yb),
-                      jnp.asarray(self.zb))
         u = jax.random.uniform(key, (cells.shape[0], 3), dtype=jnp.float32)
-        x = xb[ix] + u[:, 0] * (xb[ix + 1] - xb[ix])
-        y = yb[iy] + u[:, 1] * (yb[iy + 1] - yb[iy])
-        z = zb[iz] + u[:, 2] * (zb[iz + 1] - zb[iz])
-        return jnp.stack([x, y, z], axis=-1)
+
+        def axis_pos(axis, idx, ua):
+            borders = (self.xb, self.yb, self.zb)[axis]
+            if self._uniform[axis]:
+                lo = jnp.float32(self._lo[axis]) \
+                    + idx.astype(jnp.float32) * jnp.float32(self._dx[axis])
+                return lo + ua * jnp.float32(self._dx[axis])
+            b = jnp.asarray(borders)
+            lo = b[idx]
+            return lo + ua * (b[idx + 1] - lo)
+
+        return jnp.stack([axis_pos(0, ix, u[:, 0]),
+                          axis_pos(1, iy, u[:, 1]),
+                          axis_pos(2, iz, u[:, 2])], axis=-1)
 
     # -- device-side protocol ---------------------------------------------
 

@@ -13,7 +13,7 @@ import sysconfig
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libskirt_native.so")
-_SOURCES = ["voronoi.cpp"]
+_SOURCES = ["voronoi.cpp", "alias.cpp"]
 
 
 def _needs_build() -> bool:
@@ -53,6 +53,11 @@ def load():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        _lib.alias_build.restype = ctypes.c_int
+        _lib.alias_build.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
         return _lib
     except Exception:
         return None
@@ -89,3 +94,26 @@ def voronoi_cells(sites, box):
             return volumes, centroids, data[:offsets[n]], offsets
         cap = int(offsets[n]) + 16
     return None
+
+
+def alias_tables(weights):
+    """Walker alias tables via the native builder; None if unavailable.
+
+    weights: (R, N) float array.  Returns (prob (R,N) float32,
+    alias (R,N) int32) or None when the toolchain is missing (callers
+    fall back to the numpy/python builder in numerics.build_alias_tables).
+    """
+    import numpy as np
+    lib = load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(weights, np.float64)
+    R, N = w.shape
+    prob = np.empty((R, N), np.float32)
+    alias = np.empty((R, N), np.int32)
+    lib.alias_build(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(R), ctypes.c_int64(N),
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return prob, alias

@@ -179,3 +179,44 @@ def sample_cdf(cdf, xv, u):
     c0, c1 = cdf[i], cdf[i + 1]
     t = (u - c0) / jnp.where(c1 == c0, 1.0, c1 - c0)
     return xv[i] + jnp.clip(t, 0.0, 1.0) * (xv[i + 1] - xv[i])
+
+
+def build_alias_tables(weights: "np.ndarray"):
+    """Walker alias tables for R discrete distributions (host side).
+
+    weights: (R, N) nonnegative.  Returns (prob (R, N) float32,
+    alias (R, N) int32): sample row r with two uniforms as
+      j = floor(u1 * N);  m = j if u2 < prob[r, j] else alias[r, j]
+    — EXACT discrete sampling in 2 gathers, replacing a per-sample
+    searchsorted (~log2(N) sequential dependent gathers on the TPU's
+    serial gather unit).  Rows with zero total weight sample uniformly.
+
+    ref: the reference samples its dust-emission cell CDF with NR::locate
+    binary searches (PanMonteCarloSimulation.cpp:303); alias tables are
+    the batched-hardware equivalent.
+    """
+    w = np.asarray(weights, np.float64)
+    R, N = w.shape
+    from . import native as _native
+    out = _native.alias_tables(w)
+    if out is not None:
+        return out
+    prob = np.ones((R, N), np.float32)
+    alias = np.tile(np.arange(N, dtype=np.int32), (R, 1))
+    for r in range(R):
+        total = w[r].sum()
+        if total <= 0:
+            continue
+        p = w[r] * (N / total)
+        small = [i for i in range(N) if p[i] < 1.0]
+        large = [i for i in range(N) if p[i] >= 1.0]
+        while small and large:
+            s = small.pop()
+            l = large.pop()
+            prob[r, s] = p[s]
+            alias[r, s] = l
+            p[l] = (p[l] + p[s]) - 1.0
+            (small if p[l] < 1.0 else large).append(l)
+        for i in small + large:
+            prob[r, i] = 1.0
+    return prob, alias
