@@ -52,20 +52,26 @@ def main():
                          OpticalDepthNormalization("x", wg.lambdav[0], 5.0))
     import os
     dmode = os.environ.get("OCTREE_MODE", "gridded")
+    fused = os.environ.get("OCTREE_FUSED", "0") == "1"
+    store_abs = os.environ.get("OCTREE_ABS", "0" if fused else "1") == "1"
     dsys = DustSystem(grid, [comp], samples_per_cell=8, density_mode=dmode)
     ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
-    opts = LifecycleOptions(store_absorption=True, max_scatt_events=64,
+    opts = LifecycleOptions(store_absorption=store_abs, max_scatt_events=64,
                             deposition=("sampled" if dmode == "analytic"
-                                        else "path"))
+                                        else "path"),
+                            quadrature_panels=(32 if fused else None),
+                            fused=fused)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
 
-    n = 1 << 15
+    n = 1 << int(os.environ.get("OCTREE_LOG2N", "15"))
     ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
     L0 = jnp.full((n,), 1e36 / n, jnp.float32)
 
     def tallies():
-        return {"instruments": [i.zero_tallies() for i in ins],
-                "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)}
+        t = {"instruments": [i.zero_tallies() for i in ins]}
+        if store_abs:
+            t["labs"] = jnp.zeros((grid.ncells * 2,), jnp.float32)
+        return t
 
     key = rng.root_key(4357)
     out = run(key, ell, L0, tallies())
@@ -74,7 +80,7 @@ def main():
     out = run(jax.random.fold_in(key, 1), ell, L0, tallies())
     _sync(out)
     dt = time.perf_counter() - t0
-    print(f"octree lifecycle: {n / dt:,.0f} packets/s "
+    print(f"octree lifecycle (mode={dmode} fused={fused} abs={store_abs}): {n / dt:,.0f} packets/s "
           f"({dt:.2f}s per {n} packets)", flush=True)
 
 

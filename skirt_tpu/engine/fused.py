@@ -162,9 +162,16 @@ def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
         bail("absorption tallies require deposition='sampled'")
     if nlambda > _MAX_CHAIN:
         bail(f"nlambda > {_MAX_CHAIN} (wavelength select chains)")
-    if not (hasattr(grid, "_uniform") and all(grid._uniform)
-            and hasattr(grid, "ray_span")):
-        bail("requires a uniform-spacing Cartesian grid")
+    if options.store_absorption:
+        # deposits need an in-kernel (arithmetic) cell id; otherwise the
+        # single-mix event is cell-independent and any analytic grid's
+        # bounding-box span suffices (rho is zero outside its support)
+        if not (hasattr(grid, "_uniform") and all(grid._uniform)):
+            bail("absorption tallies require a uniform-spacing Cartesian "
+                 "grid (in-kernel arithmetic locate); disable "
+                 "store_absorption for other grids")
+    elif not hasattr(grid, "bounding_box"):
+        bail("grid must expose bounding_box()")
     for ins in instruments:
         if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
             bail("requires distant (constant-direction) instruments")
@@ -194,7 +201,10 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
              for s, e in zip(ds.kappasca[0], ds.kappaext[0])]
     g_t = [float(v) for v in ds.g[0]]
     span = _make_span(grid.bounding_box())
-    locate = _make_locate(grid)
+    # locate is needed only for the absorption-deposit cell id: single-mix
+    # physics (scatter g, phase value, albedo) is cell-independent, so
+    # tally-free runs work on ANY analytic grid through the box span
+    locate = _make_locate(grid) if want_labs else None
     xi = float(options.scatt_bias)
     min_scatt = int(options.min_scatt_events)
     inv_np = np.float32(1.0 / npanels)

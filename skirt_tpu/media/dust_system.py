@@ -226,9 +226,11 @@ class DustSystem:
         experiments/microbench_gather2.py).  Chunked via lax.map so the
         (chunk, nz) row tensor stays bounded.
         """
+        import os
         g = self.grid
         nz = int(getattr(g, "nz", 0) or 0)
-        if not (2 <= nz <= 64) or (self.grid.ncells % nz) != 0:
+        if not (2 <= nz <= 64) or (self.grid.ncells % nz) != 0 \
+                or os.environ.get("SKIRT_TPU_ROW_GATHER", "1") == "0":
             return jnp.asarray(self.rho)[h, cells_safe]
         rho3 = jnp.asarray(self.rho[h].reshape(-1, nz))
         flat = cells_safe.reshape(-1)

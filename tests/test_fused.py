@@ -92,3 +92,78 @@ class TestFusedValidation:
     def test_path_deposition_rejected(self):
         with pytest.raises(ValueError, match="fused"):
             _build(fused=True, deposition="path", **KW)
+
+
+class TestFusedAnyGridSEDOnly:
+    """Without absorption tallies the single-mix event is cell-independent:
+    any analytic grid qualifies through its bounding-box span."""
+
+    def test_octree_sed_matches_unfused(self):
+        from skirt_tpu.engine.lifecycle import LifecycleOptions, \
+            make_lifecycle
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.grids.octree import OctreeGrid
+        from skirt_tpu.instruments import SEDInstrument
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem)
+        from skirt_tpu.media.mix import DustMix
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        sphere = UniformSphereGeometry(0.9)
+        grid = OctreeGrid((-1, -1, -1, 1, 1, 1),
+                          lambda p: np.asarray(sphere.density(p)),
+                          min_level=1, max_level=3)
+        mix = DustMix(wg, np.array([1.2]), np.array([0.8]), np.array([0.3]))
+        comp = DustComponent(sphere, mix, DustMassNormalization(1.5))
+        dsys = DustSystem(grid, [comp], density_mode="analytic")
+        ins = SEDInstrument("sed", 100.0, 1)
+        n = 8192
+        ell = jnp.zeros((n,), jnp.int32)
+        L0 = jnp.full((n,), 1.0 / n, jnp.float32)
+        key = jax.random.key(7)
+        out = {}
+        for fused in (False, True):
+            opts = LifecycleOptions(fused=fused, quadrature_panels=16,
+                                    max_scatt_events=24)
+            run = make_lifecycle(grid, dsys, ss, [ins], opts, 1)
+            t = {"instruments": [ins.zero_tallies()]}
+            out[fused] = jax.jit(lambda k, r=run, t0=t: r(k, ell, L0, t0))(key)
+        Fx = float(np.asarray(out[False]["instruments"][0]["Ftot"])[0])
+        Ff = float(np.asarray(out[True]["instruments"][0]["Ftot"])[0])
+        assert Ff == pytest.approx(Fx, rel=0.05)
+
+    def test_absorption_still_requires_uniform_cartesian(self):
+        # non-uniform borders + store_absorption must still bail
+        from skirt_tpu.engine.lifecycle import LifecycleOptions, \
+            make_lifecycle
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.instruments import SEDInstrument
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem)
+        from skirt_tpu.media.mix import DustMix
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([1e-6])
+        b = np.concatenate([np.linspace(-1, 0, 5),
+                            np.geomspace(0.1, 1.0, 4)])
+        grid = CartesianGrid(b, np.linspace(-1, 1, 9), np.linspace(-1, 1, 9))
+        sphere = UniformSphereGeometry(0.9)
+        mix = DustMix(wg, np.array([1.0]), np.array([0.2]), np.array([0.0]))
+        dsys = DustSystem(grid, [DustComponent(
+            sphere, mix, DustMassNormalization(1.0))],
+            density_mode="analytic")
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        with pytest.raises(ValueError, match="uniform-spacing"):
+            make_lifecycle(grid, dsys, ss, [SEDInstrument("sed", 100.0, 1)],
+                           LifecycleOptions(fused=True,
+                                            store_absorption=True,
+                                            deposition="sampled"), 1)
