@@ -40,6 +40,14 @@ def main(argv=None):
                              "exact gridded/path estimators)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--mesh", choices=["auto", "off", "packets", "slab"],
+                        default="auto",
+                        help="multi-device strategy: 'packets' shards the "
+                             "packet axis (replicated tables, the "
+                             "reference's MPI model), 'slab' domain-"
+                             "decomposes density/tally tables by x-slab, "
+                             "'off' forces single-device, 'auto' (default) "
+                             "= packets when >1 device")
     parser.add_argument("-x", "--export-schema", action="store_true",
                         help="export the component schema and exit")
     parser.add_argument("-r", "--report", action="store_true",
@@ -120,9 +128,11 @@ def main(argv=None):
                 latex_report(parse_ski(path),
                              os.path.join(args.output,
                                           f"{prefix}_parameters.tex"))
+            mesh_arg = {"auto": None, "off": False, "packets": True,
+                        "slab": "slab"}[args.mesh]
             sim = load_ski(path, out_dir=args.output, prefix=prefix,
                            packets=packets, seed=args.seed, log=log,
-                           fast_path=args.fast)
+                           fast_path=args.fast, use_mesh=mesh_arg)
             if args.emulate and hasattr(sim, "self_absorption"):
                 sim.self_absorption = False
             with log.timer(f"simulation {prefix}"):

@@ -655,7 +655,7 @@ def _fast_density_mode(fast_path, grid, dcomps):
 def build_simulation(sim_node: Node, *, out_dir: str = ".",
                      prefix: str = "skirt_tpu", packets: float | None = None,
                      log=None, seed: int | None = None, batch_size=1 << 17,
-                     fast_path: bool = False):
+                     fast_path: bool = False, use_mesh=None):
     """Construct an OligoSimulation / PanSimulation from a parsed ski tree.
 
     fast_path=True opts in to the TPU-native estimators when the model
@@ -856,6 +856,8 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                   packets=npackets, seed=the_seed, options=options,
                   units=units, out_dir=out_dir, prefix=prefix,
                   batch_size=batch_size)
+    if use_mesh is not None:
+        kwargs["use_mesh"] = use_mesh
     if ds_node is not None:
         kwargs["write_convergence"] = ds_node.boolean("writeConvergence")
         kwargs["write_density"] = ds_node.boolean("writeDensity")

@@ -297,3 +297,54 @@ class TestMultibatch:
         np.testing.assert_allclose(np.asarray(many["labs"]),
                                    np.asarray(seq["labs"]), rtol=1e-5,
                                    atol=1e-12)
+
+
+class TestRowGatherParity:
+    """DustSystem.rho_at two-level row gather == plain gather, exactly."""
+
+    def test_rho_at_matches_plain(self, monkeypatch):
+        import jax
+        from skirt_tpu.geometry import BoxGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem, SimpleOligoDustMix)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([1e-6])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, np.linspace(-1, 1, 5))  # nz = 4
+        mix = SimpleOligoDustMix(wg, [1.0], [0.4], [0.0])
+        comp = DustComponent(BoxGeometry(-1, 1, -1, 1, -0.5, 0.5), mix,
+                             DustMassNormalization(3.0))
+        dsys = DustSystem(grid, [comp], samples_per_cell=4)
+        cells = jnp.asarray(
+            np.random.default_rng(0).integers(0, grid.ncells, (64, 7)),
+            jnp.int32)
+        fast = np.asarray(jax.jit(lambda c: dsys.rho_at(0, c))(cells))
+        monkeypatch.setenv("SKIRT_TPU_ROW_GATHER", "0")
+        plain = np.asarray(jax.jit(lambda c: dsys.rho_at(0, c))(cells))
+        np.testing.assert_array_equal(fast, plain)
+
+    def test_rho_at_chunked_path(self):
+        # > CH elements exercises the lax.map chunking + padding
+        import jax
+        from skirt_tpu.media import dust_system as dsmod
+        from skirt_tpu.geometry import BoxGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem, SimpleOligoDustMix)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+        wg = OligoWavelengthGrid([1e-6])
+        b = np.linspace(-1, 1, 5)
+        grid = CartesianGrid(b, b, b)
+        mix = SimpleOligoDustMix(wg, [1.0], [0.4], [0.0])
+        dsys = DustSystem(grid, [DustComponent(
+            BoxGeometry(-1, 1, -1, 1, -1, 1), mix,
+            DustMassNormalization(1.0))], samples_per_cell=1)
+        n = (1 << 18) + 13   # just past one chunk, ragged
+        cells = jnp.asarray(
+            np.random.default_rng(1).integers(0, grid.ncells, (n,)),
+            jnp.int32)
+        out = np.asarray(jax.jit(lambda c: dsys.rho_at(0, c))(cells))
+        expected = dsys.rho[0][np.asarray(cells)]
+        np.testing.assert_array_equal(out, expected)
