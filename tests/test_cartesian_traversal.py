@@ -180,3 +180,34 @@ class TestTwoPhaseGrid:
             TwoPhaseGrid(b, b, b, filling_factor=1.5, contrast=2.0)
         with pytest.raises(ValueError):
             TwoPhaseGrid(b, b, b, filling_factor=0.5, contrast=-1.0)
+
+
+class TestCrossingsWithX:
+    """crossings() == crossings_with_x(full x borders) by construction;
+    a slab's x-border subset clips the span to the slab."""
+
+    def test_full_equals_default(self):
+        import jax.numpy as jnp
+        b = np.linspace(-1, 1, 9)
+        g = CartesianGrid(b, b, np.linspace(-1, 1, 5))
+        rs = np.random.default_rng(3)
+        pos = jnp.asarray(rs.uniform(-0.9, 0.9, (32, 3)), jnp.float32)
+        d = rs.normal(size=(32, 3))
+        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
+                        jnp.float32)
+        t1 = g.crossings(pos, d)
+        t2 = g.crossings_with_x(jnp.asarray(g.xb), pos, d)
+        for a, bb in zip(t1, t2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+    def test_slab_subset_clips_span(self):
+        import jax.numpy as jnp
+        b = np.linspace(-1, 1, 9)
+        g = CartesianGrid(b, b, b)
+        # slab = x in [0, 0.5] (borders 4..6)
+        xb_l = jnp.asarray(g.xb[4:7])
+        pos = jnp.asarray([[-2.0, 0.1, 0.1]], jnp.float32)
+        d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        _, t_start, t_stop = g.crossings_with_x(xb_l, pos, d)
+        assert float(t_start[0]) == pytest.approx(2.0, rel=1e-5)
+        assert float(t_stop[0]) == pytest.approx(2.5, rel=1e-5)
