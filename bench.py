@@ -43,10 +43,13 @@ def main():
     # tunneled TPU worker).  32 quadrature panels: measured tau error
     # ~2e-5 relative on this model — far below MC noise (BASELINE.md).
     # defaults = the flagship fast path: fused Pallas event megakernel +
-    # in-kernel persistent-lane refill (measured 30.1M pps vs 5.7M for the
-    # unfused XLA path on the same config; BASELINE.md)
+    # in-kernel persistent-lane refill.  Refill depth K multiplies the
+    # per-lane packet budget; throughput keeps climbing with K (30.1M at
+    # K=8 -> 54.1M at K=128, BASELINE.md) as launch/emission-peel overhead
+    # amortizes; K=128 keeps each dispatch ~40 s, under the tunneled
+    # worker's ~2-minute limit
     packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "21"))
-    refill = int(os.environ.get("BENCH_REFILL", "8"))
+    refill = int(os.environ.get("BENCH_REFILL", "128"))
     run_batch, zero_tallies, ell, L0 = _build(
         nlambda=int(os.environ.get("BENCH_NLAMBDA", "4")),
         ncells=int(os.environ.get("BENCH_NCELLS", "32")),
