@@ -189,7 +189,8 @@ def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
 
 
 def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
-                  want_labs, scattering_peeloff, sampler=None):
+                  want_labs, scattering_peeloff, sampler=None,
+                  hw_rng=False):
     geom = ds.components[0].geometry
     lscale = ds.lscale
     invL = np.float32(1.0 / lscale)
@@ -222,7 +223,12 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
     nlead = len(leaders)
 
     def kern(*refs):
-        u_ref = refs[0]
+        if hw_rng:
+            # on-core hardware PRNG: one stream per (batch, iteration, tile)
+            seed_ref = refs[0]
+            pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        else:
+            u_ref = refs[0]
         (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
          L_r, alive_r, ns_r, ell_r, l0_r) = refs[1:12]
         nin = 12
@@ -242,6 +248,20 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
             obc, ofresh = out[k], out[k + 1]
 
         X, Y, Z = px_r[:], py_r[:], pz_r[:]
+
+        if hw_rng:
+            def uget(_i):
+                # fresh (tile, 128) draw per call; consumption order defines
+                # the stream (single-use indices, so order is irrelevant)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(X.shape),
+                                     jnp.uint32)
+                u = ((bits >> 8).astype(jnp.float32)
+                     * np.float32(2.0 ** -24))
+                return jnp.clip(u, 1e-7, 1.0 - 1e-7)
+        else:
+            def uget(i):
+                return u_ref[i]
+
         DX, DY, DZ = dx_r[:], dy_r[:], dz_r[:]
         L = L_r[:]
         alive = alive_r[:] != 0
@@ -274,7 +294,7 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
         # deposited at one expon_cutoff-sampled segment; lifecycle.py
         # 'sampled' deposition, uniform-albedo branch) --------------------
         if want_labs:
-            u_dep = u_ref[2]
+            u_dep = uget(2)
             D = (1.0 - albedo) * Lm * one_m_e
             tau_dep = _expon_cutoff(u_dep, taupath)
             i_dep = jnp.zeros(X.shape, jnp.int32)
@@ -294,8 +314,8 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
             (L <= Lth) & (nscatt >= min_scatt)) & (taupath > 0)
 
         # -- forced propagation (ref: simulatepropagation) -----------------
-        u1 = u_ref[0]
-        u2 = u_ref[1]
+        u1 = uget(0)
+        u2 = uget(1)
         tau_exp = _expon_cutoff(u2, taupath)
         if xi == 0.0:
             tau = tau_exp
@@ -334,10 +354,10 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
         if refill:
             bcount = bc_r[:]
             eligible = jnp.logical_not(alive) & (bcount < K)
-            xs, ys, zs = pos_fn([u_ref[5 + j] for j in range(nu_pos)])
-            ct = 2.0 * u_ref[5 + nu_pos] - 1.0
+            xs, ys, zs = pos_fn([uget(5 + j) for j in range(nu_pos)])
+            ct = 2.0 * uget(5 + nu_pos) - 1.0
             st_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
-            ph2 = np.float32(2.0 * np.pi) * u_ref[6 + nu_pos]
+            ph2 = np.float32(2.0 * np.pi) * uget(6 + nu_pos)
             X = jnp.where(eligible, xs, X)
             Y = jnp.where(eligible, ys, Y)
             Z = jnp.where(eligible, zs, Z)
@@ -374,8 +394,8 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
 
         # -- Henyey-Greenstein scatter (ref: simulatescattering +
         # Random::direction(bfk, costheta)) --------------------------------
-        u_g = u_ref[3]
-        u_phi = u_ref[4]
+        u_g = uget(3)
+        u_phi = uget(4)
         f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u_g)
         small_g = jnp.abs(g) < 1e-6
         cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(small_g, 1.0, g))
@@ -448,12 +468,18 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
     sampler = (stellar_system.components[0].geometry.device_sampler_xyz()
                if refill else None)
     n_uniform = 5 + (sampler[0] + 2 if refill else 0)
+    interpret = jax.default_backend() != "tpu"
+    hw_rng = (options.fused_hw_rng if options.fused_hw_rng is not None
+              else not interpret)
+    if hw_rng and interpret:
+        raise ValueError("fused lifecycle: fused_hw_rng requires a real "
+                         "TPU backend (interpret mode lacks the on-core "
+                         "PRNG primitives)")
     kern = _build_kernel(grid, ds, leaders, npanels, np_peel, options,
                          nlambda, want_labs, scattering_peeloff,
-                         sampler=sampler)
+                         sampler=sampler, hw_rng=hw_rng)
     peels = [make_peel_off(grid, ds, ins) for ins in instruments]
     mix = ds.components[0].mix
-    interpret = jax.default_backend() != "tpu"
     nlead = len(leaders)
     iter_cap = int(max_iterations if max_iterations is not None
                    else options.max_scatt_events) * K
@@ -487,13 +513,16 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                       + ([jnp.int32, jnp.float32] if want_labs else [])
                       + [jnp.float32] * (2 * nlead)
                       + ([jnp.int32, jnp.int32] if refill else []))
+        if hw_rng:
+            u_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        else:
+            u_spec = pl.BlockSpec((n_uniform, tr, 128),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kern,
             grid=(R // tr,),
-            in_specs=[pl.BlockSpec((n_uniform, tr, 128),
-                                   lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM)]
-            + [blk() for _ in range(n_state)],
+            in_specs=[u_spec] + [blk() for _ in range(n_state)],
             out_specs=tuple(blk() for _ in range(len(out_dtypes))),
             out_shape=tuple(jax.ShapeDtypeStruct((R, 128), dt)
                             for dt in out_dtypes),

@@ -89,6 +89,19 @@ class LifecycleOptions:
                                      # uniform Cartesian grid with distant
                                      # instruments; raises otherwise.
     fused_tile_rows: int = 32        # lanes per kernel tile / 128
+    fused_hw_rng: bool | None = None  # draw the per-event uniforms from the
+                                     # TPU's on-core hardware PRNG INSIDE
+                                     # the fused kernel (pltpu.prng_seed +
+                                     # prng_random_bits) instead of
+                                     # threefry outside it — removes the
+                                     # threefry arithmetic and the
+                                     # (n_uniform, N) HBM round-trip per
+                                     # event.  Seeded per (batch key,
+                                     # iteration, tile) so runs stay
+                                     # reproducible on a given topology.
+                                     # None = auto (on for real TPU, off in
+                                     # interpret mode, which lacks the
+                                     # primitives)
     path_record: bool | None = None  # record each event's path into (S, N)
                                      # buffers (ref: DustGridPath) so
                                      # absorption + propagation inversion
