@@ -224,9 +224,12 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
 
     def kern(*refs):
         if hw_rng:
-            # on-core hardware PRNG: one stream per (batch, iteration, tile)
+            # on-core hardware PRNG: one stream per (batch, iteration, tile).
+            # Mosaic accepts at most 2 seed words, so the tile id is mixed
+            # into the first word (Weyl-style odd-constant hash).
             seed_ref = refs[0]
-            pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+            pid_mix = pl.program_id(0) * jnp.int32(0x27D4EB2F)
+            pltpu.prng_seed(seed_ref[0] ^ pid_mix, seed_ref[1])
         else:
             u_ref = refs[0]
         (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
@@ -255,7 +258,9 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
                 # the stream (single-use indices, so order is irrelevant)
                 bits = pltpu.bitcast(pltpu.prng_random_bits(X.shape),
                                      jnp.uint32)
-                u = ((bits >> 8).astype(jnp.float32)
+                # >>8 leaves 24 bits, so the int32 view is exact (Mosaic
+                # has no uint32->f32 cast)
+                u = (pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)
                      * np.float32(2.0 ** -24))
                 return jnp.clip(u, 1e-7, 1.0 - 1e-7)
         else:
@@ -469,8 +474,10 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                if refill else None)
     n_uniform = 5 + (sampler[0] + 2 if refill else 0)
     interpret = jax.default_backend() != "tpu"
-    hw_rng = (options.fused_hw_rng if options.fused_hw_rng is not None
-              else not interpret)
+    # opt-in: the on-core PRNG gains only ~3% over threefry (BASELINE.md)
+    # and its stream is hardware-defined rather than counter-derived, so
+    # the threefry path stays the default
+    hw_rng = bool(options.fused_hw_rng)
     if hw_rng and interpret:
         raise ValueError("fused lifecycle: fused_hw_rng requires a real "
                          "TPU backend (interpret mode lacks the on-core "
@@ -589,9 +596,16 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
 
         def body(st):
             kit = rng.event_key(k_cycle, st["it"])
-            u = jnp.clip(jax.random.uniform(kit, (n_uniform, R, 128),
-                                            jnp.float32),
-                         1e-7, 1.0 - 1e-7)
+            if hw_rng:
+                # seed the on-core PRNG from the (batch key, iteration)
+                # fold: two key words into SMEM; the kernel adds the tile
+                # id (pl.program_id) as the third seed word
+                u = jax.lax.bitcast_convert_type(
+                    jax.random.key_data(kit).ravel()[:2], jnp.int32)
+            else:
+                u = jnp.clip(jax.random.uniform(kit, (n_uniform, R, 128),
+                                                jnp.float32),
+                             1e-7, 1.0 - 1e-7)
             outs = call_kernel(u, st["state"])
             k = 9
             labs_c = st["labs"]

@@ -97,11 +97,17 @@ class LifecycleOptions:
                                      # threefry arithmetic and the
                                      # (n_uniform, N) HBM round-trip per
                                      # event.  Seeded per (batch key,
-                                     # iteration, tile) so runs stay
-                                     # reproducible on a given topology.
-                                     # None = auto (on for real TPU, off in
-                                     # interpret mode, which lacks the
-                                     # primitives)
+                                     # iteration, tile): the host folds the
+                                     # iteration into the batch key and
+                                     # passes the two key words into SMEM;
+                                     # the kernel adds the tile id.  Runs
+                                     # are reproducible on a given topology
+                                     # but the stream differs from the
+                                     # threefry one, and the measured gain
+                                     # is only ~3% (BASELINE.md) — so this
+                                     # is OPT-IN.  None/False = threefry
+                                     # (the default); True requires a real
+                                     # TPU backend.
     path_record: bool | None = None  # record each event's path into (S, N)
                                      # buffers (ref: DustGridPath) so
                                      # absorption + propagation inversion
