@@ -54,7 +54,14 @@ def main():
     dmode = os.environ.get("OCTREE_MODE", "gridded")
     fused = os.environ.get("OCTREE_FUSED", "0") == "1"
     store_abs = os.environ.get("OCTREE_ABS", "0" if fused else "1") == "1"
+    voxel = os.environ.get("OCTREE_VOXEL", "0") == "1"
     dsys = DustSystem(grid, [comp], samples_per_cell=8, density_mode=dmode)
+    fold = None
+    if voxel:
+        # exact uniform-voxel view: Cartesian DDA instead of the tree walk
+        dsys, fold = dsys.voxelized()
+        grid = dsys.grid
+        print(f"voxelized: {grid.nx}x{grid.ny}x{grid.nz}", flush=True)
     ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
     opts = LifecycleOptions(store_absorption=store_abs, max_scatt_events=64,
                             deposition=("sampled" if dmode == "analytic"

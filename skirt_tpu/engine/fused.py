@@ -150,8 +150,6 @@ def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
 
     if ds is None or not getattr(ds, "analytic", False):
         bail("requires density_mode='analytic'")
-    if ds.ncomp != 1:
-        bail("requires a single dust component (uniform albedo)")
     if mueller is not None:
         bail("polarization not supported")
     if io_state:
@@ -191,16 +189,21 @@ def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
 def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
                   want_labs, scattering_peeloff, sampler=None,
                   hw_rng=False):
-    geom = ds.components[0].geometry
+    H = ds.ncomp
+    multi = H > 1
+    geoms = [c.geometry for c in ds.components]
     lscale = ds.lscale
     invL = np.float32(1.0 / lscale)
-    mL3 = float(np.asarray(ds._mass_over_L3).ravel()[0])
+    mL3s = [float(v) for v in np.asarray(ds._mass_over_L3).ravel()]
     # fold the mass prefactor into the extinction table: one multiply per
     # panel saved (kext_rows = kextm * density_scaled)
-    kextm_t = [float(v) * mL3 for v in ds.kappaext[0]]
+    kextm_t = [[float(v) * mL3s[h] for v in ds.kappaext[h]]
+               for h in range(H)]
+    kscam_t = [[float(v) * mL3s[h] for v in ds.kappasca[h]]
+               for h in range(H)]
     alb_t = [float(s) / max(float(e), 1e-37)
              for s, e in zip(ds.kappasca[0], ds.kappaext[0])]
-    g_t = [float(v) for v in ds.g[0]]
+    g_t = [[float(v) for v in ds.g[h]] for h in range(H)]
     span = _make_span(grid.bounding_box())
     # locate is needed only for the absorption-deposit cell id: single-mix
     # physics (scatter g, phase value, albedo) is cell-independent, so
@@ -214,11 +217,13 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
     refill = sampler is not None
     K = int(options.refill_batches) if refill else 1
     nu_pos, pos_fn = sampler if refill else (0, None)
+    u_comp = 5 + (nu_pos + 2 if refill else 0)   # mix-selection slot
 
-    def rho_s(X, Y, Z):
+    def rho_s(h, X, Y, Z):
         # density_scaled units (rho * L^3); the mass/L^3 factor lives in
         # kextm_t.  ref: DustSystem.analytic_rows
-        return geom.density_scaled_xyz(X * invL, Y * invL, Z * invL, lscale)
+        return geoms[h].density_scaled_xyz(X * invL, Y * invL, Z * invL,
+                                           lscale)
 
     nlead = len(leaders)
 
@@ -247,6 +252,10 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
         otau = out[k:k + nlead]
         ocos = out[k + nlead:k + 2 * nlead]
         k += 2 * nlead
+        if multi:
+            # blended peel phase weights (ref: DustSystem::phase_value)
+            oph = out[k:k + nlead]
+            k += nlead
         if refill:
             obc, ofresh = out[k], out[k + 1]
 
@@ -275,9 +284,15 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
         L0 = l0_r[:]
         Lth = L0 * inv_minred
 
-        kextm = _chain_table(ell, kextm_t)
-        albedo = _chain_table(ell, alb_t)
-        g = _chain_table(ell, g_t)
+        kextm_l = [_chain_table(ell, kextm_t[h]) for h in range(H)]
+        if multi:
+            kscam_l = [_chain_table(ell, kscam_t[h]) for h in range(H)]
+            g_l = [_chain_table(ell, g_t[h]) for h in range(H)]
+            g = g_l[0]
+        else:
+            albedo = _chain_table(ell, alb_t)
+            g = _chain_table(ell, g_t[0])
+        kextm = kextm_l[0]
 
         # -- traverse: equal-panel quadrature of the analytic density ------
         # (ref: simulateescapeandabsorption's per-segment tau accumulation;
@@ -286,25 +301,62 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
         delta = (t1 - t0) * inv_np
         cum = jnp.zeros_like(L)
         cums = []
+        albs = []                      # per-panel local albedo (multi only)
         for kk in range(npanels):
             midk = t0 + np.float32(kk + 0.5) * delta
-            rho = rho_s(X + midk * DX, Y + midk * DY, Z + midk * DZ)
-            cum = cum + kextm * rho * delta
+            mx, my, mz = X + midk * DX, Y + midk * DY, Z + midk * DZ
+            if multi:
+                dke = jnp.zeros_like(L)
+                dks = jnp.zeros_like(L)
+                for h in range(H):
+                    rho = rho_s(h, mx, my, mz)
+                    dke = dke + kextm_l[h] * rho
+                    dks = dks + kscam_l[h] * rho
+                albs.append(jnp.where(dke > 0,
+                                      dks / jnp.maximum(dke, 1e-37), 0.0))
+                cum = cum + dke * delta
+            else:
+                rho = rho_s(0, mx, my, mz)
+                cum = cum + kextm * rho * delta
             cums.append(cum)
         taupath = cum
         one_m_e = 1.0 - jnp.exp(-taupath)
         Lm = jnp.where(alive, L, 0.0)
 
+        if multi:
+            # per-panel absorbed/scattered split: the local albedo varies
+            # along the path (ref: lifecycle.py multi-component branch —
+            # Lsca = sum_k albedo_k * e^{-tau_{k-1}}(1-e^{-dtau_k}) L)
+            e_prev = jnp.ones_like(L)
+            Lsca_f = jnp.zeros_like(L)
+            cab = jnp.zeros_like(L)
+            cumabs = []
+            for kk in range(npanels):
+                e_k = jnp.exp(-cums[kk])
+                seg = e_prev - e_k
+                Lsca_f = Lsca_f + albs[kk] * seg
+                cab = cab + (1.0 - albs[kk]) * seg
+                cumabs.append(cab)
+                e_prev = e_k
+
         # -- sampled absorption deposit (ref: the path estimator's energy,
-        # deposited at one expon_cutoff-sampled segment; lifecycle.py
-        # 'sampled' deposition, uniform-albedo branch) --------------------
+        # deposited at one sampled segment; lifecycle.py 'sampled'
+        # deposition) -----------------------------------------------------
         if want_labs:
             u_dep = uget(2)
-            D = (1.0 - albedo) * Lm * one_m_e
-            tau_dep = _expon_cutoff(u_dep, taupath)
-            i_dep = jnp.zeros(X.shape, jnp.int32)
-            for kk in range(npanels - 1):
-                i_dep = i_dep + (cums[kk] < tau_dep).astype(jnp.int32)
+            if multi:
+                # segment ~ its absorbed energy (w_k = (1-alb_k) seg_k)
+                D = cab * Lm
+                target = u_dep * cab
+                i_dep = jnp.zeros(X.shape, jnp.int32)
+                for kk in range(npanels - 1):
+                    i_dep = i_dep + (cumabs[kk] < target).astype(jnp.int32)
+            else:
+                D = (1.0 - albedo) * Lm * one_m_e
+                tau_dep = _expon_cutoff(u_dep, taupath)
+                i_dep = jnp.zeros(X.shape, jnp.int32)
+                for kk in range(npanels - 1):
+                    i_dep = i_dep + (cums[kk] < tau_dep).astype(jnp.int32)
             mid_dep = t0 + (i_dep.astype(jnp.float32) + 0.5) * delta
             cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
                           Z + mid_dep * DZ)
@@ -314,7 +366,10 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
 
         # -- scattered-luminosity update + termination ---------------------
         # (ref: dostellaremissionchunk :284-293)
-        L = jnp.where(alive, albedo * Lm * one_m_e, L)
+        if multi:
+            L = jnp.where(alive, Lsca_f * Lm, L)
+        else:
+            L = jnp.where(alive, albedo * Lm * one_m_e, L)
         alive = alive & (L > 0) & jnp.logical_not(
             (L <= Lth) & (nscatt >= min_scatt)) & (taupath > 0)
 
@@ -377,6 +432,22 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
             obc[:] = bcount
             ofresh[:] = fresh.astype(jnp.int32)
 
+        # -- local mixture at the interaction point (multi-component) ------
+        # (ref: DustSystem::randomMixForPosition — component h selected
+        # with probability ~ kappasca_h * rho_h; DustSystem::phase_value —
+        # the peel phase is the kappasca*rho-weighted blend)
+        if multi:
+            w_h = [kscam_l[h] * rho_s(h, X, Y, Z) for h in range(H)]
+            w_tot = w_h[0]
+            for h in range(1, H):
+                w_tot = w_tot + w_h[h]
+            u_c = uget(u_comp) * jnp.maximum(w_tot, 1e-37)
+            g = g_l[0]
+            w_acc = w_h[0]
+            for h in range(1, H):
+                g = jnp.where(u_c > w_acc, g_l[h], g)
+                w_acc = w_acc + w_h[h]
+
         # -- peel-off extinction toward each observer direction ------------
         # (ref: peeloffscattering; tau by the same panel quadrature along
         # the constant kobs — lifecycle.vector_taus)
@@ -384,18 +455,34 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
             if not scattering_peeloff:
                 ocos[j][:] = jnp.zeros_like(L)
                 otau[j][:] = jnp.zeros_like(L)
+                if multi:
+                    oph[j][:] = jnp.zeros_like(L)
                 continue
-            ocos[j][:] = (DX * np.float32(kx) + DY * np.float32(ky)
-                          + DZ * np.float32(kz))
+            cosj = (DX * np.float32(kx) + DY * np.float32(ky)
+                    + DZ * np.float32(kz))
+            ocos[j][:] = cosj
+            if multi:
+                ph = jnp.zeros_like(L)
+                for h in range(H):
+                    gh = g_l[h]
+                    t_ = 1.0 + gh * gh - 2.0 * gh * cosj
+                    ph = ph + w_h[h] * ((1.0 - gh) * (1.0 + gh)
+                                        * jax.lax.rsqrt(t_ * t_ * t_))
+                oph[j][:] = jnp.where(w_tot > 0,
+                                      ph / jnp.maximum(w_tot, 1e-30), 0.0)
             pt0, pt1 = span(X, Y, Z, kx, ky, kz, const_d=True)
             pd = (pt1 - pt0) * inv_pp
             rsum = jnp.zeros_like(L)
             for kk in range(np_peel):
-                midk = pt0 + np.float32(kk + 0.5) * pd
-                rsum = rsum + rho_s(X + midk * np.float32(kx),
-                                    Y + midk * np.float32(ky),
-                                    Z + midk * np.float32(kz))
-            otau[j][:] = kextm * rsum * pd
+                mx = X + (pt0 + np.float32(kk + 0.5) * pd) * np.float32(kx)
+                my = Y + (pt0 + np.float32(kk + 0.5) * pd) * np.float32(ky)
+                mz = Z + (pt0 + np.float32(kk + 0.5) * pd) * np.float32(kz)
+                if multi:
+                    for h in range(H):
+                        rsum = rsum + kextm_l[h] * rho_s(h, mx, my, mz)
+                else:
+                    rsum = rsum + rho_s(0, mx, my, mz)
+            otau[j][:] = (rsum if multi else kextm * rsum) * pd
 
         # -- Henyey-Greenstein scatter (ref: simulatescattering +
         # Random::direction(bfk, costheta)) --------------------------------
@@ -472,7 +559,8 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
     K = int(options.refill_batches) if refill else 1
     sampler = (stellar_system.components[0].geometry.device_sampler_xyz()
                if refill else None)
-    n_uniform = 5 + (sampler[0] + 2 if refill else 0)
+    multi = ds.ncomp > 1
+    n_uniform = 5 + (sampler[0] + 2 if refill else 0) + (1 if multi else 0)
     interpret = jax.default_backend() != "tpu"
     # opt-in: the on-core PRNG gains only ~3% over threefry (BASELINE.md)
     # and its stream is hardware-defined rather than counter-derived, so
@@ -519,6 +607,7 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
         out_dtypes = ([jnp.float32] * 7 + [jnp.int32] * 2
                       + ([jnp.int32, jnp.float32] if want_labs else [])
                       + [jnp.float32] * (2 * nlead)
+                      + ([jnp.float32] * nlead if multi else [])
                       + ([jnp.int32, jnp.int32] if refill else []))
         if hw_rng:
             u_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -616,6 +705,10 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
             taus = outs[k:k + nlead]
             coss = outs[k + nlead:k + 2 * nlead]
             k += 2 * nlead
+            ows = None
+            if multi:
+                ows = outs[k:k + nlead]
+                k += nlead
             new_state = tuple(outs[:9]) + (st["state"][9], st["state"][10])
             fresh = None
             if refill:
@@ -631,7 +724,11 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                 ns_new = unpack(outs[8])
                 tags2 = {"nscatt": ns_new, "is_dust": dust_flags}
                 for i, peel in enumerate(peels):
-                    w = mix.phase_function(ell, unpack(coss[lead_of[i]]))
+                    if multi:
+                        # blended in-kernel (DustSystem.phase_value form)
+                        w = unpack(ows[lead_of[i]])
+                    else:
+                        w = mix.phase_function(ell, unpack(coss[lead_of[i]]))
                     if fresh is not None:
                         # relaunched lanes: emission peel-off (isotropic —
                         # unit direction weight), same quadrature

@@ -108,6 +108,14 @@ class LifecycleOptions:
                                      # is OPT-IN.  None/False = threefry
                                      # (the default); True requires a real
                                      # TPU backend.
+    voxelize: bool | None = None     # trace tree grids through their exact
+                                     # uniform-voxel view (Cartesian DDA)
+                                     # instead of the per-step re-descent
+                                     # walk; tallies fold voxel -> leaf at
+                                     # phase end.  None = auto (on for
+                                     # OligoSimulation when the grid
+                                     # voxelizes within budget); False =
+                                     # always the leaf walk
     path_record: bool | None = None  # record each event's path into (S, N)
                                      # buffers (ref: DustGridPath) so
                                      # absorption + propagation inversion

@@ -89,6 +89,10 @@ class PanSimulation(OligoSimulation):
     ref: PanMonteCarloSimulation::runSelf.
     """
 
+    # the emission solve and dust re-launch are per grid cell; keep the
+    # leaf walk so Labs/emissivity stay at leaf resolution
+    _auto_voxelize = False
+
     def __init__(self, *, self_absorption: bool = True,
                  emission_boost: float = 1.0, emission_bias: float = 0.5,
                  write_temperature: bool = False, write_isrf: bool = False,

@@ -191,6 +191,43 @@ class OctreeGrid:
 
     # -- host metadata -----------------------------------------------------
 
+    def voxelize(self, max_voxels: int = 1 << 24):
+        """Exact uniform-voxel view: (CartesianGrid, cell_of_voxel).
+
+        TPU re-design of the tree walk (ref: TreeDustGrid.cpp:390-560):
+        midpoint subdivision puts every leaf wall on the lattice of the
+        finest leaf size per axis, so rasterizing leaf ids onto that
+        uniform grid represents the SAME piecewise-constant density field
+        exactly — and traversal becomes the Cartesian DDA (arithmetic
+        locate, no per-step re-descend gather chains).  The tree keeps the
+        tally/emission resolution: deposits fold voxel -> leaf cell.
+
+        Returns None when the voxel count would exceed `max_voxels`
+        (callers fall back to the leaf walk).
+        """
+        from .cartesian import CartesianGrid
+
+        lo = self.extent[:3]
+        hi = self.extent[3:]
+        leaf_lo = self.lo64[self.leaf_nodes]
+        leaf_hi = self.hi64[self.leaf_nodes]
+        widths = leaf_hi - leaf_lo
+        res = np.array([int(round((hi[a] - lo[a]) / widths[:, a].min()))
+                        for a in range(3)], dtype=np.int64)
+        if int(np.prod(res)) > max_voxels:
+            return None
+        dx = (hi - lo) / res
+        i0 = np.rint((leaf_lo - lo) / dx).astype(np.int64)
+        i1 = np.rint((leaf_hi - lo) / dx).astype(np.int64)
+        cell_of = np.empty(tuple(res), np.int32)
+        for c in range(self.ncells):
+            cell_of[i0[c, 0]:i1[c, 0], i0[c, 1]:i1[c, 1],
+                    i0[c, 2]:i1[c, 2]] = c
+        cart = CartesianGrid(np.linspace(lo[0], hi[0], res[0] + 1),
+                             np.linspace(lo[1], hi[1], res[1] + 1),
+                             np.linspace(lo[2], hi[2], res[2] + 1))
+        return cart, cell_of.ravel()
+
     def bounding_box(self):
         return tuple(self.extent)
 

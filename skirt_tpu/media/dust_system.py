@@ -187,6 +187,43 @@ class DustSystem:
                 "polarization currently supports a single dust component")
         return tables[0]
 
+    # -- voxelized view (tree grids) --------------------------------------
+
+    def voxelized(self, max_voxels: int = 1 << 24):
+        """Uniform-voxel view of this system for tree grids.
+
+        The gridded density field is piecewise constant on leaf cells and
+        leaves are unions of finest-level voxels, so the voxel view traces
+        the IDENTICAL field through the fast Cartesian DDA (no per-step
+        tree re-descent).  Returns (voxel_dust_system, fold_labs) where
+        fold_labs maps a flat (nvox*nlambda,) absorption tally back onto
+        (ncells*nlambda,) leaf cells; None when the grid has no exact
+        voxelization or it would be too large.
+        """
+        import copy
+
+        if self.analytic or not hasattr(self.grid, "voxelize"):
+            return None
+        v = self.grid.voxelize(max_voxels=max_voxels)
+        if v is None:
+            return None
+        cart, cell_of = v
+        vds = copy.copy(self)
+        vds.grid = cart
+        vds.rho64 = np.ascontiguousarray(self.rho64[:, cell_of])
+        vds.rho = np.asarray(vds.rho64, np.float32)
+        vds.volumes = cart.cell_volumes()
+        nl = self.wavelength_grid.nlambda
+        ncells = self.grid.ncells
+
+        def fold_labs(labs_vox):
+            lv = np.asarray(labs_vox, np.float64).reshape(-1, nl)
+            out = np.zeros((ncells, nl))
+            np.add.at(out, cell_of, lv)
+            return out.reshape(-1)
+
+        return vds, fold_labs
+
     # -- diagnostics (host) -----------------------------------------------
 
     def gridded_mass(self) -> float:

@@ -1,0 +1,143 @@
+"""Voxelized tree traversal (grids/octree.py voxelize + DustSystem.voxelized).
+
+The voxel view must represent the IDENTICAL piecewise-constant density
+field (exact rasterization, no resampling), and the full lifecycle through
+the voxel view must match the leaf-walk lifecycle within MC/fp noise.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu import rng
+from skirt_tpu.constants import KPC
+from skirt_tpu.engine.lifecycle import LifecycleOptions, make_lifecycle
+from skirt_tpu.engine.simulation import OligoSimulation
+from skirt_tpu.geometry import PointGeometry, TorusGeometry
+from skirt_tpu.grids.octree import BinTreeGrid, OctreeGrid
+from skirt_tpu.instruments import SEDInstrument
+from skirt_tpu.log import SilentLog
+from skirt_tpu.media import (DustComponent, DustSystem,
+                             OpticalDepthNormalization, SimpleOligoDustMix)
+from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                       StellarSystem)
+from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+
+def _torus_setup(max_level=4, grid_cls=OctreeGrid, **grid_kw):
+    wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+    ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                   [1e36, 1e36])])
+    torus = TorusGeometry(1.0, 2.0, 0.7, 0.05 * KPC, 2 * KPC)
+    half = 2.2 * KPC
+    extent = (-half, -half, -half, half, half, half)
+
+    def rho_np(pos):
+        return np.asarray(torus.density(pos))
+
+    if grid_cls is OctreeGrid:
+        grid = OctreeGrid(extent, rho_np, min_level=2, max_level=max_level,
+                          **grid_kw)
+    else:
+        grid = BinTreeGrid(extent, rho_np, min_level=6,
+                           max_level=3 * max_level, **grid_kw)
+    mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
+    comp = DustComponent(torus, mix,
+                         OpticalDepthNormalization("x", wg.lambdav[0], 3.0))
+    dsys = DustSystem(grid, [comp], samples_per_cell=8)
+    return wg, ss, grid, dsys
+
+
+class TestRasterization:
+    @pytest.mark.parametrize("grid_cls", [OctreeGrid, BinTreeGrid])
+    def test_field_identical_at_random_points(self, grid_cls):
+        _, _, grid, dsys = _torus_setup(grid_cls=grid_cls)
+        vds, _ = dsys.voxelized()
+        cart = vds.grid
+        rs = np.random.default_rng(3)
+        half = 2.2 * KPC
+        pts = rs.uniform(-half * 0.999, half * 0.999, size=(5000, 3))
+        # leaf field
+        leaf_cells = np.asarray(grid.locate(jnp.asarray(pts, jnp.float32)))
+        vox_cells = np.asarray(cart.locate(jnp.asarray(pts, jnp.float32)))
+        ok = (leaf_cells >= 0) & (vox_cells >= 0)
+        assert ok.mean() > 0.99
+        rho_leaf = dsys.rho64[0, leaf_cells[ok]]
+        rho_vox = vds.rho64[0, vox_cells[ok]]
+        # exact: the voxel field is a gather of the leaf field
+        np.testing.assert_array_equal(rho_vox, rho_leaf)
+
+    def test_voxel_mass_identical(self):
+        _, _, grid, dsys = _torus_setup()
+        vds, _ = dsys.voxelized()
+        assert vds.gridded_mass() == pytest.approx(dsys.gridded_mass(),
+                                                   rel=1e-12)
+
+    def test_budget_fallback(self):
+        _, _, grid, dsys = _torus_setup()
+        assert dsys.voxelized(max_voxels=10) is None
+
+
+class TestLifecycleParity:
+    def test_sed_and_labs_match_leaf_walk(self):
+        wg, ss, grid, dsys = _torus_setup()
+        ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2, azimuth=0.7)]
+        opts = LifecycleOptions(store_absorption=True, max_scatt_events=48)
+        n = 1 << 13
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+        key = rng.root_key(4357)
+
+        run_leaf = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
+        t_leaf = run_leaf(key, ell, L0, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)})
+
+        vds, fold = dsys.voxelized()
+        run_vox = jax.jit(make_lifecycle(vds.grid, vds, ss, ins, opts, 2))
+        t_vox = run_vox(key, ell, L0, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((vds.grid.ncells * 2,), jnp.float32)})
+
+        f_leaf = np.asarray(t_leaf["instruments"][0]["Ftot"], np.float64)
+        f_vox = np.asarray(t_vox["instruments"][0]["Ftot"], np.float64)
+        # same field, same launch keys; event streams share the threefry
+        # discipline but traversal discretization differs at fp level, so
+        # compare at MC-noise tolerance.  (The instrument azimuth must be
+        # generic: an observer ray exactly in a subdivision wall plane is
+        # a knife-edge where leaf walk and voxel locate tie-break to
+        # opposite sides of the wall — a measure-zero ambiguity, not a
+        # bias.)
+        np.testing.assert_allclose(f_vox, f_leaf, rtol=0.05)
+
+        labs_leaf = np.asarray(t_leaf["labs"], np.float64)
+        labs_vox = fold(t_vox["labs"])
+        assert labs_vox.shape == labs_leaf.shape
+        assert labs_vox.sum() == pytest.approx(labs_leaf.sum(), rel=0.05)
+
+    def test_driver_auto_voxelize(self, tmp_path):
+        wg, ss, grid, dsys = _torus_setup()
+        ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2, azimuth=0.7)]
+        sim = OligoSimulation(
+            stellar_system=ss, instruments=ins, dust_system=dsys,
+            packets=4000, log=SilentLog(), out_dir=str(tmp_path),
+            options=LifecycleOptions(store_absorption=True))
+        assert sim._labs_fold is not None          # voxel path engaged
+        assert sim.grid is not grid
+        acc = sim.run()
+        # folded labs is at leaf-cell resolution
+        assert acc["labs"].shape == (grid.ncells * 2,)
+        assert np.isfinite(acc["labs"]).all() and acc["labs"].sum() > 0
+
+        sim2 = OligoSimulation(
+            stellar_system=ss, instruments=ins, dust_system=dsys,
+            packets=4000, log=SilentLog(), out_dir=str(tmp_path),
+            options=LifecycleOptions(store_absorption=True, voxelize=False))
+        assert sim2._labs_fold is None
+        acc2 = sim2.run()
+        f1 = acc["instruments"][0]["Ftot"]
+        f2 = acc2["instruments"][0]["Ftot"]
+        np.testing.assert_allclose(f1, f2, rtol=0.08)
+        assert acc2["labs"].sum() == pytest.approx(acc["labs"].sum(),
+                                                   rel=0.08)
