@@ -90,9 +90,11 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     if ds is None:
         raise ValueError("slab decomposition requires a dust system "
                          "(nothing to shard without one)")
-    if getattr(ds, "analytic", False):
-        raise ValueError("slab decomposition targets gridded-density mode "
-                         "(analytic mode has no per-cell tables to shard)")
+    # analytic mode composes too: densities are closed-form (no rho shard
+    # to gather) but the (Ncells*Nlambda) absorption tally still shards by
+    # slab, and each device runs the panel quadrature over the ray's slab
+    # x-interval only (arithmetic, no structural blocker — VERDICT r1 #4)
+    analytic = bool(getattr(ds, "analytic", False))
     if not hasattr(grid, "nx"):
         raise ValueError("slab decomposition requires a Cartesian grid")
     if grid.nx % D != 0:
@@ -116,6 +118,8 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     nxl = grid.nx // D
     cells_per_slab = nxl * grid.ny * grid.nz
     ncomp = ds.ncomp
+    npanels = int(options.quadrature_panels
+                  or getattr(grid, "max_steps", 64)) if analytic else None
 
     # shared-direction peel groups (same rule as make_lifecycle: every
     # exact distant instrument joins a group keyed by its direction)
@@ -139,12 +143,55 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
         xb_l = jax.lax.dynamic_slice(jnp.asarray(xb_full), (idx * nxl,),
                                      (nxl + 1,))
 
+        def slab_rows_analytic(pos, direction, kpk_list):
+            """Analytic-mode per-slab panel record, same contract as
+            slab_rows: equal-panel quadrature over the ray's global span
+            clipped to MY slab's x-interval (pure arithmetic; the only
+            per-cell object left is the deposit target)."""
+            t0g, t1g = grid.ray_span(pos, direction)
+            dx = direction[:, 0]
+            x0 = pos[:, 0]
+            moving = jnp.abs(dx) > 1e-30
+            inv = 1.0 / jnp.where(moving, dx, 1.0)
+            ta = (xb_l[0] - x0) * inv
+            tb = (xb_l[-1] - x0) * inv
+            in_x = (x0 >= xb_l[0]) & (x0 <= xb_l[-1])
+            near = jnp.where(moving, jnp.minimum(ta, tb),
+                             jnp.where(in_x, -_BIG, _BIG))
+            far = jnp.where(moving, jnp.maximum(ta, tb),
+                            jnp.where(in_x, _BIG, -_BIG))
+            t_lo = jnp.maximum(t0g, near)
+            t_hi = jnp.minimum(t1g, far)
+            delta = jnp.maximum(t_hi - t_lo, 0.0) / npanels
+            k = jnp.arange(1, npanels + 1, dtype=pos.dtype)[None, :]
+            te_r = t_lo[:, None] + k * delta[:, None]
+            mid = te_r - 0.5 * delta[:, None]
+            ds_r = jnp.broadcast_to(delta[:, None], te_r.shape)
+            if len(kpk_list) == 2:
+                ksca_rows, kext_rows = ds.analytic_rows(
+                    pos, direction, mid, kpk_list[0], kpk_list[1])
+                outs = [jnp.where(ds_r > 0, ksca_rows, 0.0),
+                        jnp.where(ds_r > 0, kext_rows, 0.0)]
+            else:
+                kext_rows = ds.analytic_rows(pos, direction, mid, None,
+                                             kpk_list[0], want_sca=False)
+                outs = [jnp.where(ds_r > 0, kext_rows, 0.0)]
+            pmid = pos[:, None, :] + mid[..., None] * direction[:, None, :]
+            gcell = grid.locate_batched(pmid)
+            lcell = gcell - cell_offset
+            valid = (ds_r > 0) & (lcell >= 0) & (lcell < cells_per_slab)
+            lcell = jnp.where(valid, lcell, -1)
+            gcell = jnp.where(valid, gcell, -1)
+            return outs, ds_r, te_r, lcell, gcell
+
         def slab_rows(pos, direction, kpk_list):
             """Per-slab path record: (rows per kappa list entry, ds, te,
             local cells).  kpk_list: list of per-packet kappa lists (one
             row set per entry, e.g. [kext_pk] or [ksca_pk, kext_pk]).
             Cell ids are always materialized — the density gathers need
             them (unlike vt.record_paths' analytic want_cells=False)."""
+            if analytic:
+                return slab_rows_analytic(pos, direction, kpk_list)
             t_all, t_start, t_stop = grid.crossings_with_x(
                 xb_l, pos, direction)
             t = jnp.clip(t_all, t_start[:, None], t_stop[:, None])
@@ -239,9 +286,17 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
 
         Lthreshold = L0 / options.min_weight_reduction
 
-        def rho_at_cell(gcell):
-            """Per-component rho at a global cell: owner gathers from its
-            shard, ONE stacked psum publishes all components."""
+        def rho_at_cell(gcell, pos=None):
+            """Per-component rho at the interaction point.  Gridded: the
+            owner gathers from its shard, ONE stacked psum publishes all
+            components.  Analytic: replicated closed-form evaluation at
+            the position — no collective at all."""
+            if analytic:
+                invL = jnp.float32(1.0 / ds.lscale)
+                mL3 = jnp.asarray(ds._mass_over_L3)
+                pos_s = (pos * invL)[:, None, :]
+                return [mL3[h] * ds.components[h].geometry.density_scaled(
+                    pos_s, ds.lscale)[:, 0] for h in range(ncomp)]
             mine = (gcell >= cell_offset) \
                 & (gcell < cell_offset + cells_per_slab)
             safe = jnp.clip(gcell - cell_offset, 0, cells_per_slab - 1)
@@ -365,7 +420,7 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
 
             # -- scattering peel-off (ref: peeloffscattering) --------------
             if scattering_peeloff:
-                rho_at = rho_at_cell(cell_at) if ncomp > 1 else None
+                rho_at = rho_at_cell(cell_at, pos) if ncomp > 1 else None
                 taus_s = peel_taus(pos, kext_pk)
                 tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
                 for i, ins in enumerate(instruments):
@@ -388,7 +443,7 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                     tg = dict(tags2, transparent=contribution)
                     ins_t[i] = ins.detect(ins_t[i], pos, ell, extincted, tg)
             elif ncomp > 1:
-                rho_at = rho_at_cell(cell_at)
+                rho_at = rho_at_cell(cell_at, pos)
 
             # -- scatter (ref: simulatescattering) -------------------------
             if ncomp == 1:
@@ -443,7 +498,11 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     # would materialize the FULL table on the default device before
     # resharding — an OOM at exactly the import-scale grids slab
     # decomposition exists for
-    rho_dev = jax.device_put(np.asarray(ds.rho, np.float32),
+    # analytic mode never touches the table — ship a (ncomp, D) dummy so
+    # nothing cell-sized is materialized
+    rho_host = (np.zeros((ncomp, D), np.float32) if analytic
+                else np.asarray(ds.rho, np.float32))
+    rho_dev = jax.device_put(rho_host,
                              NamedSharding(mesh, P(None, SLAB_AXIS)))
     jitted = jax.jit(sharded)
 

@@ -133,12 +133,45 @@ class TestSlabLifecycleParity:
         # sharded over the slab axis: 8 single-device shards
         assert len(labs.sharding.device_set) == 8
 
-    def test_rejects_analytic_mode(self):
-        wg, ss, grid, dsys, instruments = build()
-        dsys.analytic = True
-        with pytest.raises(ValueError, match="gridded"):
-            make_slab_lifecycle(slab_mesh8(), grid, dsys, ss, instruments,
-                                LifecycleOptions(), wg.nlambda)
+    @pytest.mark.parametrize("ncomp", [1, 2])
+    def test_analytic_mode_parity(self, ncomp):
+        """Analytic (closed-form density) mode composes with the slab
+        decomposition: per-slab panel quadrature over the ray's slab
+        x-interval (VERDICT r1 item 4).  The slab run partitions the ray
+        into D x npanels panels vs npanels on one device, so interaction
+        points differ at quadrature level -> MC-noise tolerance."""
+        wg = OligoWavelengthGrid([0.55e-6])
+        ss = StellarSystem([LuminosityStellarComponent(
+            PointGeometry(), wg, [1.0])])
+        half = 1.0
+        b = np.linspace(-half, half, 17)
+        grid = CartesianGrid(b, b, b)
+        mix = SimpleOligoDustMix(wg, [1.0], [0.5], [0.3])
+        comps = [DustComponent(ExpDiskGeometry(0.5, 0.3), mix,
+                               DustMassNormalization(2.0))]
+        if ncomp == 2:
+            mix2 = SimpleOligoDustMix(wg, [1.0], [0.2], [-0.2])
+            comps.append(DustComponent(ExpDiskGeometry(0.3, 0.5), mix2,
+                                       DustMassNormalization(1.0)))
+        dsys = DustSystem(grid, comps, samples_per_cell=1,
+                          density_mode="analytic")
+        instruments = [SEDInstrument("sed", 100.0, 1, inclination=1.0,
+                                     azimuth=0.6)]
+        opts = LifecycleOptions(store_absorption=True, deposition="sampled",
+                                quadrature_panels=64)
+        key = rng.root_key(17)
+        n = 16384
+        ref = run_single(wg, ss, grid, dsys, instruments, opts, n, key)
+        out = run_slab(wg, ss, grid, dsys, instruments, opts, n, key)
+        F_ref = np.asarray(ref["instruments"][0]["Ftot"])
+        F_out = np.asarray(out["instruments"][0]["Ftot"])
+        np.testing.assert_allclose(F_out, F_ref, rtol=0.03)
+        labs_ref = np.asarray(ref["labs"], np.float64)
+        labs_out = np.asarray(jax.device_get(out["labs"]), np.float64)
+        assert labs_out.shape == labs_ref.shape
+        assert labs_out.sum() == pytest.approx(labs_ref.sum(), rel=0.03)
+        # tally remains sharded over the slab axis
+        assert len(out["labs"].sharding.device_set) == 8
 
     def test_rejects_indivisible_nx(self):
         wg = OligoWavelengthGrid([1e-6])
