@@ -433,38 +433,219 @@ class TrustNeutralPAHGrainComposition(GrainComposition):
         super().__init__("", heat, 2240.0, preloaded=arrays)
 
 
-def _gated_composition(clsname: str, missing: str):
-    """Composition whose data tables are absent from the partial mount."""
-
-    class _Gated(GrainComposition):
-        name = clsname
-
-        def __init__(self, *a, **k):
-            raise FileNotFoundError(
-                f"{clsname} requires the resource '{missing}', which is not "
-                "present in this partial dat/ mount (.MISSING_LARGE_BLOBS); "
-                "provide the file and use FileGrainComposition instead")
-
-    _Gated.__name__ = clsname
-    return _Gated
+def _resource(data_dir, relpath: str, clsname: str) -> str:
+    """Resolve a dat/ resource; raise clearly when absent from the mount."""
+    path = os.path.join(data_dir or DATA_DIR, relpath)
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        raise FileNotFoundError(
+            f"{clsname} requires the resource '{relpath}', which is absent "
+            "or a stub in this partial dat/ mount (.MISSING_LARGE_BLOBS); "
+            "the reader is implemented and fixture-tested — fetch the "
+            f"resource pack to enable it (looked in {path})")
+    return path
 
 
-# data for these reference compositions is absent from the partial mount:
-# the optical tables live in dat/GrainComposition/{Other,Min,Trust} blobs
-# that were not shipped (only calorimetry files are present).
-MieSilicateGrainComposition = _gated_composition(
-    "MieSilicateGrainComposition",
-    "GrainComposition/Other/MieAmorphousSilicate.dat")
-MinSilicateGrainComposition = _gated_composition(
-    "MinSilicateGrainComposition", "GrainComposition/Min/aSil_Min2007.dat")
-TrustGraphiteGrainComposition = _gated_composition(
-    "TrustGraphiteGrainComposition", "GrainComposition/Trust/Gra.dat")
-TrustSilicateGrainComposition = _gated_composition(
-    "TrustSilicateGrainComposition", "GrainComposition/Trust/suvSil.dat")
-PolarizedGraphiteGrainComposition = _gated_composition(
-    "PolarizedGraphiteGrainComposition", "Graphite_STOKES_Sxx.DAT")
-PolarizedSilicateGrainComposition = _gated_composition(
-    "PolarizedSilicateGrainComposition", "Silicate_STOKES_Sxx.DAT")
+class MieSilicateGrainComposition(GrainComposition):
+    """Amorphous silicate, Mie-computed over an extended size range.
+
+    ref: SKIRTcore/MieSilicateGrainComposition.cpp — optical grid
+    GrainComposition/Other/MieAmorphousSilicate.dat, Draine silicate
+    enthalpy, bulk density 3.0e3 kg/m3.
+    """
+
+    name = "Mie_Silicate"
+
+    def __init__(self, data_dir=None):
+        path = _resource(data_dir,
+                         "GrainComposition/Other/MieAmorphousSilicate.dat",
+                         type(self).__name__)
+        super().__init__(path, silicate_enthalpy, 3.0e3)
+
+
+class MinSilicateGrainComposition(GrainComposition):
+    """Amorphous silicate of Min et al. (2007).
+
+    ref: SKIRTcore/MinSilicateGrainComposition.cpp — optical grid
+    GrainComposition/Min/aSil_Min2007.dat, DustEM C_aSil log heat
+    capacity, bulk density 3.09e3 kg/m3.
+    """
+
+    name = "Min_Silicate"
+
+    def __init__(self, data_dir=None):
+        path = _resource(data_dir, "GrainComposition/Min/aSil_Min2007.dat",
+                         type(self).__name__)
+        heat = load_log_heat_capacity(
+            os.path.join(data_dir or DATA_DIR,
+                         "GrainComposition/DustEM/hcap/C_aSil.DAT"), 3.09e3)
+        super().__init__(path, heat, 3.09e3)
+
+
+class TrustGraphiteGrainComposition(GrainComposition):
+    """TRUST benchmark graphite.
+
+    ref: SKIRTcore/TrustGraphiteGrainComposition.cpp — optical grid
+    Trust/Gra_121_1201.dat (columns x, lambda, Qabs, Qsca, Qext, g —
+    loadOpticalGrid skip1/skip3), Graphitic_Calorimetry enthalpy, bulk
+    density 2.24e3 kg/m3.
+    """
+
+    name = "Trust_Graphite"
+
+    def __init__(self, data_dir=None):
+        path = _resource(data_dir,
+                         "GrainComposition/Trust/Gra_121_1201.dat",
+                         type(self).__name__)
+        arrays = load_draine_optical(path, cols=(1, 2, 3, 5))
+        heat = load_enthalpy_grid(os.path.join(
+            data_dir or DATA_DIR,
+            "GrainComposition/Trust/Graphitic_Calorimetry_1000.dat"))
+        super().__init__("", heat, 2.24e3, preloaded=arrays)
+
+
+class TrustSilicateGrainComposition(GrainComposition):
+    """TRUST benchmark silicate.
+
+    ref: SKIRTcore/TrustSilicateGrainComposition.cpp — optical grid
+    Trust/suvSil_121_1201.dat, Silicate_Calorimetry enthalpy, bulk
+    density 3.5e3 kg/m3.
+    """
+
+    name = "Trust_Silicate"
+
+    def __init__(self, data_dir=None):
+        path = _resource(data_dir,
+                         "GrainComposition/Trust/suvSil_121_1201.dat",
+                         type(self).__name__)
+        arrays = load_draine_optical(path, cols=(1, 2, 3, 5))
+        heat = load_enthalpy_grid(os.path.join(
+            data_dir or DATA_DIR,
+            "GrainComposition/Trust/Silicate_Calorimetry_1000.dat"))
+        super().__init__("", heat, 3.5e3, preloaded=arrays)
+
+
+def load_polarized_optical(path: str):
+    """Parse a STOKES_Sxx polarized optical grid.
+
+    ref: GrainComposition::loadPolarizedOpticalGrid
+    (GrainComposition.cpp:501-566) — header count N then N lines; Na-1,
+    Nlambda-1, Ntheta-1 (each on its own line, stored as n-1); 4 skipped
+    lines; then per size: skipped line, a [micron], 2 skipped lines, and
+    per wavelength (descending): 2 skipped lines, "lambda Qabs Qsca"
+    row, 3 skipped lines, Ntheta rows "theta S11 S12 S33 S34".
+
+    Returns (av [m], lam [m], thetav [rad], Qabs(a,l), Qsca(a,l),
+    S11..S34 each (a, l, ntheta)) with both a and lambda ascending.
+    """
+    from ..io.tokenstream import CxxTokenStream
+    with open(path) as f:
+        ts = CxxTokenStream(f.read(), path)
+
+    nheader = ts.next_int()
+    for _ in range(nheader):
+        ts.getline()
+    na = ts.next_int() + 1
+    ts.getline()
+    nl = ts.next_int() + 1
+    ts.getline()
+    nth = ts.next_int() + 1
+    ts.getline()
+    for _ in range(4):
+        ts.getline()
+
+    av = np.empty(na)
+    lam = np.empty(nl)
+    Qabs = np.empty((na, nl))
+    Qsca = np.empty((na, nl))
+    S = np.empty((4, na, nl, nth))
+    thetav = np.empty(nth)
+    for i in range(na):
+        ts.getline()
+        av[i] = ts.next_float() * 1e-6
+        ts.getline()
+        ts.getline()
+        for k in range(nl - 1, -1, -1):       # file runs long -> short
+            ts.getline()
+            ts.getline()                      # column-titles line
+            lam[k] = ts.next_float() * 1e-6
+            Qabs[i, k] = ts.next_float()
+            Qsca[i, k] = ts.next_float()
+            ts.getline()
+            ts.getline()
+            ts.getline()                      # column-titles line
+            for d in range(nth):
+                thetav[d] = ts.next_float()
+                for s in range(4):
+                    S[s, i, k, d] = ts.next_float()
+                ts.getline()
+    thetav = np.deg2rad(thetav)
+    return av, lam, thetav, Qabs, Qsca, S[0], S[1], S[2], S[3]
+
+
+class PolarizedGrainComposition(GrainComposition):
+    """Composition carrying per-(a, lambda, theta) Mueller elements.
+
+    ref: GrainComposition polarized tables (S11..S34) consumed by
+    DustMix::addpolarization; g is zero (direction sampling comes from
+    the S11 phase function instead).
+    """
+
+    polarized = True
+
+    def __init__(self, stokes_path: str, enthalpy_fn, bulk_density: float):
+        (av, lam, thetav, Qabs, Qsca,
+         S11, S12, S33, S34) = load_polarized_optical(stokes_path)
+        arrays = (av, lam, Qabs, Qsca, np.zeros_like(Qabs))
+        super().__init__("", enthalpy_fn, bulk_density, preloaded=arrays)
+        self.thetav = thetav
+        self.S11, self.S12, self.S33, self.S34 = S11, S12, S33, S34
+
+    def mueller_section(self, lam_target, a_target):
+        """S elements interpolated to (a_target, lam_target): each
+        (Na, Nl, Ntheta), scaled like cross-sections (x pi a^2 is NOT
+        applied — the reference sums raw S over sizes with the size
+        distribution weights; ref DustMix.cpp addpolarization)."""
+        out = []
+        for S in (self.S11, self.S12, self.S33, self.S34):
+            li = np.clip(np.searchsorted(self.lam, lam_target) - 1, 0,
+                         self.lam.size - 2)
+            hl = np.clip((np.log(lam_target) - np.log(self.lam[li]))
+                         / (np.log(self.lam[li + 1]) - np.log(self.lam[li])),
+                         0.0, 1.0)
+            Sl = (1 - hl)[None, :, None] * S[:, li] \
+                + hl[None, :, None] * S[:, li + 1]
+            ai = np.clip(np.searchsorted(self.a, a_target) - 1, 0,
+                         self.a.size - 2)
+            ha = np.clip((np.log(a_target) - np.log(self.a[ai]))
+                         / (np.log(self.a[ai + 1]) - np.log(self.a[ai])),
+                         0.0, 1.0)
+            out.append((1 - ha)[:, None, None] * Sl[ai]
+                       + ha[:, None, None] * Sl[ai + 1])
+        return out
+
+
+class PolarizedGraphiteGrainComposition(PolarizedGrainComposition):
+    """ref: SKIRTcore/PolarizedGraphiteGrainComposition.cpp — external
+    resource Graphite_STOKES_Sxx_001.DAT, graphite enthalpy, 2.24e3."""
+
+    name = "Polarized_Graphite"
+
+    def __init__(self, data_dir=None):
+        path = _resource(data_dir, "Graphite_STOKES_Sxx_001.DAT",
+                         type(self).__name__)
+        super().__init__(path, graphite_enthalpy, 2.24e3)
+
+
+class PolarizedSilicateGrainComposition(PolarizedGrainComposition):
+    """ref: SKIRTcore/PolarizedSilicateGrainComposition.cpp — external
+    resource Silicate_STOKES_Sxx.DAT, silicate enthalpy, 3.0e3."""
+
+    name = "Polarized_Silicate"
+
+    def __init__(self, data_dir=None):
+        path = _resource(data_dir, "Silicate_STOKES_Sxx.DAT",
+                         type(self).__name__)
+        super().__init__(path, silicate_enthalpy, 3.0e3)
 
 
 # ---------------------------------------------------------------------------
@@ -610,10 +791,14 @@ class MultiGrainDustMix(DustMix):
     mu = int_bin (4 pi/3) a^3 rho_bulk dn/da da.
     """
 
+    NTHETA = 181   # ref: MultiGrainDustMix.cpp:179 (polarization theta grid)
+
     def __init__(self, wavelength_grid: WavelengthGrid, entries,
                  quadrature_points: int = 128):
         self.populations: list[GrainPopulation] = []
         lam = wavelength_grid.lambdav
+        thetav = np.linspace(0.0, np.pi, self.NTHETA)
+        S_acc = None
         for composition, sized, nbins in entries:
             edges = np.logspace(np.log10(sized.amin), np.log10(sized.amax),
                                 nbins + 1)
@@ -639,6 +824,24 @@ class MultiGrainDustMix(DustMix):
                 self.populations.append(GrainPopulation(
                     composition, alo, ahi, mu, sigabs, sigsca, gsca,
                     mean_mass, mean_sec))
+                if getattr(composition, "polarized", False):
+                    # size-integrated Mueller elements on the shared theta
+                    # grid (ref: MultiGrainDustMix.cpp:176-202 — same
+                    # dn/da quadrature weights as the cross-sections)
+                    Sel = composition.mueller_section(lam, av)
+                    if S_acc is None:
+                        S_acc = [np.zeros((lam.size, self.NTHETA))
+                                 for _ in range(4)]
+                    for s in range(4):
+                        # interp composition theta grid -> shared grid
+                        St = np.empty((av.size, lam.size, self.NTHETA))
+                        for d in range(lam.size):
+                            St[:, d] = np.array([
+                                np.interp(thetav, composition.thetav,
+                                          Sel[s][i, d])
+                                for i in range(av.size)])
+                        S_acc[s] += np.trapezoid(St * w[:, None, None],
+                                                 av, axis=0)
 
         mu_tot = sum(p.mu for p in self.populations)
         ksca_tot = sum(p.sigmasca for p in self.populations) / mu_tot
@@ -649,6 +852,10 @@ class MultiGrainDustMix(DustMix):
             g_tot = np.where(gden > 0, gnum / np.maximum(gden, 1e-300), 0.0)
         super().__init__(wavelength_grid, kabs_tot, ksca_tot, g_tot)
         self.mu = mu_tot
+        if S_acc is not None:
+            from .polarization import MuellerTables
+            self.polarization = True
+            self.mueller = MuellerTables(thetav, *S_acc)
 
     @property
     def npop(self) -> int:
@@ -853,6 +1060,30 @@ class ZubkoDustMix(MultiGrainDustMix):
             (sil, ZubkoSilicateGrainSizeDistribution(), silicate_bins),
             (pah_neu, ZubkoPAHGrainSizeDistribution(0.5), pah_bins),
             (pah_ion, ZubkoPAHGrainSizeDistribution(0.5), pah_bins),
+        ])
+
+
+class TrustDustMix(MultiGrainDustMix):
+    """TRUST benchmark mix: Trust graphite/silicate/PAH with the Zubko
+    BARE-GR-S size distributions.
+
+    ref: SKIRTcore/TrustDustMix.cpp — addpopulations(TrustGraphite,
+    ZubkoGraphite, Ngra) + (TrustSilicate, ZubkoSilicate, Nsil) +
+    (TrustNeutralPAH, ZubkoPAH, Npah).  The Trust optical tables are
+    absent from this partial dat/ mount; construction raises a clear
+    FileNotFoundError until the resource pack is present (the readers are
+    implemented and fixture-tested).
+    """
+
+    def __init__(self, wavelength_grid, graphite_bins: int = 5,
+                 silicate_bins: int = 5, pah_bins: int = 3, data_dir=None):
+        gra = TrustGraphiteGrainComposition(data_dir)
+        sil = TrustSilicateGrainComposition(data_dir)
+        pah = TrustNeutralPAHGrainComposition(data_dir)
+        super().__init__(wavelength_grid, [
+            (gra, ZubkoGraphiteGrainSizeDistribution(), graphite_bins),
+            (sil, ZubkoSilicateGrainSizeDistribution(), silicate_bins),
+            (pah, ZubkoPAHGrainSizeDistribution(), pah_bins),
         ])
 
 

@@ -126,23 +126,107 @@ class MappingsSEDFamily(SEDFamily):
         return p[:, 0] * 1e7
 
 
-class BruzualCharlotSEDFamily(SEDFamily):
-    """Bruzual & Charlot (2003) SSP family (Z, age).
+def read_ised_ascii(path: str):
+    """Parse one BC03 `.ised_ASCII` SSP file.
 
-    ref: SKIRTcore/BruzualCharlotSEDFamily.cpp.  The bc2003 *.ised_ASCII
-    spectra are not included in the partial data mount
-    (.MISSING_LARGE_BLOBS), so construction raises with a clear message.
+    ref: BruzualCharlotSEDFamily.cpp:68-120 — token stream: Nt ages [yr];
+    6 lines of auxiliary records skipped; Nlambda; Nlambda wavelengths
+    [Angstrom]; then per age (Nlambda, Nlambda emissivities [Lsun/A per
+    Msun], Ndummy, Ndummy values).  Returns (tv [yr], lambdav [m],
+    j (Nt, Nlambda) [W/m per Msun]).
+    """
+    LSUN = 3.839e26            # ref: Units::Lsun()
+    ANGSTROM = 1e-10
+    from ..io.tokenstream import CxxTokenStream
+    with open(path) as f:
+        ts = CxxTokenStream(f.read(), path)
+
+    nt = ts.next_int()
+    tv = np.array([ts.next_float() for _ in range(nt)])
+    for _ in range(6):         # ref: "skip six lines" (remainder + 5 full)
+        ts.getline()
+    nl = ts.next_int()
+    lam = np.array([ts.next_float() for _ in range(nl)]) * ANGSTROM
+    j = np.empty((nt, nl))
+    for p in range(nt):
+        inl = ts.next_int()
+        if inl != nl:
+            raise ValueError(f"inconsistent Nlambda in {path}")
+        j[p] = [ts.next_float() for _ in range(nl)]
+        ndummy = ts.next_int()
+        for _ in range(ndummy):
+            ts.next_tok()
+    return tv, lam, j * (LSUN / ANGSTROM)
+
+
+class BruzualCharlotSEDFamily(SEDFamily):
+    """Bruzual & Charlot (2003) SSP family (M, Z, age).
+
+    ref: SKIRTcore/BruzualCharlotSEDFamily.cpp — six metallicity tracks
+    (m22..m72), bilinear interpolation in (Z, t), log-log resampling to
+    the simulation grid.  The shipped data mount carries only stub files
+    (.MISSING_LARGE_BLOBS): the reader is fully implemented and tested on
+    synthetic fixtures in the reference format; construction raises only
+    when the files are genuinely absent.
     """
 
-    nparams = 2
+    nparams = 3
+    ZV = np.array([0.0001, 0.0004, 0.004, 0.008, 0.02, 0.05])
+    ZCODES = ("m22", "m32", "m42", "m52", "m62", "m72")
+
+    _cache: dict = {}
 
     def __init__(self, data_dir: str | None = None):
         base = os.path.join(data_dir or DATA_DIR, "SED/BruzualCharlot")
-        probe = os.path.join(base, "chabrier",
-                             "bc2003_lr_m62_chab_ssp.ised_ASCII")
-        if not (os.path.exists(probe) and os.path.getsize(probe) > 1 << 20):
-            raise FileNotFoundError(
-                f"Bruzual-Charlot spectra not available under {base} (the "
-                "reference data mount ships stub files; fetch the resource "
-                "pack)")
-        raise NotImplementedError("BC03 reader pending real resource data")
+        if base not in BruzualCharlotSEDFamily._cache:
+            tv = lam = jv = None
+            for m, code in enumerate(self.ZCODES):
+                path = os.path.join(
+                    base, "chabrier", f"bc2003_lr_{code}_chab_ssp.ised_ASCII")
+                if not os.path.exists(path) or os.path.getsize(path) == 0:
+                    raise FileNotFoundError(
+                        f"Bruzual-Charlot spectrum '{path}' is absent or a "
+                        "stub (the reference data mount ships "
+                        ".MISSING_LARGE_BLOBS); fetch the resource pack")
+                t_m, lam_m, j_m = read_ised_ascii(path)
+                if tv is None:
+                    tv, lam = t_m, lam_m
+                    jv = np.empty((len(self.ZCODES),) + j_m.shape)
+                jv[m] = j_m
+            BruzualCharlotSEDFamily._cache[base] = (tv, lam, jv)
+        self.tv, self.lambdav, self.j = BruzualCharlotSEDFamily._cache[base]
+
+    def luminosities(self, wavelength_grid: WavelengthGrid, params,
+                     z: float = 0.0):
+        """params rows: (M [Msun], Z, t [yr]) -> (N, Nlambda) W per bin.
+
+        ref: BruzualCharlotSEDFamily::luminosities — clamped bilinear
+        (Z, t) blend, then loglog resample x dlambda x M.
+        """
+        p = np.atleast_2d(np.asarray(params, np.float64))
+        M, Z, t = p.T
+
+        def bracket(grid, x):
+            i = np.clip(np.searchsorted(grid, x, "right") - 1, 0,
+                        grid.size - 2)
+            h = np.clip((x - grid[i]) / (grid[i + 1] - grid[i]), 0.0, 1.0)
+            return i, h
+
+        mi, hZ = bracket(self.ZV, Z)
+        pi, ht = bracket(self.tv, t)
+        jv = ((1 - ht)[:, None] * (1 - hZ)[:, None] * self.j[mi, pi]
+              + (1 - ht)[:, None] * hZ[:, None] * self.j[mi + 1, pi]
+              + ht[:, None] * (1 - hZ)[:, None] * self.j[mi, pi + 1]
+              + ht[:, None] * hZ[:, None] * self.j[mi + 1, pi + 1])
+        lam_target = wavelength_grid.lambdav * (1.0 - z)
+        out = np.empty((p.shape[0], wavelength_grid.nlambda))
+        for r in range(p.shape[0]):
+            out[r] = resample_loglog(lam_target, self.lambdav, jv[r]) \
+                * wavelength_grid.dlambdav * M[r]
+        return out
+
+    @staticmethod
+    def mass(params) -> np.ndarray:
+        """ref: BruzualCharlotSEDFamily::mass_generic — params[0] [Msun]."""
+        p = np.atleast_2d(np.asarray(params, np.float64))
+        return p[:, 0]
