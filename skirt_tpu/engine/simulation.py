@@ -45,7 +45,7 @@ class OligoSimulation:
                  write_density: bool = False, write_depth_map: bool = False,
                  checkpoint_every: int = 0,
                  use_mesh: bool | None = None, compaction_iterations: int = 0,
-                 dispatch_batches: int = 8):
+                 dispatch_batches: int = 8, write_grid: bool = False):
         self.stellar_system = stellar_system
         self.instruments = list(instruments)
         self.dust_system = dust_system
@@ -60,6 +60,7 @@ class OligoSimulation:
         self.write_convergence = write_convergence
         self.write_density = write_density
         self.write_depth_map = write_depth_map
+        self.write_grid = write_grid
         # checkpoint/resume is a capability the reference lacks (SURVEY.md
         # §5: "Checkpoint/resume: none"); batches are deterministic per
         # (seed, phase, batch index), so a phase can resume mid-stream.
@@ -415,4 +416,9 @@ class OligoSimulation:
             if self.write_depth_map:
                 ds_out.write_tau_map(self.dust_system_out, self.units,
                                      self.out_dir, self.prefix, log=self.log)
+            if self.write_grid:
+                # ref: DustGrid::writegrid (DustGrid.cpp:53-74)
+                ds_out.write_grid_plots(self.dust_system_out.grid,
+                                        self.units, self.out_dir,
+                                        self.prefix, log=self.log)
         self.log.success("Wrote instrument outputs to " + self.out_dir)

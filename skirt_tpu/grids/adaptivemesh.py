@@ -30,7 +30,7 @@ class AmrState(NamedTuple):
     t: jnp.ndarray       # ray parameter [m]
 
 
-def parse_amr_tree(path: str, extent):
+def parse_amr_tree(path: str, extent, lines=None):
     """Parse the reference AMR ASCII format keeping the tree structure.
 
     ref: AdaptiveMeshAsciiFile.cpp — a '!' line introduces an internal
@@ -42,12 +42,14 @@ def parse_amr_tree(path: str, extent):
     leaf_values (Ncells, ncols), max_depth.
     """
     tokens = []
-    with open(path) as f:
-        for line in f:
-            s = line.strip()
-            if not s or s.startswith("#"):
-                continue
-            tokens.append(s)
+    if lines is None:
+        with open(path) as f:
+            lines = f.read().splitlines()
+    for line in lines:
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        tokens.append(s)
     it = iter(tokens)
 
     lo_l, hi_l, nsub_l, child_l, cell_l = [], [], [], [], []
@@ -122,8 +124,11 @@ class AdaptiveMeshGrid:
 
     dimension = 3
 
-    def __init__(self, path: str, extent, density_column: int = 0):
-        tree = parse_amr_tree(path, extent)
+    def __init__(self, path: str, extent, density_column: int = 0,
+                 lines=None):
+        """`lines` overrides the file: an iterable of ASCII-format lines
+        (used by the AMRVAC import, which synthesizes the tree walk)."""
+        tree = parse_amr_tree(path, extent, lines=lines)
         self.extent = np.asarray(extent, dtype=np.float64)
         self.lo64 = tree["lo"]
         self.hi64 = tree["hi"]

@@ -66,6 +66,169 @@ def load_amr_ascii(path: str, extent, density_column: int = 0):
             np.asarray(values))
 
 
+def load_amr_amrvac(path: str, extent, levelone=(1, 1, 1),
+                    density_column: int = 0):
+    """Parse an MPI-AMRVAC binary snapshot into leaf boxes + values.
+
+    ref: SKIRTcore/AdaptiveMeshAmrvacFile.cpp — native-endian binary:
+    nleafs data blocks of (ncells*nvars) doubles (variable-major, cells
+    x-fastest within a block), then the depth-first 'forest' of int32
+    leaf flags (one tree per coarsest-level block, x-fastest), then a
+    footer [block nx: ndims ints][eqpars: pars doubles][nleafs, levmax,
+    ndim, ndir, nw, pars: ints][it: int][time: double].
+
+    levelone: number of CELLS per axis at the coarsest level (the ski
+    properties levelOneX/Y/Z); must be a multiple of the block size.
+    Returns (lo (N,3), hi (N,3), values (N,)) like load_amr_ascii.
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    eof = len(raw)
+    nleafs, levmax, ndims, ndir, nvars, pars = struct.unpack_from(
+        "<6i", raw, eof - 7 * 4 - 8)
+    off = eof - 7 * 4 - 8 - ndims * 4 - pars * 8
+    nx = [1, 1, 1]
+    for i in range(ndims):
+        nx[i] = struct.unpack_from("<i", raw, off + 4 * i)[0]
+    ng = [0, 0, 0]
+    for i in range(3):
+        if levelone[i] % nx[i]:
+            raise ValueError("number of cells at the coarsest level must "
+                             "be a multiple of the block size "
+                             f"(axis {i}: {levelone[i]} vs {nx[i]})")
+        ng[i] = levelone[i] // nx[i]
+    nr = [2 if i < ndims else 1 for i in range(3)]
+    ncells = nx[0] * nx[1] * nx[2]
+    blocksize = ncells * nvars * 8
+
+    # forest flags follow the data blocks; exactly nleafs true values
+    forest = []
+    pos = nleafs * blocksize
+    trues = 0
+    while trues < nleafs:
+        v = struct.unpack_from("<i", raw, pos)[0]
+        pos += 4
+        forest.append(bool(v))
+        trues += bool(v)
+
+    blocks = np.frombuffer(raw, "<f8", count=nleafs * ncells * nvars) \
+        .reshape(nleafs, nvars, ncells)
+
+    extent = np.asarray(extent, np.float64)
+    leaves_lo, leaves_hi, values = [], [], []
+    state = {"fi": 0, "bi": 0}
+
+    def emit_block(lo, hi):
+        b = state["bi"]
+        state["bi"] += 1
+        xs = np.linspace(lo[0], hi[0], nx[0] + 1)
+        ys = np.linspace(lo[1], hi[1], nx[1] + 1)
+        zs = np.linspace(lo[2], hi[2], nx[2] + 1)
+        vals = blocks[b, density_column]
+        c = 0
+        for k in range(nx[2]):          # cells run x-fastest (Fortran)
+            for j in range(nx[1]):
+                for i in range(nx[0]):
+                    leaves_lo.append([xs[i], ys[j], zs[k]])
+                    leaves_hi.append([xs[i + 1], ys[j + 1], zs[k + 1]])
+                    values.append(vals[c])
+                    c += 1
+
+    def walk(lo, hi):
+        leaf = forest[state["fi"]]
+        state["fi"] += 1
+        if leaf:
+            emit_block(lo, hi)
+            return
+        xs = np.linspace(lo[0], hi[0], nr[0] + 1)
+        ys = np.linspace(lo[1], hi[1], nr[1] + 1)
+        zs = np.linspace(lo[2], hi[2], nr[2] + 1)
+        for k in range(nr[2]):
+            for j in range(nr[1]):
+                for i in range(nr[0]):
+                    walk(np.array([xs[i], ys[j], zs[k]]),
+                         np.array([xs[i + 1], ys[j + 1], zs[k + 1]]))
+
+    lo0, hi0 = extent[:3], extent[3:]
+    gx = np.linspace(lo0[0], hi0[0], ng[0] + 1)
+    gy = np.linspace(lo0[1], hi0[1], ng[1] + 1)
+    gz = np.linspace(lo0[2], hi0[2], ng[2] + 1)
+    for k in range(ng[2]):
+        for j in range(ng[1]):
+            for i in range(ng[0]):
+                walk(np.array([gx[i], gy[j], gz[k]]),
+                     np.array([gx[i + 1], gy[j + 1], gz[k + 1]]))
+    if state["bi"] != nleafs:
+        raise ValueError(f"AMRVAC walk consumed {state['bi']} blocks, "
+                         f"file declares {nleafs}")
+    return (np.asarray(leaves_lo), np.asarray(leaves_hi),
+            np.asarray(values))
+
+
+def amrvac_to_ascii_lines(path: str, levelone=(1, 1, 1)):
+    """Synthesize the ASCII tree walk ('!' nodes + value rows) from an
+    AMRVAC snapshot, for consumers of the line format (AdaptiveMeshGrid).
+
+    The AMRVAC structure maps exactly: the coarsest level is a
+    '! ngx ngy ngz' node, refinements are '! 2 2 2' (per refined dim),
+    and a leaf block is a '! nx ny nz' node of value rows (all
+    variables as columns).
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    eof = len(raw)
+    nleafs, levmax, ndims, ndir, nvars, pars = struct.unpack_from(
+        "<6i", raw, eof - 7 * 4 - 8)
+    off = eof - 7 * 4 - 8 - ndims * 4 - pars * 8
+    nx = [1, 1, 1]
+    for i in range(ndims):
+        nx[i] = struct.unpack_from("<i", raw, off + 4 * i)[0]
+    ng = [levelone[i] // nx[i] for i in range(3)]
+    for i in range(3):
+        if levelone[i] % nx[i]:
+            raise ValueError("levelone must be a multiple of block size")
+    nr = [2 if i < ndims else 1 for i in range(3)]
+    ncells = nx[0] * nx[1] * nx[2]
+    blocksize = ncells * nvars * 8
+
+    forest = []
+    pos = nleafs * blocksize
+    trues = 0
+    while trues < nleafs:
+        v = struct.unpack_from("<i", raw, pos)[0]
+        pos += 4
+        forest.append(bool(v))
+        trues += bool(v)
+    blocks = np.frombuffer(raw, "<f8", count=nleafs * ncells * nvars) \
+        .reshape(nleafs, nvars, ncells)
+
+    out = [f"! {ng[0]} {ng[1]} {ng[2]}"]
+    state = {"fi": 0, "bi": 0}
+
+    def walk():
+        leaf = forest[state["fi"]]
+        state["fi"] += 1
+        if leaf:
+            b = state["bi"]
+            state["bi"] += 1
+            out.append(f"! {nx[0]} {nx[1]} {nx[2]}")
+            for c in range(ncells):
+                out.append(" ".join(repr(float(blocks[b, g, c]))
+                                    for g in range(nvars)))
+        else:
+            out.append(f"! {nr[0]} {nr[1]} {nr[2]}")
+            for _ in range(nr[0] * nr[1] * nr[2]):
+                walk()
+
+    for _ in range(ng[0] * ng[1] * ng[2]):
+        walk()
+    return out
+
+
 class AdaptiveMeshGeometry(Geometry):
     """Normalized density geometry from AMR leaf cells.
 
@@ -96,6 +259,12 @@ class AdaptiveMeshGeometry(Geometry):
     @classmethod
     def from_file(cls, path: str, extent, density_column: int = 0):
         return cls(*load_amr_ascii(path, extent, density_column))
+
+    @classmethod
+    def from_amrvac(cls, path: str, extent, levelone=(1, 1, 1),
+                    density_column: int = 0):
+        """ref: AdaptiveMeshAmrvacFile (the second AMR import format)."""
+        return cls(*load_amr_amrvac(path, extent, levelone, density_column))
 
     def _leaf_of(self, pts: np.ndarray) -> np.ndarray:
         """Leaf index containing each point, -1 outside (host)."""

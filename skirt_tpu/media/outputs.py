@@ -275,3 +275,137 @@ def write_emissivities(pan_sim, units: Units, out_dir: str, prefix: str,
     if log:
         log.info(f"Wrote {len(written)} emissivity tables to {out_dir}")
     return written
+
+
+# ---------------------------------------------------------------------------
+# grid-outline plot files
+# ---------------------------------------------------------------------------
+
+def _cell_boxes(grid):
+    """(lo (N,3), hi (N,3)) leaf boxes for box-structured grids, or None."""
+    if hasattr(grid, "leaf_nodes"):            # tree grids
+        return grid.lo64[grid.leaf_nodes], grid.hi64[grid.leaf_nodes]
+    if hasattr(grid, "xb64"):                  # Cartesian
+        lo = np.stack(np.meshgrid(grid.xb64[:-1], grid.yb64[:-1],
+                                  grid.zb64[:-1], indexing="ij"),
+                      axis=-1).reshape(-1, 3)
+        hi = np.stack(np.meshgrid(grid.xb64[1:], grid.yb64[1:],
+                                  grid.zb64[1:], indexing="ij"),
+                      axis=-1).reshape(-1, 3)
+        return lo, hi
+    if hasattr(grid, "leaf_lo"):               # adaptive-mesh imports
+        return np.asarray(grid.leaf_lo), np.asarray(grid.leaf_hi)
+    return None
+
+
+def write_grid_plots(grid, units: Units, out_dir: str, prefix: str,
+                     log=None, max_cells_3d: int = 5000):
+    """Grid-outline data for gnuplot, matching the reference's layout.
+
+    ref: SKIRTcore/DustGridPlotFile.cpp + DustGrid::writegrid
+    (DustGrid.cpp:53-74) — four text files: _ds_gridxy/xz/yz.dat hold
+    2-D outlines of the cells crossing the z=0/y=0/x=0 planes (blocks of
+    vertex rows separated by blank lines), _ds_gridxyz.dat holds 3-D cell
+    outlines (capped at max_cells_3d cells for tree-scale grids).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    conv = 1.0 / _UNIT_TO_SI_LENGTH(units)
+    written = []
+
+    def rect(f, a0, b0, a1, b1):
+        f.write(f"{a0 * conv:.8g}\t{b0 * conv:.8g}\n"
+                f"{a0 * conv:.8g}\t{b1 * conv:.8g}\n"
+                f"{a1 * conv:.8g}\t{b1 * conv:.8g}\n"
+                f"{a1 * conv:.8g}\t{b0 * conv:.8g}\n"
+                f"{a0 * conv:.8g}\t{b0 * conv:.8g}\n\n")
+
+    def circle(f, r):
+        # ref: DustGridPlotFile::writeCircle — 360 one-degree segments
+        th = np.linspace(0.0, 2.0 * np.pi, 361)
+        for x, y in zip(r * np.cos(th), r * np.sin(th)):
+            f.write(f"{x * conv:.8g}\t{y * conv:.8g}\n")
+        f.write("\n")
+
+    def path_for(body):
+        p = os.path.join(out_dir, f"{prefix}_ds_{body}.dat")
+        written.append(p)
+        return p
+
+    boxes = _cell_boxes(grid)
+    if boxes is not None:
+        lo, hi = boxes
+        for body, (ia, ib, ic) in (("gridxy", (0, 1, 2)),
+                                   ("gridxz", (0, 2, 1)),
+                                   ("gridyz", (1, 2, 0))):
+            sel = (lo[:, ic] <= 0.0) & (hi[:, ic] >= 0.0)
+            with open(path_for(body), "w") as f:
+                f.write(f"# {body} dust grid outline, length unit "
+                        f"{units.unit('length')}\n\n")
+                for l, h in zip(lo[sel], hi[sel]):
+                    rect(f, l[ia], l[ib], h[ia], h[ib])
+        with open(path_for("gridxyz"), "w") as f:
+            f.write(f"# 3-D dust grid outline, length unit "
+                    f"{units.unit('length')}\n\n")
+            step = max(1, lo.shape[0] // max_cells_3d)
+            for l, h in zip(lo[::step], hi[::step]):
+                # ref: DustGridPlotFile::writeCube — 12 edges as 2 loops
+                # + 4 pillars
+                for z in (l[2], h[2]):
+                    f.write(f"{l[0]*conv:.8g}\t{l[1]*conv:.8g}\t{z*conv:.8g}\n"
+                            f"{l[0]*conv:.8g}\t{h[1]*conv:.8g}\t{z*conv:.8g}\n"
+                            f"{h[0]*conv:.8g}\t{h[1]*conv:.8g}\t{z*conv:.8g}\n"
+                            f"{h[0]*conv:.8g}\t{l[1]*conv:.8g}\t{z*conv:.8g}\n"
+                            f"{l[0]*conv:.8g}\t{l[1]*conv:.8g}\t{z*conv:.8g}\n\n")
+                for cx in (l[0], h[0]):
+                    for cy in (l[1], h[1]):
+                        f.write(f"{cx*conv:.8g}\t{cy*conv:.8g}\t{l[2]*conv:.8g}\n"
+                                f"{cx*conv:.8g}\t{cy*conv:.8g}\t{h[2]*conv:.8g}\n\n")
+    elif hasattr(grid, "rb64") and not hasattr(grid, "zb64"):
+        # spherical grids: concentric circles in every cut
+        tb = getattr(grid, "tb64", None)
+        for body in ("gridxy", "gridxz", "gridyz"):
+            with open(path_for(body), "w") as f:
+                f.write(f"# {body} dust grid outline, length unit "
+                        f"{units.unit('length')}\n\n")
+                for r in grid.rb64[1:]:
+                    circle(f, r)
+                if tb is not None and body in ("gridxz", "gridyz"):
+                    # ref: Sphere2DDustGrid::write_xz — cone lines
+                    R = grid.rb64[-1]
+                    for t in tb:
+                        f.write(f"0\t0\n{R*np.sin(t)*conv:.8g}\t"
+                                f"{R*np.cos(t)*conv:.8g}\n\n")
+    elif hasattr(grid, "rb64") and hasattr(grid, "zb64"):
+        # cylindrical: circles in xy; rectangles (R, z) mirrored in xz/yz
+        with open(path_for("gridxy"), "w") as f:
+            f.write(f"# gridxy dust grid outline, length unit "
+                    f"{units.unit('length')}\n\n")
+            for r in grid.rb64[1:]:
+                circle(f, r)
+        for body in ("gridxz", "gridyz"):
+            with open(path_for(body), "w") as f:
+                f.write(f"# {body} dust grid outline, length unit "
+                        f"{units.unit('length')}\n\n")
+                for i in range(grid.rb64.size - 1):
+                    for j in range(grid.zb64.size - 1):
+                        rect(f, grid.rb64[i], grid.zb64[j],
+                             grid.rb64[i + 1], grid.zb64[j + 1])
+                        rect(f, -grid.rb64[i + 1], grid.zb64[j],
+                             -grid.rb64[i], grid.zb64[j + 1])
+    else:
+        # Voronoi and friends: plot sites + bounding box outline
+        with open(path_for("gridxyz"), "w") as f:
+            f.write(f"# grid sites, length unit {units.unit('length')}\n")
+            pts = getattr(grid, "sites", None)
+            if pts is not None:
+                for p in np.asarray(pts):
+                    f.write(f"{p[0]*conv:.8g}\t{p[1]*conv:.8g}\t"
+                            f"{p[2]*conv:.8g}\n")
+    if log:
+        log.info(f"Wrote {len(written)} grid plot files to {out_dir}")
+    return written
+
+
+def _UNIT_TO_SI_LENGTH(units: Units) -> float:
+    from ..units import _UNIT_TO_SI
+    return _UNIT_TO_SI["length"][units.unit("length")]

@@ -748,10 +748,22 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
             mesh_file = mesh_node.attrs["filename"] if mesh_node else \
                 dist_node.attrs["filename"]
             rho_units = dist_node.scalar("densityUnits", 1.0)
-            from .imports.amr import load_amr_ascii
+            from .imports.amr import load_amr_amrvac, load_amr_ascii
+            if mesh_node is not None and \
+                    mesh_node.name == "AdaptiveMeshAmrvacFile":
+                # ref: AdaptiveMeshAmrvacFile.hpp — binary MPI-AMRVAC
+                # snapshot with coarsest-level cell counts levelOneX/Y/Z
+                levelone = (int(mesh_node.scalar("levelOneX", 1)),
+                            int(mesh_node.scalar("levelOneY", 1)),
+                            int(mesh_node.scalar("levelOneZ", 1)))
+
+                def load(path, ext, col):
+                    return load_amr_amrvac(path, ext, levelone, col)
+            else:
+                load = load_amr_ascii
             for cn in comp_nodes:
                 col = int(cn.scalar("densityIndex", 0))
-                lo, hi, vals = load_amr_ascii(mesh_file, extent, col)
+                lo, hi, vals = load(mesh_file, extent, col)
                 geom = AdaptiveMeshGeometry(lo, hi, vals)
                 mix = build_mix(cn.child("mix"), wg)
                 frac = cn.scalar("densityFraction", 1.0)
@@ -763,6 +775,14 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                     geom, mix,
                     DustMassNormalization(total_mass * rho_units * frac)))
             amr_grid_source = (mesh_file, extent)
+            if mesh_node is not None and \
+                    mesh_node.name == "AdaptiveMeshAmrvacFile":
+                # AdaptiveMeshGrid consumes the ASCII line format; the
+                # AMRVAC walk synthesizes it in memory
+                from .imports.amr import amrvac_to_ascii_lines
+                amr_grid_source = (mesh_file, extent,
+                                   amrvac_to_ascii_lines(mesh_file,
+                                                         levelone))
         else:
             for cn in comp_nodes:
                 g = build_geometry(cn.child("geometry"))
@@ -773,7 +793,11 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
             grid_node = ds_node.child("dustGrid")
             if grid_node is not None and \
                     grid_node.name == "AdaptiveMeshDustGrid":
-                grid = AdaptiveMeshGrid(*amr_grid_source)
+                if len(amr_grid_source) == 3:
+                    path_, ext_, lines_ = amr_grid_source
+                    grid = AdaptiveMeshGrid(path_, ext_, lines=lines_)
+                else:
+                    grid = AdaptiveMeshGrid(*amr_grid_source)
             else:
                 def total_density(pos):
                     tot = 0.0

@@ -343,7 +343,9 @@ class TestImportSki:
         ski.write_text(SPH_SKI.replace("__SPHFILE__", str(f)))
         sim = load_ski(str(ski), out_dir=str(tmp_path), log=SilentLog(),
                        batch_size=1 << 10)
-        assert isinstance(sim.grid, ParticleTreeGrid)
+        # the engine may auto-voxelize the tree (sim.grid becomes the
+        # exact Cartesian voxel view); the source grid stays the tree
+        assert isinstance(sim.dust_system_out.grid, ParticleTreeGrid)
         from skirt_tpu.constants import M_SUN
         want = 0.3 * rows[:, 4].sum() * M_SUN
         assert sim.dust_system.components[0].mass() == pytest.approx(
@@ -402,3 +404,178 @@ class TestImportSki:
         want = MappingsSEDFamily().luminosities(wg, rows[:, 4:9]).sum()
         got = sum(float(np.asarray(c.luminosities).sum()) for c in comps)
         assert got == pytest.approx(want, rel=1e-6)
+
+
+class TestAmrvacImport:
+    """MPI-AMRVAC binary AMR import (ref: AdaptiveMeshAmrvacFile.cpp)."""
+
+    @staticmethod
+    def _write_amrvac(path, levelone=(4, 2, 2), nx=(2, 2, 2)):
+        """Synthetic AMRVAC .dat: top level ng=(2,1,1); first block a
+        leaf, second refined into 8 leaf blocks.  Cell value = global
+        leaf counter (checkable).  Returns the expected leaf count."""
+        import struct
+
+        ndims, nvars, pars = 3, 2, 2
+        ncells = nx[0] * nx[1] * nx[2]
+        forest = [1, 0] + [1] * 8           # leaf, refine, 8 leaves
+        nleafs = sum(forest)
+        with open(path, "wb") as f:
+            # data blocks: variable-major doubles, value = 100*b + cell
+            for b in range(nleafs):
+                for g in range(nvars):
+                    for c in range(ncells):
+                        f.write(struct.pack("<d",
+                                            (g + 1) * (100.0 * b + c + 1)))
+            for v in forest:
+                f.write(struct.pack("<i", v))
+            for v in nx[:ndims]:
+                f.write(struct.pack("<i", v))
+            for _ in range(pars):
+                f.write(struct.pack("<d", 0.0))
+            for v in (nleafs, 2, ndims, 3, nvars, pars, 0):
+                f.write(struct.pack("<i", v))
+            f.write(struct.pack("<d", 1.5))   # time
+        return nleafs, ncells
+
+    def test_parse_structure_and_values(self, tmp_path):
+        from skirt_tpu.imports.amr import load_amr_amrvac
+
+        p = tmp_path / "snap.dat"
+        nleafs, ncells = self._write_amrvac(str(p))
+        extent = (0.0, 0.0, 0.0, 4.0, 2.0, 2.0)
+        lo, hi, vals = load_amr_amrvac(str(p), extent, levelone=(4, 2, 2))
+        assert lo.shape[0] == nleafs * ncells == 72
+        # volumes: first top-level block (8 cells of 1x1x1 /2 = coarse),
+        # the refined half has 64 cells at half size
+        v = np.prod(hi - lo, axis=1)
+        assert v[:8] == pytest.approx(1.0)       # coarse block cells
+        assert v[8:] == pytest.approx(1.0 / 8.0)  # refined cells
+        # coverage: total volume = domain volume
+        assert v.sum() == pytest.approx(16.0)
+        # first block's first cell value (g=0): 100*0 + 1
+        assert vals[0] == pytest.approx(1.0)
+        # second variable column
+        _, _, v2 = load_amr_amrvac(str(p), extent, levelone=(4, 2, 2),
+                                   density_column=1)
+        np.testing.assert_allclose(v2, 2 * vals)
+        # cells tile the domain disjointly: every probe point is in
+        # exactly one leaf
+        rs = np.random.default_rng(0)
+        pts = rs.uniform([0, 0, 0], [4, 2, 2], (500, 3))
+        inside = ((pts[:, None, :] >= lo[None]) &
+                  (pts[:, None, :] <= hi[None])).all(axis=2)
+        assert np.all(inside.sum(axis=1) == 1)
+
+    def test_matches_ascii_equivalent(self, tmp_path):
+        """The same mesh in both formats yields identical leaves."""
+        from skirt_tpu.imports.amr import load_amr_amrvac, load_amr_ascii
+
+        p = tmp_path / "snap.dat"
+        self._write_amrvac(str(p))
+        extent = (0.0, 0.0, 0.0, 4.0, 2.0, 2.0)
+        lo_b, hi_b, v_b = load_amr_amrvac(str(p), extent,
+                                          levelone=(4, 2, 2))
+
+        # equivalent ASCII: ! 2 1 1 -> [! 2 2 2 leaf-cells] x ...
+        def block_lines(b):
+            # a leaf block of 2x2x2 cells is a "! 2 2 2" node with values
+            return ["! 2 2 2"] + [f"{100.0 * b + c + 1}" for c in range(8)]
+
+        lines = ["! 2 1 1"]
+        lines += block_lines(0)
+        lines += ["! 2 2 2"]
+        for b in range(1, 9):
+            lines += block_lines(b)
+        pa = tmp_path / "snap.txt"
+        pa.write_text("\n".join(lines) + "\n")
+        lo_a, hi_a, v_a = load_amr_ascii(str(pa), extent)
+        # identical leaf sets (ordering may differ within refined region)
+        key_b = np.lexsort((lo_b[:, 2], lo_b[:, 1], lo_b[:, 0], v_b))
+        key_a = np.lexsort((lo_a[:, 2], lo_a[:, 1], lo_a[:, 0], v_a))
+        np.testing.assert_allclose(lo_b[key_b], lo_a[key_a])
+        np.testing.assert_allclose(hi_b[key_b], hi_a[key_a])
+        np.testing.assert_allclose(v_b[key_b], v_a[key_a])
+
+    def test_geometry_from_amrvac(self, tmp_path):
+        from skirt_tpu.imports.amr import AdaptiveMeshGeometry
+
+        p = tmp_path / "snap.dat"
+        self._write_amrvac(str(p))
+        geom = AdaptiveMeshGeometry.from_amrvac(
+            str(p), (0.0, 0.0, 0.0, 4.0, 2.0, 2.0), levelone=(4, 2, 2))
+        rho = geom.density(np.array([[0.5, 0.5, 0.5], [3.9, 1.9, 1.9]]))
+        assert np.all(rho > 0)
+        # unit total mass
+        total = (geom.rho * geom.volumes).sum()
+        assert total == pytest.approx(1.0, rel=1e-12)
+
+
+class TestGridPlots:
+    def test_cartesian_and_octree_outlines(self, tmp_path):
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.grids.octree import OctreeGrid
+        from skirt_tpu.media.outputs import write_grid_plots
+        from skirt_tpu.units import Units
+
+        b = np.linspace(-1, 1, 6)      # 5 cells: z=0 inside the middle
+        grid = CartesianGrid(b, b, b)
+        files = write_grid_plots(grid, Units(style="SI"), str(tmp_path),
+                                 "t")
+        assert len(files) == 4
+        xy = (tmp_path / "t_ds_gridxy.dat").read_text()
+        # 25 cells cross the z=0 plane; each rectangle = 5 vertex rows
+        blocks = [blk for blk in xy.split("\n\n") if blk.strip()
+                  and not blk.startswith("#")]
+        assert len(blocks) == 25
+        # octree leaves
+        oct_grid = OctreeGrid((-1, -1, -1, 1, 1, 1), None, min_level=1,
+                              max_level=1)
+        files = write_grid_plots(oct_grid, Units(style="SI"),
+                                 str(tmp_path), "o")
+        assert (tmp_path / "o_ds_gridxyz.dat").exists()
+
+    def test_sphere_and_cylinder(self, tmp_path):
+        from skirt_tpu.grids.sphere1d import Sphere1DGrid
+        from skirt_tpu.grids.cylinder2d import Cylinder2DGrid
+        from skirt_tpu.media.outputs import write_grid_plots
+        from skirt_tpu.units import Units
+
+        g1 = Sphere1DGrid(np.linspace(0, 1, 4))
+        files = write_grid_plots(g1, Units(style="SI"), str(tmp_path), "s")
+        assert len(files) == 3
+        assert "0.33333333" in (tmp_path / "s_ds_gridxy.dat").read_text()[:2000]
+        g2 = Cylinder2DGrid(np.linspace(0, 1, 4), np.linspace(-1, 1, 5))
+        write_grid_plots(g2, Units(style="SI"), str(tmp_path), "c")
+        assert (tmp_path / "c_ds_gridxz.dat").exists()
+
+    def test_driver_write_grid(self, tmp_path):
+        import jax.numpy as jnp
+        from skirt_tpu.engine.simulation import OligoSimulation
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.instruments import SEDInstrument
+        from skirt_tpu.log import SilentLog
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem, SimpleOligoDustMix)
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([0.55e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        b = np.linspace(-1, 1, 5)
+        grid = CartesianGrid(b, b, b)
+        mix = SimpleOligoDustMix(wg, [1.0], [0.4], [0.0])
+        dsys = DustSystem(grid, [DustComponent(
+            UniformSphereGeometry(0.9), mix, DustMassNormalization(1.0))],
+            samples_per_cell=1)
+        sim = OligoSimulation(stellar_system=ss,
+                              instruments=[SEDInstrument("sed", 10.0, 1)],
+                              dust_system=dsys, packets=256,
+                              log=SilentLog(), out_dir=str(tmp_path),
+                              write_grid=True)
+        sim.run()
+        for body in ("gridxy", "gridxz", "gridyz", "gridxyz"):
+            assert (tmp_path / f"skirt_tpu_ds_{body}.dat").exists()

@@ -263,3 +263,32 @@ class TestExtendedSkiElements:
                 Node("MultiFrameInstrument",
                      {"instrumentName": "m", "distance": "10 Mpc"},
                      {"frames": frames[:2]}), 3)
+
+
+class TestAmrvacSki:
+    """ref: AdaptiveMeshAmrvacFile ski element (the binary AMR format)."""
+
+    def test_amrvac_distribution(self, tmp_path):
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_imports import TestAmrvacImport
+        from skirt_tpu.grids.adaptivemesh import AdaptiveMeshGrid
+
+        snap = tmp_path / "snap.dat"
+        TestAmrvacImport._write_amrvac(str(snap))
+        ski_text = AMR_SKI.replace(
+            '<AdaptiveMeshAsciiFile filename="__AMRFILE__"/>',
+            '<AdaptiveMeshAmrvacFile filename="__AMRFILE__" '
+            'levelOneX="4" levelOneY="2" levelOneZ="2"/>').replace(
+            "__AMRFILE__", str(snap)).replace(
+            'minX="-1 m" maxX="1 m" minY="-1 m" maxY="1 m" minZ="-1 m" '
+            'maxZ="1 m"',
+            'minX="0 m" maxX="4 m" minY="0 m" maxY="2 m" minZ="0 m" '
+            'maxZ="2 m"')
+        ski = tmp_path / "amrvac.ski"
+        ski.write_text(ski_text)
+        sim = load_ski(str(ski), out_dir=str(tmp_path))
+        src_grid = sim.dust_system_out.grid
+        assert isinstance(src_grid, AdaptiveMeshGrid) \
+            or src_grid.ncells == 72
+        assert sim.dust_system_out.gridded_mass() > 0
