@@ -59,9 +59,12 @@ def main():
                          OpticalDepthNormalization("z", 0.55e-6, 1.0))
     dsys = DustSystem(grid, [comp], density_mode="analytic")
     ins = [SEDInstrument("sed", 3.08e23, nlambda, inclination=1.2)]
+    refill = int(os.environ.get("PAN_REFILL", "0"))
     opts = LifecycleOptions(store_absorption=True, deposition="sampled",
                             quadrature_panels=32, max_scatt_events=64,
-                            fused=fused)
+                            peel_panels=int(os.environ.get("PAN_PEEL", "8"))
+                            or None,
+                            refill_batches=refill, fused=fused)
     sim = PanSimulation(stellar_system=ss, instruments=ins,
                         dust_system=dsys, packets=packets,
                         self_absorption=False, log=SilentLog(),

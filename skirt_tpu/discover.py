@@ -321,7 +321,129 @@ SUPPORTED: dict[str, dict] = {
     "SIUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
     "StellarUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
     "ExtragalacticUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
+    # AMR mesh-file elements (dispatched on the child node inside
+    # build_simulation, not via a builder function)
+    "AdaptiveMeshAsciiFile": {"kind": "adaptiveMeshFile",
+                              "properties": ["filename"]},
+    "AdaptiveMeshAmrvacFile": {"kind": "adaptiveMeshFile",
+                               "properties": ["filename", "levelOneX",
+                                              "levelOneY", "levelOneZ"]},
 }
+
+
+# ---------------------------------------------------------------------------
+# registry derivation from the ski builders (single source of truth)
+# ---------------------------------------------------------------------------
+# ref: Discover/RegisterSimulationItems.cpp:201-449 registers 199 classes
+# against the Qt meta-object system; here the ski.py builder functions ARE
+# the registry, and static analysis of their dispatch branches derives the
+# schema entries, so schema export / LaTeX / console cover everything the
+# loader can build without a second hand-maintained list.
+
+_BUILDER_KINDS = {
+    "build_geometry": "geometry",
+    "build_sed": "sed",
+    "build_mix": "dustMix",
+    "build_grain_composition": "grainComposition",
+    "build_size_distribution": "grainSizeDistribution",
+    "build_dust_normalization": "dustCompNormalization",
+    "build_grid": "dustGrid",
+    "build_instrument": "instrument",
+    "build_wavelength_grid": "wavelengthGrid",
+    "build_stellar_component": "stellarComp",
+    "build_units": "units",
+}
+
+_ACCESSORS = ("scalar", "s", "vector", "boolean", "string", "enum")
+
+
+def _derive_registry() -> dict[str, dict]:
+    """Scan ski.py's builder dispatch for class names + property reads."""
+    import ast
+    import inspect
+
+    from . import ski as _ski
+
+    tree = ast.parse(inspect.getsource(_ski))
+    out: dict[str, dict] = {}
+
+    def class_names(test) -> list[str]:
+        # `n == "X"` or `n in ("X", "Y")`
+        if not (isinstance(test, ast.Compare) and len(test.ops) == 1):
+            return []
+        if not (isinstance(test.left, ast.Name) and test.left.id == "n"):
+            return []
+        cmp = test.comparators[0]
+        if isinstance(test.ops[0], ast.Eq) and isinstance(cmp, ast.Constant) \
+                and isinstance(cmp.value, str):
+            return [cmp.value]
+        if isinstance(test.ops[0], ast.In) and isinstance(cmp, ast.Tuple):
+            return [e.value for e in cmp.elts
+                    if isinstance(e, ast.Constant)
+                    and isinstance(e.value, str)]
+        return []
+
+    def scan(body):
+        props: list[str] = []
+        children: list[str] = []
+        for stmt in body:
+            for nd in ast.walk(stmt):
+                if isinstance(nd, ast.Call):
+                    f = nd.func
+                    name = (f.attr if isinstance(f, ast.Attribute)
+                            else f.id if isinstance(f, ast.Name) else None)
+                    if nd.args and isinstance(nd.args[0], ast.Constant) \
+                            and isinstance(nd.args[0].value, str):
+                        if name in _ACCESSORS:
+                            props.append(nd.args[0].value)
+                        elif name == "child":
+                            children.append(nd.args[0].value)
+                elif isinstance(nd, ast.Subscript) \
+                        and isinstance(nd.value, ast.Attribute) \
+                        and nd.value.attr == "attrs" \
+                        and isinstance(nd.slice, ast.Constant) \
+                        and isinstance(nd.slice.value, str):
+                    props.append(nd.slice.value)
+
+        def uniq(seq):
+            seen = set()
+            return [x for x in seq if not (x in seen or seen.add(x))]
+
+        return uniq(props), uniq(children)
+
+    for fn in tree.body:
+        if not isinstance(fn, ast.FunctionDef) \
+                or fn.name not in _BUILDER_KINDS:
+            continue
+        kind = _BUILDER_KINDS[fn.name]
+        for nd in ast.walk(fn):
+            if isinstance(nd, ast.If):
+                for nm in class_names(nd.test):
+                    props, children = scan(nd.body)
+                    entry = {"kind": kind, "properties": props}
+                    if children:
+                        entry["children"] = children
+                    out.setdefault(nm, entry)
+    return out
+
+
+def _merge_derived():
+    """Fold the builder-derived entries into SUPPORTED (hand-curated
+    entries keep their children lists; properties are unioned)."""
+    derived = _derive_registry()
+    for name, entry in derived.items():
+        if name not in SUPPORTED:
+            SUPPORTED[name] = entry
+        else:
+            cur = SUPPORTED[name]
+            for p in entry["properties"]:
+                if p not in cur.get("properties", []):
+                    cur.setdefault("properties", []).append(p)
+            if "children" not in cur and "children" in entry:
+                cur["children"] = entry["children"]
+
+
+_merge_derived()
 
 
 # ---------------------------------------------------------------------------

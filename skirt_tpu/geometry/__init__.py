@@ -28,7 +28,8 @@ from .axial import (
     MGEGeometry,
 )
 from .general import PointGeometry, BoxGeometry, LaserGeometry, UniformSphereGeometry
-from .foam import FoamGeometry, ReadFitsGeometry
+from .foam import (FoamAxGeometry, FoamGeometry,
+                   FoamGeometryDecorator, ReadFitsGeometry)
 from .special import (NetzerAccretionDiskGeometry, SpheBackgroundGeometry,
                       CubBackgroundGeometry, StellarSurfaceGeometry,
                       SolarPatchGeometry)
@@ -54,7 +55,8 @@ __all__ = [
     "ExpDiskGeometry", "BrokenExpDiskGeometry", "RingGeometry", "TorusGeometry",
     "ConicalShellGeometry", "TTauriDiskGeometry", "MGEGeometry",
     "PointGeometry", "BoxGeometry", "LaserGeometry", "UniformSphereGeometry",
-    "FoamGeometry", "ReadFitsGeometry", "NetzerAccretionDiskGeometry",
+    "FoamGeometry", "FoamGeometryDecorator", "FoamAxGeometry",
+    "ReadFitsGeometry", "NetzerAccretionDiskGeometry",
     "SpheBackgroundGeometry", "CubBackgroundGeometry",
     "StellarSurfaceGeometry", "SolarPatchGeometry",
     "Trust1Geometry", "Trust2Geometry", "Trust6Geometry", "Trust7aGeometry",

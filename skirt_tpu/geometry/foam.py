@@ -174,3 +174,114 @@ class ReadFitsGeometry(Geometry):
         return float(np.trapezoid(self.density(pts), x))
 
     sigma_y = sigma_x
+
+
+class FoamGeometryDecorator(Geometry):
+    """Alternative random-position generator over an arbitrary geometry.
+
+    ref: SKIRTcore/FoamGeometryDecorator.hpp:26-38 — wraps a geometry
+    whose density has no analytic sampler (e.g. clumpy decorators) in a
+    Foam importance sampler over a box extent; density delegates to the
+    wrapped geometry.  The reference's MC foam (Foam.hpp, 2,426 LoC) is
+    replaced by the octree-refined cell-CDF sampler (FoamGeometry).
+    """
+
+    def __init__(self, geometry: Geometry, extent, num_cells: int = 10000,
+                 max_level: int = 8, seed: int = 777):
+        self._geom = geometry
+        self.dimension = getattr(geometry, "dimension", 3)
+
+        def rho_np(pos):
+            return np.asarray(geometry.density(np.asarray(pos, np.float64)))
+
+        self._foam = FoamGeometry(rho_np, extent,
+                                  cells_target=int(num_cells),
+                                  max_level=max_level, seed=seed)
+
+    def density(self, pos):
+        return self._geom.density(pos)
+
+    def generate_position(self, key, n: int):
+        return self._foam.generate_position(key, n)
+
+    def sigma_x(self) -> float:
+        return self._geom.sigma_x()
+
+    def sigma_y(self) -> float:
+        return self._geom.sigma_y()
+
+    def sigma_z(self) -> float:
+        return self._geom.sigma_z()
+
+
+class FoamAxGeometry(Geometry):
+    """Axisymmetric geometry with non-analytic density, foam-sampled.
+
+    ref: SKIRTcore/FoamAxGeometry.hpp:41-44 — abstract base whose
+    subclasses implement the (R, z) density; position sampling runs the
+    importance sampler over the (R, z) half-plane with uniform azimuth.
+    Subclasses implement `radial_density(R, z)` (host numpy).
+    """
+
+    dimension = 2
+
+    def __init__(self, rmax: float, zmax: float, num_cells: int = 10000,
+                 seed: int = 779):
+        self.rmax = float(rmax)
+        self.zmax = float(zmax)
+        # 2-D (R, z) mass table: cell mass ~ rho * 2 pi R dR dz
+        nr = max(int(np.sqrt(num_cells)), 16)
+        nz = nr
+        Re = np.linspace(0.0, self.rmax, nr + 1)
+        Ze = np.linspace(-self.zmax, self.zmax, nz + 1)
+        Rc = 0.5 * (Re[:-1] + Re[1:])
+        Zc = 0.5 * (Ze[:-1] + Ze[1:])
+        RR, ZZ = np.meshgrid(Rc, Zc, indexing="ij")
+        rho = np.asarray(self.radial_density(RR.ravel(), ZZ.ravel()))
+        mass = (rho * 2.0 * np.pi * RR.ravel()
+                * (Re[1] - Re[0]) * (Ze[1] - Ze[0]))
+        total = mass.sum()
+        if total <= 0:
+            raise ValueError("density integrates to zero")
+        self._norm = 1.0 / total
+        self._cdf = np.asarray(
+            np.concatenate([[0.0], np.cumsum(mass / total)]), np.float32)
+        self._Rlo = np.asarray(np.repeat(Re[:-1], nz), np.float32)
+        self._Rhi = np.asarray(np.repeat(Re[1:], nz), np.float32)
+        self._Zlo = np.asarray(np.tile(Ze[:-1], nr), np.float32)
+        self._Zhi = np.asarray(np.tile(Ze[1:], nr), np.float32)
+
+    def radial_density(self, R, z):
+        raise NotImplementedError
+
+    def density(self, pos):
+        xp = array_namespace(pos)
+        if xp is not np:
+            raise NotImplementedError("FoamAx density is host-side")
+        p = np.asarray(pos, np.float64)
+        R = np.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+        return np.asarray(self.radial_density(R, p[..., 2])) * self._norm
+
+    def generate_position(self, key, n: int):
+        k1, k2, k3 = jax.random.split(key, 3)
+        u = rng.uniform_open(k1, (n,))
+        i = jnp.clip(jnp.searchsorted(jnp.asarray(self._cdf), u,
+                                      side="right") - 1,
+                     0, self._Rlo.shape[0] - 1)
+        w = jax.random.uniform(k2, (n, 2), dtype=jnp.float32)
+        # R sampled ~ R within the cell (area weighting)
+        Rlo = jnp.asarray(self._Rlo)[i]
+        Rhi = jnp.asarray(self._Rhi)[i]
+        R = jnp.sqrt(Rlo * Rlo + w[:, 0] * (Rhi * Rhi - Rlo * Rlo))
+        Z = jnp.asarray(self._Zlo)[i] + w[:, 1] * (
+            jnp.asarray(self._Zhi)[i] - jnp.asarray(self._Zlo)[i])
+        phi = 2.0 * jnp.pi * rng.uniform_open(k3, (n,))
+        return jnp.stack([R * jnp.cos(phi), R * jnp.sin(phi), Z], axis=-1)
+
+    def sigma_z(self) -> float:
+        z = np.linspace(-self.zmax, self.zmax, 4096)
+        rho = np.asarray(self.radial_density(np.zeros_like(z), z))
+        return float(np.trapezoid(rho, z)) * self._norm
+
+    sigma_x = sigma_z
+    sigma_y = sigma_z

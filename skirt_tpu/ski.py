@@ -268,6 +268,13 @@ def build_geometry(node: Node):
         return geo.SpiralStructureDecorator(
             base, int(s("arms")), s("pitch"), s("radius"), s("phase", 0.0),
             s("perturbWeight", 1.0), int(s("index", 1)))
+    if n == "FoamGeometryDecorator":
+        # ref: FoamGeometryDecorator.hpp — BoxGeometry extent + numCells
+        base = build_geometry(node.child("geometry"))
+        extent = (s("minX"), s("minY"), s("minZ"),
+                  s("maxX"), s("maxY"), s("maxZ"))
+        return geo.FoamGeometryDecorator(base, extent,
+                                         int(s("numCells", 10000)))
     raise SkiParseError(f"unsupported geometry '{n}'")
 
 
