@@ -126,13 +126,16 @@ class PanSimulation(OligoSimulation):
                              for c in self.dust_system.components]
         self.emissivity = self.emissivities[0]
         self.transient = None
+        self.transients = None
         if self.emissivity_kind == "transient":
-            if self.dust_system.ncomp != 1:
-                raise NotImplementedError(
-                    "transient emission currently supports one dust component")
+            # one stochastic-heating solver per dust component; emission
+            # blends by each component's absorbed share (ref:
+            # TransientDustEmissivity solves per population of any mix;
+            # DustLib's EmissionCalculator sums over components)
             from ..media.transient import TransientEmissivity
-            self.transient = TransientEmissivity(
-                self.dust_system.components[0].mix)
+            self.transients = [TransientEmissivity(c.mix)
+                               for c in self.dust_system.components]
+            self.transient = self.transients[0]
 
         # dust-emission lifecycle variants.  Persistent-lane refill only
         # applies to the stellar launch (the dust launch_fn samples from
@@ -239,13 +242,29 @@ class PanSimulation(OligoSimulation):
         entry (ref: Dim1DustLib — bins by ISRF strength, DustLib.cpp:57-195
         with the mean ISRF per entry from EmissionCalculator).
         """
-        mix = self.dust_system.components[0].mix
-        kabs = np.asarray(mix.kappaabs64)
+        ds = self.dust_system
         dlam = self.wavelength_grid.dlambdav
-        inv = np.asarray(self._inv4pivrho)
+        V = ds.volumes
+        # mixture absorption coefficient per (cell, lambda): the radiation
+        # field follows from the TOTAL absorbed power, J = Labs /
+        # (4 pi V dlam sum_h kappaabs_h rho_h)
+        kr = np.zeros_like(labs_full)
+        for h, c in enumerate(ds.components):
+            kr += np.asarray(c.mix.kappaabs64)[None, :] \
+                * ds.rho64[h][:, None]
         with np.errstate(divide="ignore", invalid="ignore"):
-            J = labs_full * inv[:, None] / (kabs[None, :] * dlam[None, :])
+            J = labs_full / (4.0 * np.pi * V[:, None] * dlam[None, :] * kr)
         J = np.where(np.isfinite(J), J, 0.0).astype(np.float32)
+        # per-cell component shares of the re-emitted power:
+        # A_h = rho_h int kappaabs_h J dlam  (ref: EmissionCalculator sums
+        # component emissivities weighted by density)
+        A = np.stack([ds.rho64[h]
+                      * (np.asarray(c.mix.kappaabs64)[None, :] * J
+                         * dlam[None, :]).sum(axis=1)
+                      for h, c in enumerate(ds.components)])
+        Atot = np.maximum(A.sum(axis=0), 1e-300)
+        shares = A / Atot
+        kabs = kr / np.maximum(ds.rho64.sum(axis=0), 1e-300)[:, None]
 
         if isinstance(self.dust_lib, tuple) and self.dust_lib[0] in ("dim1",
                                                                      "dim2"):
@@ -286,15 +305,22 @@ class PanSimulation(OligoSimulation):
             np.add.at(sums, entry, J)
             counts = np.bincount(entry, minlength=nentries)[:, None]
             Jlib = (sums / np.maximum(counts, 1)).astype(np.float32)
-            frac_lib = self._solve_chunks(Jlib)
-            return jnp.asarray(frac_lib[entry])
+            frac = 0.0
+            for h, tr in enumerate(self.transients):
+                frac_lib = self._solve_chunks(Jlib, tr)
+                frac = frac + shares[h][:, None] * frac_lib[entry]
+            return jnp.asarray(frac)
 
-        return jnp.asarray(self._solve_chunks(J))
+        frac = 0.0
+        for h, tr in enumerate(self.transients):
+            frac = frac + shares[h][:, None] * self._solve_chunks(J, tr)
+        return jnp.asarray(frac)
 
-    def _solve_chunks(self, J):
+    def _solve_chunks(self, J, transient=None):
+        transient = transient or self.transient
         out = np.empty_like(J)
-        chunk = self.transient.chunk
-        fractions = jax.jit(self.transient.fractions_from_J)
+        chunk = transient.chunk
+        fractions = jax.jit(transient.fractions_from_J)
         for i in range(0, J.shape[0], chunk):
             block = J[i:i + chunk]
             pad = chunk - block.shape[0]
