@@ -736,6 +736,7 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                               Lsca=jnp.zeros(n, jnp.float32), labs=labs_c)
                 if continuous:
                     carry0["ins"] = ins_tallies
+                    carry0["segi"] = jnp.int32(0)
 
                 def seg(carry, cell, ds_len, t_exit):
                     ksca, kext = ds.ksca_kext_from(cell, ksca_pk, kext_pk)
@@ -754,11 +755,16 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     if continuous:
                         # ref: continuouspeeloffscattering — peel-off from
                         # this path segment with weight
-                        # albedo*exp(-tau0)*(1-e^-dtau); the segment midpoint
-                        # stands in for the reference's random in-segment
-                        # position (sub-cell pixel assignment)
-                        s_mid = t_exit - 0.5 * ds_len
-                        seg_pos = pos + s_mid[:, None] * direction
+                        # albedo*exp(-tau0)*(1-e^-dtau), at a RANDOM
+                        # in-segment position (s = s0 + uniform()*ds,
+                        # MonteCarloSimulation.cpp:408)
+                        segi = carry["segi"]
+                        u_seg = rng.uniform_open(
+                            jax.random.fold_in(
+                                jax.random.fold_in(k1, 3), segi), (n,))
+                        s_rand = t_exit - u_seg * ds_len
+                        seg_pos = pos + s_rand[:, None] * direction
+                        new["segi"] = segi + 1
                         t2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
                         for i, peel in enumerate(peels):
                             kobs_i = instruments[i].observer_direction(
