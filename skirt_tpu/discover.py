@@ -321,13 +321,27 @@ SUPPORTED: dict[str, dict] = {
     "SIUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
     "StellarUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
     "ExtragalacticUnits": {"kind": "units", "properties": ["fluxOutputStyle"]},
-    # AMR mesh-file elements (dispatched on the child node inside
-    # build_simulation, not via a builder function)
+    # AMR mesh-file elements and distributions (dispatched on node names
+    # inside build_simulation, not via a builder function)
     "AdaptiveMeshAsciiFile": {"kind": "adaptiveMeshFile",
                               "properties": ["filename"]},
     "AdaptiveMeshAmrvacFile": {"kind": "adaptiveMeshFile",
                                "properties": ["filename", "levelOneX",
                                               "levelOneY", "levelOneZ"]},
+    "AdaptiveMeshDustDistribution": {
+        "kind": "dustDistribution",
+        "properties": ["minX", "maxX", "minY", "maxY", "minZ", "maxZ",
+                       "densityUnits"],
+        "children": ["adaptiveMeshFile", "components"]},
+    "SphericalAdaptiveMeshDustDistribution": {
+        "kind": "dustDistribution",
+        "properties": ["innerRadius", "outerRadius", "densityUnits"],
+        "children": ["adaptiveMeshFile", "components"]},
+    "CompDustDistribution": {"kind": "dustDistribution",
+                             "children": ["components"]},
+    "MeshDustComponent": {"kind": "meshDustComponent",
+                          "properties": ["densityIndex", "densityFraction"],
+                          "children": ["mix"]},
 }
 
 

@@ -310,3 +310,111 @@ class AdaptiveMeshGeometry(Geometry):
 
     sigma_y = sigma_x
     sigma_z = sigma_x
+
+
+class SphericalAdaptiveMeshGeometry(Geometry):
+    """AMR snapshot interpreted in spherical coordinates (r, theta, phi).
+
+    ref: SKIRTcore/SphericalAdaptiveMesh.cpp — the same adaptive-mesh
+    file walks a domain box (rin, 0, 0)-(rout, pi, 2 pi); leaf "boxes"
+    are spherical shell sectors with volume (r2^3 - r1^3)/3 *
+    (cos t1 - cos t2) * (phi2 - phi1).
+    """
+
+    dimension = 3
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray, values: np.ndarray):
+        self.lo = np.asarray(lo, np.float64)     # (r, theta, phi) corners
+        self.hi = np.asarray(hi, np.float64)
+        vals = np.clip(np.asarray(values, np.float64), 0.0, None)
+        r1, r2 = self.lo[:, 0], self.hi[:, 0]
+        t1, t2 = self.lo[:, 1], self.hi[:, 1]
+        p1, p2 = self.lo[:, 2], self.hi[:, 2]
+        self.volumes = ((r2 ** 3 - r1 ** 3) / 3.0
+                        * (np.cos(t1) - np.cos(t2)) * (p2 - p1))
+        masses = vals * self.volumes
+        total = masses.sum()
+        if total <= 0:
+            raise ValueError("spherical AMR snapshot has zero total mass")
+        self.rho = vals / total
+        self._mass_cdf = np.concatenate([[0.0],
+                                         np.cumsum(masses / total)])
+        centers = 0.5 * (self.lo + self.hi)
+        self._tree = cKDTree(centers)
+        # device tables for sampling
+        self._lo_dev = np.asarray(self.lo, np.float32)
+        self._hi_dev = np.asarray(self.hi, np.float32)
+        self._cdf_dev = np.asarray(self._mass_cdf, np.float32)
+
+    @classmethod
+    def from_file(cls, path: str, rin: float, rout: float,
+                  density_column: int = 0):
+        extent = (rin, 0.0, 0.0, rout, np.pi, 2.0 * np.pi)
+        return cls(*load_amr_ascii(path, extent, density_column))
+
+    @classmethod
+    def from_amrvac(cls, path: str, rin: float, rout: float,
+                    levelone=(1, 1, 1), density_column: int = 0):
+        extent = (rin, 0.0, 0.0, rout, np.pi, 2.0 * np.pi)
+        return cls(*load_amr_amrvac(path, extent, levelone, density_column))
+
+    def _spherical(self, pts):
+        r = np.linalg.norm(pts, axis=-1)
+        theta = np.arccos(np.clip(
+            np.divide(pts[..., 2], np.maximum(r, 1e-300)), -1.0, 1.0))
+        phi = np.arctan2(pts[..., 1], pts[..., 0])
+        phi = np.where(phi < 0, phi + 2.0 * np.pi, phi)
+        return np.stack([r, theta, phi], axis=-1)
+
+    def _leaf_of(self, sph):
+        k = min(8, self.lo.shape[0])
+        _, cand = self._tree.query(sph, k=k, workers=-1)
+        cand = np.atleast_2d(cand)
+        out = np.full(sph.shape[0], -1, dtype=np.int64)
+        for col in range(cand.shape[1]):
+            idx = cand[:, col]
+            inside = np.all((sph >= self.lo[idx]) & (sph <= self.hi[idx]),
+                            axis=1)
+            out = np.where((out < 0) & inside, idx, out)
+        return out
+
+    def density(self, pos):
+        xp = array_namespace(pos)
+        if xp is not np:
+            raise NotImplementedError(
+                "spherical AMR density is evaluated host-side at setup")
+        pts = np.atleast_2d(np.asarray(pos, np.float64))
+        leaf = self._leaf_of(self._spherical(pts))
+        rho = np.where(leaf >= 0, self.rho[np.clip(leaf, 0, None)], 0.0)
+        return rho.reshape(np.asarray(pos).shape[:-1])
+
+    def generate_position(self, key, n: int):
+        k1, k2 = jax.random.split(key)
+        u = rng.uniform_open(k1, (n,))
+        i = jnp.clip(jnp.searchsorted(jnp.asarray(self._cdf_dev), u,
+                                      side="right") - 1,
+                     0, self.lo.shape[0] - 1)
+        lo_d = jnp.asarray(self._lo_dev)[i]
+        hi_d = jnp.asarray(self._hi_dev)[i]
+        w = jax.random.uniform(k2, (n, 3), dtype=jnp.float32)
+        # uniform density within the sector: r ~ r^2 dr, cos(theta)
+        # uniform, phi uniform
+        r = (lo_d[:, 0] ** 3
+             + w[:, 0] * (hi_d[:, 0] ** 3 - lo_d[:, 0] ** 3)) ** (1.0 / 3.0)
+        c1 = jnp.cos(lo_d[:, 1])
+        c2 = jnp.cos(hi_d[:, 1])
+        ct = c1 + w[:, 1] * (c2 - c1)
+        st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+        phi = lo_d[:, 2] + w[:, 2] * (hi_d[:, 2] - lo_d[:, 2])
+        return jnp.stack([r * st * jnp.cos(phi), r * st * jnp.sin(phi),
+                          r * ct], axis=-1)
+
+    def sigma_x(self) -> float:
+        rout = float(self.hi[:, 0].max())
+        x = np.linspace(-rout, rout, 4096)
+        pts = np.zeros((x.size, 3))
+        pts[:, 0] = x
+        return float(np.trapezoid(self.density(pts), x))
+
+    sigma_y = sigma_x
+    sigma_z = sigma_x

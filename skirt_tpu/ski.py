@@ -790,6 +790,34 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                 amr_grid_source = (mesh_file, extent,
                                    amrvac_to_ascii_lines(mesh_file,
                                                          levelone))
+        elif dist_node is not None and \
+                dist_node.name == "SphericalAdaptiveMeshDustDistribution":
+            # ref: SphericalAdaptiveMeshDustDistribution.hpp — the same
+            # mesh file interpreted in (r, theta, phi) over a shell
+            from .imports.amr import SphericalAdaptiveMeshGeometry
+            s = dist_node.scalar
+            rin, rout = s("innerRadius"), s("outerRadius")
+            mesh_node = dist_node.child("adaptiveMeshFile")
+            mesh_file = mesh_node.attrs["filename"] if mesh_node else \
+                dist_node.attrs["filename"]
+            rho_units = dist_node.scalar("densityUnits", 1.0)
+            for cn in comp_nodes:
+                col = int(cn.scalar("densityIndex", 0))
+                geom = SphericalAdaptiveMeshGeometry.from_file(
+                    mesh_file, rin, rout, col)
+                mix = build_mix(cn.child("mix"), wg)
+                frac = cn.scalar("densityFraction", 1.0)
+                # geometry normalizes to unit mass; recover the absolute
+                # integrated density from the parsed leaves
+                from .imports.amr import load_amr_ascii as _la
+                _, _, raw_vals = _la(mesh_file,
+                                     (rin, 0.0, 0.0, rout, np.pi,
+                                      2.0 * np.pi), col)
+                total_mass = float((np.clip(raw_vals, 0, None)
+                                    * geom.volumes).sum())
+                dcomps.append(DustComponent(
+                    geom, mix,
+                    DustMassNormalization(total_mass * rho_units * frac)))
         else:
             for cn in comp_nodes:
                 g = build_geometry(cn.child("geometry"))

@@ -579,3 +579,46 @@ class TestGridPlots:
         sim.run()
         for body in ("gridxy", "gridxz", "gridyz", "gridxyz"):
             assert (tmp_path / f"skirt_tpu_ds_{body}.dat").exists()
+
+
+class TestSphericalAdaptiveMesh:
+    """ref: SphericalAdaptiveMesh.cpp — AMR file in (r, theta, phi)."""
+
+    def test_volumes_density_sampling(self, tmp_path):
+        import jax
+        from skirt_tpu.imports.amr import SphericalAdaptiveMeshGeometry
+
+        # two radial shells (r-split), uniform in angle: ! 2 1 1
+        p = tmp_path / "sph.amr"
+        p.write_text("! 2 1 1\n5.0\n1.0\n")
+        rin, rout = 1.0, 3.0
+        g = SphericalAdaptiveMeshGeometry.from_file(str(p), rin, rout)
+        rmid = 0.5 * (rin + rout)
+        v_in = 4 * np.pi / 3 * (rmid ** 3 - rin ** 3)
+        v_out = 4 * np.pi / 3 * (rout ** 3 - rmid ** 3)
+        np.testing.assert_allclose(g.volumes, [v_in, v_out], rtol=1e-12)
+        # normalized density ratio matches the file values
+        pts = np.array([[1.5, 0, 0], [0, 0, 2.5], [0.5, 0, 0]])
+        rho = g.density(pts)
+        assert rho[0] / rho[1] == pytest.approx(5.0, rel=1e-9)
+        assert rho[2] == 0.0                    # inside the inner cavity
+        total = (g.rho * g.volumes).sum()
+        assert total == pytest.approx(1.0, rel=1e-12)
+        # sampling: radii within the shell, mass split matches 5:1 values
+        pos = np.asarray(g.generate_position(jax.random.key(0), 20000))
+        r = np.linalg.norm(pos, axis=1)
+        assert r.min() >= rin - 1e-6 and r.max() <= rout + 1e-6
+        frac_in = (r < rmid).mean()
+        expect = 5 * v_in / (5 * v_in + v_out)
+        assert frac_in == pytest.approx(expect, abs=0.02)
+
+    def test_angular_sectors(self, tmp_path):
+        from skirt_tpu.imports.amr import SphericalAdaptiveMeshGeometry
+
+        # theta-split: dense northern hemisphere
+        p = tmp_path / "sph2.amr"
+        p.write_text("! 1 2 1\n3.0\n1.0\n")
+        g = SphericalAdaptiveMeshGeometry.from_file(str(p), 0.5, 2.0)
+        north = g.density(np.array([[0.0, 0.0, 1.0]]))[0]
+        south = g.density(np.array([[0.0, 0.0, -1.0]]))[0]
+        assert north / south == pytest.approx(3.0, rel=1e-9)
