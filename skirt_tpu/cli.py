@@ -33,6 +33,13 @@ def main(argv=None):
                         help="emulation mode: 1 packet, no self-absorption")
     parser.add_argument("-b", "--brief", action="store_true",
                         help="brief console logging")
+    parser.add_argument("-m", "--memory", action="store_true",
+                        help="report memory usage with every log message")
+    parser.add_argument("-l", "--log-allocations", type=float, default=None,
+                        metavar="GB",
+                        help="log device/host memory growth above this "
+                             "many GB between phases (the reference's "
+                             "per-Array allocation logging analog)")
     parser.add_argument("--fast", action="store_true",
                         help="TPU-native fast estimators where the model "
                              "allows: analytic midpoint densities + sampled "
@@ -104,7 +111,11 @@ def main(argv=None):
     from .errors import install_signal_handlers
     install_signal_handlers()
 
-    log = Log(lowest="warning" if args.brief else "info")
+    log = Log(lowest="warning" if args.brief else "info",
+              with_memory=args.memory)
+    if args.log_allocations is not None:
+        from .diagnostics import AllocationLogger
+        AllocationLogger.install(log, args.log_allocations)
     failed = 0
     for path in paths:
         prefix = os.path.splitext(os.path.basename(path))[0]

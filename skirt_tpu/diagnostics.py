@@ -86,3 +86,42 @@ def format_memory(stats: dict | None = None) -> str:
         parts.append(f"device {fmt(s['device_bytes_in_use'])} of "
                      f"{fmt(s.get('device_bytes_limit'))}")
     return ", ".join(parts)
+
+
+class AllocationLogger:
+    """Phase-boundary memory-growth logging.
+
+    ref: Fundamentals/MemoryLogger.hpp + the reference's `-l` flag
+    (per-Array allocation logging, SkirtCommandLineHandler.cpp:286-330).
+    XLA owns device allocations, so the per-Array hook becomes a sampler:
+    `check(tag)` logs host-RSS/device growth above the threshold since
+    the previous check; Log.timer scopes call it automatically once
+    installed.
+    """
+
+    _instance = None
+
+    def __init__(self, log, limit_gb: float):
+        self.log = log
+        self.limit = float(limit_gb) * (1 << 30)
+        self._last = memory_statistics()
+
+    @classmethod
+    def install(cls, log, limit_gb: float):
+        cls._instance = cls(log, limit_gb)
+        return cls._instance
+
+    @classmethod
+    def active(cls):
+        return cls._instance
+
+    def check(self, tag: str) -> None:
+        now = memory_statistics()
+        for key, label in (("current_rss", "host RSS"),
+                           ("device_bytes_in_use", "device memory")):
+            a, b = self._last.get(key), now.get(key)
+            if a is not None and b is not None and b - a >= self.limit:
+                self.log.info(f"[alloc] {label} grew "
+                              f"{(b - a) / (1 << 30):.2f} GB during {tag} "
+                              f"(now {b / (1 << 30):.2f} GB)")
+        self._last = now

@@ -19,17 +19,24 @@ class Log:
     """A console logger optionally linked to a file log."""
 
     def __init__(self, verbose: bool = True, lowest: str = "info",
-                 file_path: str | None = None, use_color: bool | None = None):
+                 file_path: str | None = None, use_color: bool | None = None,
+                 with_memory: bool = False):
         self.verbose = verbose
         self.lowest = _LEVELS[lowest]
         self._file = open(file_path, "w") if file_path else None
         self._t0 = time.time()
         self.use_color = use_color if use_color is not None else sys.stdout.isatty()
+        # per-message memory usage (ref: the reference's -m flag,
+        # Log.hpp:48-109 / SkirtCommandLineHandler.cpp:286-330)
+        self.with_memory = with_memory
 
     def _emit(self, level: str, message: str) -> None:
         if _LEVELS[level] < self.lowest:
             return
         stamp = time.strftime("%d/%m/%Y %H:%M:%S")
+        if self.with_memory:
+            from .diagnostics import format_memory
+            stamp += f" ({format_memory()})"
         line = f"{stamp}  {message}"
         if self.use_color and _COLORS[level]:
             print(f"{_COLORS[level]}{line}{_RESET}", flush=True)
@@ -64,6 +71,10 @@ class Log:
         finally:
             dt = time.perf_counter() - t0
             self.success(f"Finished {scope} in {dt:.1f} s.")
+            from .diagnostics import AllocationLogger
+            alloc = AllocationLogger.active()
+            if alloc is not None:
+                alloc.check(scope)
 
     def close(self) -> None:
         if self._file:

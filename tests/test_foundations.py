@@ -220,3 +220,25 @@ class TestErrors:
         bad.write_text("<not-a-ski/>")
         rc = main([str(bad), "-o", str(tmp_path), "-b"])
         assert rc == 1
+
+
+class TestMemoryLogging:
+    def test_with_memory_log_lines(self, capsys):
+        from skirt_tpu.log import Log
+        log = Log(use_color=False, with_memory=True)
+        log.info("hello")
+        out = capsys.readouterr().out
+        assert "hello" in out and "RSS" in out
+
+    def test_allocation_logger(self, capsys):
+        from skirt_tpu.diagnostics import AllocationLogger
+        from skirt_tpu.log import Log
+        log = Log(use_color=False)
+        al = AllocationLogger.install(log, limit_gb=1e-9)
+        # allocate something noticeable on the host
+        blob = bytearray(64 << 20)
+        al.check("the test phase")
+        out = capsys.readouterr().out
+        assert "[alloc]" in out and "the test phase" in out
+        del blob
+        AllocationLogger._instance = None
