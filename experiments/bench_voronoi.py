@@ -62,6 +62,10 @@ def main():
     mass = 2.0 / (2600.0) * (4 / 3 * np.pi * (1.8 * KPC) ** 3) / (1.8 * KPC)
     comp = DustComponent(sphere, mix, DustMassNormalization(mass))
     dsys = DustSystem(grid, [comp], density_mode=mode)
+    if os.environ.get("VORONOI_VOXEL", "0") == "1":
+        dsys, _fold = dsys.voxelized()
+        grid = dsys.grid
+        print(f"voxelized: {grid.nx}^3", flush=True)
     ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
     opts = LifecycleOptions(store_absorption=True, max_scatt_events=64,
                             deposition=("sampled" if mode == "analytic"

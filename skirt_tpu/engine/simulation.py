@@ -75,8 +75,12 @@ class OligoSimulation:
         # voxel -> leaf cell at phase end.  See DustSystem.voxelized.
         self.dust_system_out = dust_system   # original (outputs/diagnostics)
         self._labs_fold = None
-        if (dust_system is not None and self._auto_voxelize
-                and getattr(self.options, "voxelize", None) is not False):
+        vox_opt = getattr(self.options, "voxelize", None)
+        vox_ok = (vox_opt is True
+                  or (vox_opt is not False and dust_system is not None
+                      and getattr(dust_system.grid, "voxelize_exact",
+                                  False)))
+        if dust_system is not None and self._auto_voxelize and vox_ok:
             v = dust_system.voxelized()
             if v is not None:
                 dust_system, self._labs_fold = v

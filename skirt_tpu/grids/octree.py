@@ -37,6 +37,7 @@ class OctreeGrid:
     dust density field."""
 
     dimension = 3
+    voxelize_exact = True      # leaves are unions of finest-level voxels
 
     def __init__(self, extent, density_fn=None, *, min_level: int = 2,
                  max_level: int = 6, max_mass_fraction: float = 1e-6,

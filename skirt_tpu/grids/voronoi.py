@@ -35,6 +35,7 @@ _BIG = 3.4e38  # float32 max-ish sentinel (plain float: no backend init at impor
 
 class VoronoiGrid:
     dimension = 3
+    voxelize_exact = False     # nearest-site rasterization approximates
 
     def __init__(self, sites: np.ndarray, extent, *,
                  volume_samples: int = 64, seed: int = 31337,
@@ -148,6 +149,40 @@ class VoronoiGrid:
         return jnp.asarray(self._bb_hi_np)
 
     # -- host metadata -----------------------------------------------------
+
+    def voxelize(self, max_voxels: int = 1 << 24,
+                 resolution: int | None = None):
+        """APPROXIMATE uniform-voxel view: nearest-site rasterization.
+
+        Unlike tree grids (exact: leaves are voxel unions), Voronoi cell
+        walls cut voxels, so the voxel field differs from the exact
+        tessellation at the voxel scale — an additional discretization on
+        top of the MC-sampled cell densities the reference already
+        accepts (DustSystem.cpp:41 _Nrandom=100).  Default resolution
+        targets ~8 voxels per cell per axis, capped by max_voxels.
+        Returns (CartesianGrid, cell_of_voxel).  Opt-in
+        (LifecycleOptions.voxelize=True): the driver engages it only on
+        request, and tallies still fold to Voronoi cells.
+        """
+        from scipy.spatial import cKDTree
+
+        from .cartesian import CartesianGrid
+
+        lo, hi = self._lo, self._hi
+        if resolution is None:
+            resolution = int(min(8.0 * self.ncells ** (1.0 / 3.0),
+                                 np.floor(max_voxels ** (1.0 / 3.0))))
+        n = max(int(resolution), 8)
+        if n ** 3 > max_voxels:
+            n = int(np.floor(max_voxels ** (1.0 / 3.0)))
+        axes = [np.linspace(lo[a], hi[a], n + 1) for a in range(3)]
+        centers = [0.5 * (b[:-1] + b[1:]) for b in axes]
+        X, Y, Z = np.meshgrid(*centers, indexing="ij")
+        pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+        tree = cKDTree(self.sites64)
+        _, cell_of = tree.query(pts, workers=-1)
+        return (CartesianGrid(axes[0], axes[1], axes[2]),
+                cell_of.astype(np.int32))
 
     def bounding_box(self):
         return tuple(self.extent)

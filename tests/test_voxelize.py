@@ -141,3 +141,62 @@ class TestLifecycleParity:
         np.testing.assert_allclose(f1, f2, rtol=0.08)
         assert acc2["labs"].sum() == pytest.approx(acc["labs"].sum(),
                                                    rel=0.08)
+
+
+class TestVoronoiVoxelize:
+    """Approximate nearest-site rasterization for Voronoi grids (opt-in)."""
+
+    def _voronoi_setup(self):
+        from skirt_tpu.geometry import GaussianGeometry
+        from skirt_tpu.grids.voronoi import VoronoiGrid
+
+        rs = np.random.default_rng(7)
+        sites = rs.uniform(-0.9, 0.9, (300, 3))
+        grid = VoronoiGrid(sites, (-1, -1, -1, 1, 1, 1))
+        wg = OligoWavelengthGrid([0.55e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        mix = SimpleOligoDustMix(wg, [1.0], [0.5], [0.3])
+        from skirt_tpu.media import DustMassNormalization
+        from skirt_tpu.geometry import UniformSphereGeometry
+        comp = DustComponent(UniformSphereGeometry(0.9), mix,
+                             DustMassNormalization(2.0))
+        dsys = DustSystem(grid, [comp], samples_per_cell=4)
+        return wg, ss, grid, dsys
+
+    def test_rasterization_matches_sites(self):
+        wg, ss, grid, dsys = self._voronoi_setup()
+        cart, cell_of = grid.voxelize(resolution=24)
+        assert cart.ncells == 24 ** 3
+        # voxel centers map to their nearest site
+        centers = cart.cell_centers()
+        d_own = np.linalg.norm(centers - grid.sites64[cell_of], axis=1)
+        rs = np.random.default_rng(1)
+        probe = rs.integers(0, len(centers), 200)
+        for i in probe:
+            d_all = np.linalg.norm(grid.sites64 - centers[i], axis=1).min()
+            assert d_own[i] <= d_all + 1e-12
+
+    def test_not_auto_engaged_but_opt_in_works(self, tmp_path):
+        wg, ss, grid, dsys = self._voronoi_setup()
+        ins = [SEDInstrument("sed", 100.0, 1, inclination=0.8, azimuth=0.5)]
+        sim = OligoSimulation(
+            stellar_system=ss, instruments=ins, dust_system=dsys,
+            packets=3000, log=SilentLog(), out_dir=str(tmp_path),
+            options=LifecycleOptions(store_absorption=True))
+        assert sim._labs_fold is None            # approximate: not auto
+        acc_exact = sim.run()
+
+        sim2 = OligoSimulation(
+            stellar_system=ss, instruments=ins, dust_system=dsys,
+            packets=3000, log=SilentLog(), out_dir=str(tmp_path),
+            options=LifecycleOptions(store_absorption=True, voxelize=True))
+        assert sim2._labs_fold is not None       # opt-in engages
+        acc_vox = sim2.run()
+        assert acc_vox["labs"].shape == (grid.ncells,)
+        f1 = acc_exact["instruments"][0]["Ftot"]
+        f2 = acc_vox["instruments"][0]["Ftot"]
+        # approximate field: agreement at the voxel-discretization level
+        np.testing.assert_allclose(f2, f1, rtol=0.1)
+        assert acc_vox["labs"].sum() == pytest.approx(
+            acc_exact["labs"].sum(), rel=0.1)
