@@ -360,7 +360,7 @@ _BUILDER_KINDS = {
     "build_mix": "dustMix",
     "build_grain_composition": "grainComposition",
     "build_size_distribution": "grainSizeDistribution",
-    "build_dust_normalization": "dustCompNormalization",
+    "build_dust_normalization": "dustNormalization",
     "build_grid": "dustGrid",
     "build_instrument": "instrument",
     "build_wavelength_grid": "wavelengthGrid",
