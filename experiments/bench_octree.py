@@ -55,18 +55,55 @@ def main():
     fused = os.environ.get("OCTREE_FUSED", "0") == "1"
     store_abs = os.environ.get("OCTREE_ABS", "0" if fused else "1") == "1"
     voxel = os.environ.get("OCTREE_VOXEL", "0") == "1"
+    fast_peel = os.environ.get("OCTREE_PEEL", "0") == "1"
     dsys = DustSystem(grid, [comp], samples_per_cell=8, density_mode=dmode)
+    table = os.environ.get("OCTREE_TABLE", "0") == "1"
     fold = None
-    if voxel:
+    if voxel or table:
         # exact uniform-voxel view: Cartesian DDA instead of the tree walk
         dsys, fold = dsys.voxelized()
         grid = dsys.grid
         print(f"voxelized: {grid.nx}x{grid.ny}x{grid.nz}", flush=True)
+    if table:
+        # panel-sampled table densities (gathers at panel midpoints)
+        dsys = dsys.as_table()
+        dmode = "table"
     ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+    n = 1 << int(os.environ.get("OCTREE_LOG2N", "15"))
+    sim_mode = os.environ.get("OCTREE_SIM", "0") == "1"
+    if sim_mode:
+        # driver-level timing: auto-voxelize + survivor compaction +
+        # dispatch folding, i.e. what `OligoSimulation.run` actually does
+        from skirt_tpu.engine.simulation import OligoSimulation
+        from skirt_tpu.log import SilentLog
+        comp_k = int(os.environ.get("OCTREE_COMPACT", "8"))
+        opts = LifecycleOptions(store_absorption=store_abs,
+                                max_scatt_events=64,
+                                deposition=("sampled" if dmode == "analytic"
+                                            else "path"),
+                                fast_peeloff=fast_peel)
+        sim = OligoSimulation(stellar_system=ss, instruments=ins,
+                              dust_system=dsys, packets=n,
+                              batch_size=min(n, 1 << 17),
+                              options=opts, log=SilentLog(),
+                              compaction_iterations=comp_k)
+        key = rng.root_key(4357)
+        acc = sim._run_phase(key, phase_tag=0)   # warm-up/compile
+        t0 = time.perf_counter()
+        acc = sim._run_phase(jax.random.fold_in(key, 1), phase_tag=0)
+        dt = time.perf_counter() - t0
+        print(f"octree driver (mode={dmode} voxel=auto compact={comp_k} "
+              f"peel={fast_peel}): {n / dt:,.0f} packets/s "
+              f"({dt:.2f}s per {n} packets)", flush=True)
+        return
     opts = LifecycleOptions(store_absorption=store_abs, max_scatt_events=64,
-                            deposition=("sampled" if dmode == "analytic"
+                            deposition=("sampled" if dmode in ("analytic",
+                                                               "table")
                                         else "path"),
-                            quadrature_panels=(32 if fused else None),
+                            quadrature_panels=(32 if (fused or table)
+                                               else None),
+                            peel_panels=(8 if table else None),
+                            fast_peeloff=fast_peel,
                             fused=fused)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
 
@@ -87,7 +124,7 @@ def main():
     out = run(jax.random.fold_in(key, 1), ell, L0, tallies())
     _sync(out)
     dt = time.perf_counter() - t0
-    print(f"octree lifecycle (mode={dmode} fused={fused} abs={store_abs}): {n / dt:,.0f} packets/s "
+    print(f"octree lifecycle (mode={dmode} fused={fused} abs={store_abs} voxel={voxel} peel={fast_peel}): {n / dt:,.0f} packets/s "
           f"({dt:.2f}s per {n} packets)", flush=True)
 
 

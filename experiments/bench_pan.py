@@ -59,7 +59,7 @@ def main():
                          OpticalDepthNormalization("z", 0.55e-6, 1.0))
     dsys = DustSystem(grid, [comp], density_mode="analytic")
     ins = [SEDInstrument("sed", 3.08e23, nlambda, inclination=1.2)]
-    refill = int(os.environ.get("PAN_REFILL", "0"))
+    refill = int(os.environ.get("PAN_REFILL", "128"))
     opts = LifecycleOptions(store_absorption=True, deposition="sampled",
                             quadrature_panels=32, max_scatt_events=64,
                             peel_panels=int(os.environ.get("PAN_PEEL", "8"))
@@ -73,11 +73,17 @@ def main():
 
     t0 = time.perf_counter()
     acc = sim.run()
+    dt_cold = time.perf_counter() - t0
+    # the axon TPU plugin does not hit the persistent compile cache across
+    # processes, so the first run is compile-dominated; the warm second run
+    # is the steady-state number
+    t0 = time.perf_counter()
+    acc = sim.run()
     dt = time.perf_counter() - t0
     total_packets = packets * nlambda * 2  # stellar + dust emission phase
     F = acc["instruments"][0]["Ftot"]
-    print(f"pan fused={fused}: {total_packets/dt:,.0f} packets/s "
-          f"({dt:.1f}s total, includes compile on cold cache); "
+    print(f"pan fused={fused} refill={refill}: {total_packets/dt:,.0f} "
+          f"packets/s warm ({dt:.1f}s; cold incl. compile {dt_cold:.1f}s); "
           f"Ftot={F.sum():.3e} W", flush=True)
 
 

@@ -150,6 +150,9 @@ def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
 
     if ds is None or not getattr(ds, "analytic", False):
         bail("requires density_mode='analytic'")
+    if getattr(ds, "table", False):
+        bail("table (gathered) densities are not supported in-kernel; "
+             "use the XLA panel path (fused=False)")
     if mueller is not None:
         bail("polarization not supported")
     if io_state:

@@ -76,7 +76,7 @@ class OligoSimulation:
         self.dust_system_out = dust_system   # original (outputs/diagnostics)
         self._labs_fold = None
         vox_opt = getattr(self.options, "voxelize", None)
-        vox_ok = (vox_opt is True
+        vox_ok = (vox_opt in (True, "table")
                   or (vox_opt is not False and dust_system is not None
                       and getattr(dust_system.grid, "voxelize_exact",
                                   False)))
@@ -89,6 +89,14 @@ class OligoSimulation:
                     f"Voxelized tree grid: {dust_system.grid.nx}x"
                     f"{dust_system.grid.ny}x{dust_system.grid.nz} voxels "
                     f"over {self.dust_system_out.grid.ncells} leaf cells")
+        if (vox_opt == "table" and dust_system is not None
+                and not dust_system.analytic):
+            # panel-sampled table densities (DustSystem.as_table): applies
+            # to the voxelized view or directly to a uniform Cartesian grid
+            dust_system = dust_system.as_table()
+            self.dust_system = dust_system
+            self.log.info("Table density mode: panel quadrature over the "
+                          "gridded densities")
 
         grid = dust_system.grid if dust_system is not None else None
         self.grid = grid

@@ -149,13 +149,24 @@ class DustSystem:
         # tau integrals then use the CONTINUOUS density (2nd-order-accurate
         # in cell size vs the reference's piecewise-constant gridding);
         # tallies remain per-cell.
-        if density_mode not in ("gridded", "analytic"):
-            raise ValueError("density_mode must be 'gridded' or 'analytic'")
-        self.analytic = density_mode == "analytic"
+        # 'table' rides the same panel-quadrature path as 'analytic' but
+        # samples the GRIDDED per-cell densities (one gather per panel
+        # midpoint) — for media without closed forms (imports, clumpy
+        # decorators) on uniform Cartesian/voxelized grids.  ~P panel
+        # gathers replace ~S crossing gathers and the single-mix event
+        # closes over the cumulative tau alone (uniform albedo), at the
+        # cost of a voxel-scale quadrature approximation of tau.
+        if density_mode not in ("gridded", "analytic", "table"):
+            raise ValueError(
+                "density_mode must be 'gridded', 'analytic' or 'table'")
+        self.analytic = density_mode in ("analytic", "table")
+        self.table = density_mode == "table"
+        if self.table:
+            self._check_table_grid(grid)
         box = grid.bounding_box()
         self.lscale = float(max(box[3] - box[0], box[4] - box[1],
                                 box[5] - box[2]))
-        if self.analytic:
+        if self.analytic and not self.table:
             for c in self.components:
                 if not c.geometry.supports_analytic:
                     raise ValueError(
@@ -165,6 +176,32 @@ class DustSystem:
         # physical kg/m^3 (float64 host product; ~1e-26, float32-safe)
         self._mass_over_L3 = np.asarray(
             self.masses / self.lscale ** 3, np.float32)
+
+    @staticmethod
+    def _check_table_grid(grid):
+        if not (hasattr(grid, "ray_span") and hasattr(grid, "locate_batched")):
+            raise ValueError(
+                "density_mode='table' needs a grid with ray_span + "
+                "locate_batched (uniform Cartesian / voxelized view)")
+
+    def as_table(self) -> "DustSystem":
+        """Copy of this system in 'table' mode (panel-sampled gridded rho).
+
+        The panel quadrature samples the per-cell density table at panel
+        midpoints (one gather each) instead of walking every wall crossing
+        (~S gathers + a second kappa row in the gridded branch).  tau picks
+        up a voxel-scale quadrature error — the same class of trade as the
+        analytic fast path and the approximate Voronoi voxelization; the
+        reference's own cell densities are already MC-sampled
+        (ref: DustSystem.cpp:41 _Nrandom=100).
+        """
+        import copy
+
+        self._check_table_grid(self.grid)
+        t = copy.copy(self)
+        t.analytic = True
+        t.table = True
+        return t
 
     @property
     def mueller(self):
@@ -321,7 +358,26 @@ class DustSystem:
         parameters.  Evaluates each component's density_scaled at the
         midpoints — pure elementwise math, no gathers.  Returns (N, S)
         rows like rows_kappas, zero outside each geometry's support.
+
+        Table mode: gathers the gridded per-cell densities at the midpoint
+        cells instead (one rho_at row gather per component).
         """
+        if getattr(self, "table", False):
+            pmid = pos[:, None, :] + mid[..., None] * direction[:, None, :]
+            cells = self.grid.locate_batched(pmid)
+            safe = jnp.clip(cells, 0)
+            valid = cells >= 0
+            ksca = 0.0
+            kext = 0.0
+            for h in range(self.ncomp):
+                rho_h = self.rho_at(h, safe)
+                if want_sca:
+                    ksca = ksca + ksca_pk[h][:, None] * rho_h
+                kext = kext + kext_pk[h][:, None] * rho_h
+            kext = jnp.where(valid, kext, 0.0)
+            if not want_sca:
+                return kext
+            return jnp.where(valid, ksca, 0.0), kext
         invL = jnp.float32(1.0 / self.lscale)
         pos_s = pos * invL
         pmid_s = pos_s[:, None, :] + (mid * invL)[..., None] \

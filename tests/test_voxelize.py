@@ -200,3 +200,110 @@ class TestVoronoiVoxelize:
         np.testing.assert_allclose(f2, f1, rtol=0.1)
         assert acc_vox["labs"].sum() == pytest.approx(
             acc_exact["labs"].sum(), rel=0.1)
+
+
+class TestTableMode:
+    """density_mode='table': panel quadrature samples the gridded per-cell
+    densities via gathers (for media without closed forms on voxelized /
+    uniform Cartesian grids)."""
+
+    def test_table_matches_gridded_voxel_walk(self):
+        wg, ss, grid0, dsys0 = _torus_setup()
+        vds, fold = dsys0.voxelized()
+        grid = vds.grid
+        tds = vds.as_table()
+        assert tds.analytic and tds.table
+        ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2, azimuth=0.7)]
+        n = 1 << 13
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+        key = rng.root_key(4357)
+
+        def tallies():
+            return {"instruments": [ins[0].zero_tallies()],
+                    "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)}
+
+        og = LifecycleOptions(store_absorption=True, max_scatt_events=48)
+        outg = jax.jit(make_lifecycle(grid, vds, ss, ins, og, 2))(
+            key, ell, L0, tallies())
+        ot = LifecycleOptions(store_absorption=True, max_scatt_events=48,
+                              deposition="sampled", quadrature_panels=32)
+        outt = jax.jit(make_lifecycle(grid, tds, ss, ins, ot, 2))(
+            key, ell, L0, tallies())
+        fg = np.asarray(outg["instruments"][0]["Ftot"], np.float64)
+        ft = np.asarray(outt["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(ft, fg, rtol=0.05)
+        assert np.asarray(outt["labs"]).sum() == pytest.approx(
+            np.asarray(outg["labs"]).sum(), rel=0.05)
+
+    def test_table_tau_converges_to_exact(self):
+        """Panel quadrature of the voxel field converges to the exact DDA
+        optical depth as the panel count grows."""
+        from skirt_tpu.engine import vector_traversal as vt
+
+        _, _, grid0, dsys0 = _torus_setup()
+        vds, _ = dsys0.voxelized()
+        tds = vds.as_table()
+        grid = vds.grid
+        rs = np.random.default_rng(5)
+        n = 256
+        pos = jnp.asarray(rs.uniform(-1.5, 1.5, (n, 3)) * KPC, jnp.float32)
+        d = rs.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d, jnp.float32)
+        ell = jnp.zeros((n,), jnp.int32)
+        _, kext_pk = vds.packet_kappas(ell)
+
+        cells_r, ds_r, _, _ = vt.record_paths(grid, pos, d, want_cells=True,
+                                              want_mid=True)
+        safe = jnp.clip(cells_r, 0)
+        kr = kext_pk[0][:, None] * vds.rho_at(0, safe)
+        kr = jnp.where(cells_r >= 0, kr, 0.0)
+        tau_exact = np.asarray(jnp.sum(kr * ds_r, axis=1), np.float64)
+
+        errs = []
+        for npan in (16, 64, 256):
+            dsp, _, midp = vt.panel_paths(grid, pos, d, npan)
+            rows = tds.analytic_rows(pos, d, midp, None, kext_pk,
+                                     want_sca=False)
+            tau_p = np.asarray(jnp.sum(rows * dsp, axis=1), np.float64)
+            sel = tau_exact > 0.1
+            errs.append(np.mean(np.abs(tau_p - tau_exact)[sel]
+                                / tau_exact[sel]))
+        assert errs[2] < errs[0]
+        assert errs[2] < 0.02, errs
+
+    def test_driver_table_opt_in(self, tmp_path):
+        wg, ss, grid, dsys = _torus_setup()
+        ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2, azimuth=0.7)]
+        sim = OligoSimulation(
+            stellar_system=ss, instruments=ins, dust_system=dsys,
+            packets=4000, log=SilentLog(), out_dir=str(tmp_path),
+            options=LifecycleOptions(store_absorption=True, voxelize="table",
+                                     deposition="sampled",
+                                     quadrature_panels=32))
+        assert sim.dust_system.table
+        acc = sim.run()
+        assert acc["labs"].shape == (grid.ncells * 2,)
+        assert np.isfinite(acc["labs"]).all() and acc["labs"].sum() > 0
+
+        sim2 = OligoSimulation(
+            stellar_system=ss, instruments=ins, dust_system=dsys,
+            packets=4000, log=SilentLog(), out_dir=str(tmp_path),
+            options=LifecycleOptions(store_absorption=True))
+        acc2 = sim2.run()
+        np.testing.assert_allclose(acc["instruments"][0]["Ftot"],
+                                   acc2["instruments"][0]["Ftot"], rtol=0.08)
+        assert acc["labs"].sum() == pytest.approx(acc2["labs"].sum(),
+                                                  rel=0.08)
+
+    def test_fused_rejects_table(self):
+        wg, ss, grid0, dsys0 = _torus_setup()
+        vds, _ = dsys0.voxelized()
+        tds = vds.as_table()
+        ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+        with pytest.raises(ValueError, match="table"):
+            make_lifecycle(vds.grid, tds, ss, ins,
+                           LifecycleOptions(fused=True,
+                                            deposition="sampled",
+                                            quadrature_panels=32), 2)
