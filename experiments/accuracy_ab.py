@@ -20,14 +20,17 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def run_mode(name, packets_log2, **kw):
+def run_mode(name, packets_log2, batch_log2=20, **kw):
     import jax
 
     from __graft_entry__ import _build
 
     t0 = time.perf_counter()
-    n_batches = max(1, (1 << packets_log2) >> 20)   # 2^20-packet batches
-    run, zeros, ell, L0 = _build(packets=1 << min(packets_log2, 20),
+    # batch_log2 bounds the per-dispatch size: mode A's gridded path
+    # carries (N,S) path-record buffers, and a 2^20-lane dispatch exceeds
+    # the tunneled worker's ~2-minute dispatch limit (hangs the stream)
+    n_batches = max(1, (1 << packets_log2) >> batch_log2)
+    run, zeros, ell, L0 = _build(packets=1 << min(packets_log2, batch_log2),
                                  nlambda=4, ncells=32, n_instruments=2,
                                  store_absorption=True, max_scatt=64, **kw)
     key = jax.random.key(4357)
@@ -61,7 +64,7 @@ def main():
 
     P = 23   # 2^23 ~ 8.4M packets per mode (1e7-class)
     print(f"cross-estimator A/B at 2^{P} packets:")
-    A = run_mode("A gridded+path ", P, density_mode="gridded",
+    A = run_mode("A gridded+path ", P, batch_log2=17, density_mode="gridded",
                  deposition="path")
     B = run_mode("B analytic+samp", P, density_mode="analytic",
                  deposition="sampled")

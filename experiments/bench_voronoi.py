@@ -62,14 +62,21 @@ def main():
     mass = 2.0 / (2600.0) * (4 / 3 * np.pi * (1.8 * KPC) ** 3) / (1.8 * KPC)
     comp = DustComponent(sphere, mix, DustMassNormalization(mass))
     dsys = DustSystem(grid, [comp], density_mode=mode)
-    if os.environ.get("VORONOI_VOXEL", "0") == "1":
+    table = os.environ.get("VORONOI_TABLE", "0") == "1"
+    if os.environ.get("VORONOI_VOXEL", "0") == "1" or table:
         dsys, _fold = dsys.voxelized()
         grid = dsys.grid
         print(f"voxelized: {grid.nx}^3", flush=True)
+    if table:
+        dsys = dsys.as_table()
+        mode = "table"
     ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
     opts = LifecycleOptions(store_absorption=True, max_scatt_events=64,
-                            deposition=("sampled" if mode == "analytic"
-                                        else "path"))
+                            deposition=("sampled" if mode in ("analytic",
+                                                              "table")
+                                        else "path"),
+                            quadrature_panels=(32 if table else None),
+                            peel_panels=(8 if table else None))
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
 
     ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)

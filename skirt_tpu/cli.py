@@ -80,14 +80,17 @@ def main(argv=None):
         return 0
 
     if not args.ski:
-        # interactive construction (ref: SkirtCommandLineHandler doInteractive)
+        # interactive construction (ref: SkirtCommandLineHandler doInteractive;
+        # the wizard adds SkirtMakeUp-style retreat/open/fski, wizard.py)
         if sys.stdin.isatty():
-            from .console import ConsoleCreator
-            name = input("enter a name for the new ski file: ").strip() \
-                or "untitled"
-            path = os.path.join(args.output, name + ".ski")
+            from .wizard import WizardEngine
             os.makedirs(args.output, exist_ok=True)
-            ConsoleCreator().create_and_write(path)
+            cwd = os.getcwd()
+            try:
+                os.chdir(args.output)
+                WizardEngine().run()
+            finally:
+                os.chdir(cwd)
             return 0
         print("error: no ski files given (use -x to export the schema, or "
               "run interactively from a terminal)", file=sys.stderr)
