@@ -93,10 +93,15 @@ class OligoSimulation:
                 and not dust_system.analytic):
             # panel-sampled table densities (DustSystem.as_table): applies
             # to the voxelized view or directly to a uniform Cartesian grid
-            dust_system = dust_system.as_table()
-            self.dust_system = dust_system
-            self.log.info("Table density mode: panel quadrature over the "
-                          "gridded densities")
+            try:
+                dust_system = dust_system.as_table()
+            except ValueError as e:
+                self.log.warning(f"table density mode unavailable "
+                                 f"({e}); keeping the exact walk")
+            else:
+                self.dust_system = dust_system
+                self.log.info("Table density mode: panel quadrature over "
+                              "the gridded densities")
 
         grid = dust_system.grid if dust_system is not None else None
         self.grid = grid

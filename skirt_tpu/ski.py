@@ -901,13 +901,27 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
     instruments = [build_instrument(i, wg.nlambda)
                    for i in ins_node.children.get("instruments", [])]
 
+    # --fast on a model WITHOUT closed-form densities (imports, clumpy
+    # decorators): panel-sample the gridded density table instead
+    # (voxelizing tree/Voronoi grids first) — the capability-3/4 fast
+    # path (DustSystem.as_table; octree 22.7x, Voronoi 11x, BASELINE.md).
+    # Pan keeps the exact leaf walk: its emission solve is per leaf cell.
+    want_table = (fast_path and not is_pan and dsys is not None
+                  and not dsys.analytic
+                  and (getattr(dsys.grid, "voxelize_exact", False)
+                       or hasattr(dsys.grid, "voxelize")
+                       or (hasattr(dsys.grid, "_uniform")
+                           and all(dsys.grid._uniform))))
     options = LifecycleOptions(
         min_weight_reduction=sim_node.scalar("minWeightReduction", 1e4),
         min_scatt_events=int(sim_node.scalar("minScattEvents", 0)),
         scatt_bias=sim_node.scalar("scattBias", 0.5),
         store_absorption=is_pan and dsys is not None,
         deposition="sampled" if (fast_path and dsys is not None
-                                 and dsys.analytic) else "path",
+                                 and (dsys.analytic or want_table))
+        else "path",
+        voxelize="table" if want_table else None,
+        quadrature_panels=32 if want_table else None,
     )
 
     npackets = packets if packets is not None else sim_node.scalar("packages", 1e6)

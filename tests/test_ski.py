@@ -292,3 +292,114 @@ class TestAmrvacSki:
         assert isinstance(src_grid, AdaptiveMeshGrid) \
             or src_grid.ncells == 72
         assert sim.dust_system_out.gridded_mass() > 0
+
+
+CLUMPY_OCTREE_SKI = """<?xml version="1.0" encoding="UTF-8"?>
+<!--SKIRT radiative transfer simulations-->
+<skirt-simulation-hierarchy type="MonteCarloSimulation" format="6.1">
+  <OligoMonteCarloSimulation packages="3000" minWeightReduction="1e4" scattBias="0.5">
+    <units type="Units"><SIUnits/></units>
+    <wavelengthGrid type="OligoWavelengthGrid">
+      <OligoWavelengthGrid wavelengths="0.55 micron, 1 micron"/>
+    </wavelengthGrid>
+    <stellarSystem type="StellarSystem">
+      <StellarSystem emissionBias="0.5">
+        <components type="StellarComp">
+          <OligoStellarComp luminosities="1e7, 5e6">
+            <geometry type="Geometry"><PointGeometry/></geometry>
+          </OligoStellarComp>
+        </components>
+      </StellarSystem>
+    </stellarSystem>
+    <dustSystem type="OligoDustSystem">
+      <OligoDustSystem sampleCount="6">
+        <dustDistribution type="DustDistribution">
+          <CompDustDistribution>
+            <components type="DustComp">
+              <DustComp>
+                <geometry type="Geometry">
+                  <ClumpyGeometryDecorator clumpFraction="0.5" clumpCount="40" clumpRadius="150 pc" cutoff="false">
+                    <geometry type="Geometry">
+                      <TorusGeometry expon="2" index="1" openAngle="40 deg" minRadius="50 pc" maxRadius="1800 pc"/>
+                    </geometry>
+                  </ClumpyGeometryDecorator>
+                </geometry>
+                <mix type="DustMix">
+                  <SimpleOligoDustMix opacities="2600 m2/kg, 1000 m2/kg" albedos="0.6, 0.5" asymmetryParameters="0.5, 0.4"/>
+                </mix>
+                <normalization type="DustCompNormalization">
+                  <EdgeOnDustCompNormalization wavelength="0.55 micron" opticalDepth="1.0"/>
+                </normalization>
+              </DustComp>
+            </components>
+          </CompDustDistribution>
+        </dustDistribution>
+        <dustGrid type="DustGrid">
+          <OctTreeDustGrid minX="-2000 pc" maxX="2000 pc" minY="-2000 pc" maxY="2000 pc" minZ="-2000 pc" maxZ="2000 pc" minLevel="2" maxLevel="4" sampleCount="8"/>
+        </dustGrid>
+      </OligoDustSystem>
+    </dustSystem>
+    <instrumentSystem type="InstrumentSystem">
+      <InstrumentSystem>
+        <instruments type="Instrument">
+          <SEDInstrument instrumentName="sed" distance="10 Mpc" inclination="70 deg"/>
+        </instruments>
+      </InstrumentSystem>
+    </instrumentSystem>
+  </OligoMonteCarloSimulation>
+</skirt-simulation-hierarchy>
+"""
+
+
+class TestFastTableFromSki:
+    """--fast on a model without closed-form densities (clumpy decorator on
+    an octree: the capability-3 class) engages the table density mode."""
+
+    def test_fast_engages_table_and_agrees(self, tmp_path):
+        p = tmp_path / "clumpy.ski"
+        p.write_text(CLUMPY_OCTREE_SKI)
+        from skirt_tpu.log import SilentLog
+        sim_fast = load_ski(str(p), out_dir=str(tmp_path / "f"),
+                            log=SilentLog(), fast_path=True)
+        assert sim_fast.dust_system.table
+        assert sim_fast.options.deposition == "sampled"
+        sim_ref = load_ski(str(p), out_dir=str(tmp_path / "r"),
+                           log=SilentLog())
+        assert not getattr(sim_ref.dust_system, "table", False)
+        os.makedirs(tmp_path / "f", exist_ok=True)
+        os.makedirs(tmp_path / "r", exist_ok=True)
+        acc_f = sim_fast.run()
+        acc_r = sim_ref.run()
+        Ff = np.asarray(acc_f["instruments"][0]["Ftot"], np.float64)
+        Fr = np.asarray(acc_r["instruments"][0]["Ftot"], np.float64)
+        assert np.isfinite(Ff).all() and (Ff > 0).all()
+        # MC noise at 3000 packets + voxel-scale quadrature
+        np.testing.assert_allclose(Ff, Fr, rtol=0.15)
+
+    def test_fast_pan_keeps_leaf_walk(self, tmp_path):
+        # pan simulations keep the exact leaf walk (emission is per cell)
+        text = CLUMPY_OCTREE_SKI.replace("OligoMonteCarloSimulation",
+                                         "PanMonteCarloSimulation") \
+            .replace("OligoDustSystem", "PanDustSystem") \
+            .replace("OligoWavelengthGrid wavelengths=\"0.55 micron, 1 micron\"",
+                     "LogWavelengthGrid minWavelength=\"0.2 micron\" "
+                     "maxWavelength=\"100 micron\" points=\"6\"") \
+            .replace('type="OligoWavelengthGrid"', 'type="WavelengthGrid"') \
+            .replace('<SimpleOligoDustMix opacities="2600 m2/kg, 1000 m2/kg" albedos="0.6, 0.5" asymmetryParameters="0.5, 0.4"/>',
+                     "<MeanZubkoDustMix/>") \
+            .replace("""<OligoStellarComp luminosities="1e7, 5e6">
+            <geometry type="Geometry"><PointGeometry/></geometry>
+          </OligoStellarComp>""",
+                     """<PanStellarComp>
+            <geometry type="Geometry"><PointGeometry/></geometry>
+            <sed type="StellarSED"><BlackBodySED temperature="6000 K"/></sed>
+            <normalization type="StellarCompNormalization">
+              <BolLuminosityStellarCompNormalization luminosity="1e10 Lsun"/>
+            </normalization>
+          </PanStellarComp>""")
+        p = tmp_path / "clumpy_pan.ski"
+        p.write_text(text)
+        from skirt_tpu.log import SilentLog
+        sim = load_ski(str(p), out_dir=str(tmp_path), log=SilentLog(),
+                       fast_path=True)
+        assert not getattr(sim.dust_system, "table", False)
