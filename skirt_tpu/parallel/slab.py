@@ -95,6 +95,11 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     # slab, and each device runs the panel quadrature over the ray's slab
     # x-interval only (arithmetic, no structural blocker — VERDICT r1 #4)
     analytic = bool(getattr(ds, "analytic", False))
+    # table mode composes as well: the panel structure is the analytic
+    # one, but densities gather from MY slab's rho shard at the panel
+    # midpoints (local cell ids are already computed for the deposits),
+    # so the table still shards ~1/D per device
+    table = bool(getattr(ds, "table", False))
     if not hasattr(grid, "nx"):
         raise ValueError("slab decomposition requires a Cartesian grid")
     if grid.nx % D != 0:
@@ -167,7 +172,20 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
             te_r = t_lo[:, None] + k * delta[:, None]
             mid = te_r - 0.5 * delta[:, None]
             ds_r = jnp.broadcast_to(delta[:, None], te_r.shape)
-            if len(kpk_list) == 2:
+            pmid = pos[:, None, :] + mid[..., None] * direction[:, None, :]
+            gcell = grid.locate_batched(pmid)
+            lcell = gcell - cell_offset
+            valid = (ds_r > 0) & (lcell >= 0) & (lcell < cells_per_slab)
+            if table:
+                # gather the slab-local density shard at the panel cells
+                safe = jnp.clip(lcell, 0, cells_per_slab - 1)
+                outs = []
+                for kpk in kpk_list:
+                    rows = 0.0
+                    for h in range(ncomp):
+                        rows = rows + kpk[h][:, None] * rho_loc[h][safe]
+                    outs.append(jnp.where(valid, rows, 0.0))
+            elif len(kpk_list) == 2:
                 ksca_rows, kext_rows = ds.analytic_rows(
                     pos, direction, mid, kpk_list[0], kpk_list[1])
                 outs = [jnp.where(ds_r > 0, ksca_rows, 0.0),
@@ -176,10 +194,6 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                 kext_rows = ds.analytic_rows(pos, direction, mid, None,
                                              kpk_list[0], want_sca=False)
                 outs = [jnp.where(ds_r > 0, kext_rows, 0.0)]
-            pmid = pos[:, None, :] + mid[..., None] * direction[:, None, :]
-            gcell = grid.locate_batched(pmid)
-            lcell = gcell - cell_offset
-            valid = (ds_r > 0) & (lcell >= 0) & (lcell < cells_per_slab)
             lcell = jnp.where(valid, lcell, -1)
             gcell = jnp.where(valid, gcell, -1)
             return outs, ds_r, te_r, lcell, gcell
@@ -291,7 +305,7 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
             owner gathers from its shard, ONE stacked psum publishes all
             components.  Analytic: replicated closed-form evaluation at
             the position — no collective at all."""
-            if analytic:
+            if analytic and not table:
                 invL = jnp.float32(1.0 / ds.lscale)
                 mL3 = jnp.asarray(ds._mass_over_L3)
                 pos_s = (pos * invL)[:, None, :]
@@ -500,7 +514,7 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     # decomposition exists for
     # analytic mode never touches the table — ship a (ncomp, D) dummy so
     # nothing cell-sized is materialized
-    rho_host = (np.zeros((ncomp, D), np.float32) if analytic
+    rho_host = (np.zeros((ncomp, D), np.float32) if analytic and not table
                 else np.asarray(ds.rho, np.float32))
     rho_dev = jax.device_put(rho_host,
                              NamedSharding(mesh, P(None, SLAB_AXIS)))

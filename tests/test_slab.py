@@ -204,3 +204,53 @@ class TestDriverIntegration:
         F = float(acc["instruments"][0]["Ftot"][0])
         assert F == pytest.approx(np.exp(-2.0 / np.sin(1.0)), rel=1e-3)
         assert acc["labs"].sum() > 0
+
+
+class TestSlabTableMode:
+    """Table density mode (panel-sampled gridded rho) composes with the
+    slab decomposition: panels gather from MY slab's rho shard at the
+    already-computed local cell ids, so the density table still shards
+    ~1/D per device."""
+
+    @pytest.mark.parametrize("ncomp", [1, 2])
+    def test_table_mode_parity(self, ncomp):
+        assert jax.device_count() >= 8
+        wg, ss, grid, dsys, instruments = build(tau=2.0, albedo=0.5,
+                                                ncomp=ncomp)
+        tds = dsys.as_table()
+        opts = LifecycleOptions(store_absorption=True, deposition="sampled",
+                                quadrature_panels=64)
+        key = rng.root_key(23)
+        n = 16384
+        ref = run_single(wg, ss, grid, tds, instruments, opts, n, key)
+        out = run_slab(wg, ss, grid, tds, instruments, opts, n, key)
+        F_ref = np.asarray(ref["instruments"][0]["Ftot"])
+        F_out = np.asarray(out["instruments"][0]["Ftot"])
+        # the slab run partitions each ray into D x npanels panels vs
+        # npanels on one device -> quadrature-level differences only
+        np.testing.assert_allclose(F_out, F_ref, rtol=0.03)
+        labs_ref = np.asarray(ref["labs"], np.float64)
+        labs_out = np.asarray(jax.device_get(out["labs"]), np.float64)
+        assert labs_out.shape == labs_ref.shape
+        assert labs_out.sum() == pytest.approx(labs_ref.sum(), rel=0.03)
+        assert len(out["labs"].sharding.device_set) == 8
+
+    def test_table_matches_gridded_slab(self):
+        """Same physical model through the slab engine in exact-gridded vs
+        table mode: totals agree at quadrature/MC tolerance."""
+        wg, ss, grid, dsys, instruments = build(tau=2.0, albedo=0.5)
+        opts_g = LifecycleOptions(store_absorption=True, deposition="path")
+        opts_t = LifecycleOptions(store_absorption=True,
+                                  deposition="sampled",
+                                  quadrature_panels=64)
+        key = rng.root_key(29)
+        n = 16384
+        out_g = run_slab(wg, ss, grid, dsys, instruments, opts_g, n, key)
+        out_t = run_slab(wg, ss, grid, dsys.as_table(), instruments,
+                         opts_t, n, key)
+        Fg = np.asarray(out_g["instruments"][0]["Ftot"])
+        Ft = np.asarray(out_t["instruments"][0]["Ftot"])
+        np.testing.assert_allclose(Ft, Fg, rtol=0.05)
+        assert np.asarray(jax.device_get(out_t["labs"])).sum() == \
+            pytest.approx(np.asarray(jax.device_get(out_g["labs"])).sum(),
+                          rel=0.05)
