@@ -20,11 +20,13 @@ from .. import rng
 from ..geometry.base import Geometry, array_namespace
 
 
-def load_amr_ascii(path: str, extent, density_column: int = 0):
+def load_amr_ascii(path: str, extent, density_column: int | None = 0):
     """Parse the reference's AMR ASCII format into leaf boxes + values.
 
     extent: (xmin, ymin, zmin, xmax, ymax, zmax) of the domain.
-    Returns (lo (N,3), hi (N,3), values (N,)).
+    Returns (lo (N,3), hi (N,3), values (N,)); density_column=None keeps
+    ALL value columns (N, Ncols) — e.g. for stellar imports carrying
+    (density, metallicity, age).
     """
     tokens = []
     with open(path) as f:
@@ -59,7 +61,10 @@ def load_amr_ascii(path: str, extent, density_column: int = 0):
             cols = [float(c) for c in line.split()]
             leaves_lo.append(lo.copy())
             leaves_hi.append(hi.copy())
-            values.append(cols[density_column] if cols else 0.0)
+            if density_column is None:
+                values.append(cols)
+            else:
+                values.append(cols[density_column] if cols else 0.0)
 
     parse_node(extent[:3], extent[3:])
     return (np.asarray(leaves_lo), np.asarray(leaves_hi),
@@ -67,8 +72,9 @@ def load_amr_ascii(path: str, extent, density_column: int = 0):
 
 
 def load_amr_amrvac(path: str, extent, levelone=(1, 1, 1),
-                    density_column: int = 0):
+                    density_column: int | None = 0):
     """Parse an MPI-AMRVAC binary snapshot into leaf boxes + values.
+    density_column=None keeps all variables: values (N, nvars).
 
     ref: SKIRTcore/AdaptiveMeshAmrvacFile.cpp — native-endian binary:
     nleafs data blocks of (ncells*nvars) doubles (variable-major, cells
@@ -126,7 +132,8 @@ def load_amr_amrvac(path: str, extent, levelone=(1, 1, 1),
         xs = np.linspace(lo[0], hi[0], nx[0] + 1)
         ys = np.linspace(lo[1], hi[1], nx[1] + 1)
         zs = np.linspace(lo[2], hi[2], nx[2] + 1)
-        vals = blocks[b, density_column]
+        vals = (blocks[b].T if density_column is None
+                else blocks[b, density_column])
         c = 0
         for k in range(nx[2]):          # cells run x-fastest (Fortran)
             for j in range(nx[1]):
@@ -418,3 +425,37 @@ class SphericalAdaptiveMeshGeometry(Geometry):
 
     sigma_y = sigma_x
     sigma_z = sigma_x
+
+
+def amr_stellar_components(lo, hi, fields, wavelength_grid, family,
+                           density_index: int = 0,
+                           metallicity_index: int = 1,
+                           age_index: int = 2, nbins: int = 8):
+    """Stellar components imported from an adaptive-mesh data file.
+
+    ref: SKIRTcore/AdaptiveMeshStellarComp.cpp — per leaf cell: mass
+    M = rho [Msun/pc^3] * V / pc^3, SED = family(M, Z, age), cells
+    sampled from per-wavelength luminosity CDFs.  TPU re-design mirrors
+    voronoi_stellar_components (spectral-hardness bins over leaf-
+    weighted AdaptiveMeshGeometry components).
+
+    fields: (Nleaves, Ncols) — all value columns of the mesh file.
+    """
+    from ..constants import PC
+    from ..sources.stellar import mesh_stellar_components
+
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    f = np.asarray(fields, np.float64)
+    V = np.prod(hi - lo, axis=1)
+    M = np.clip(f[:, density_index], 0.0, None) * V / PC ** 3
+    params = np.stack([M, f[:, metallicity_index], f[:, age_index]], axis=1)
+    L = family.luminosities(wavelength_grid, params)
+
+    def make_geometry(weights):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = np.where(V > 0, weights / V, 0.0)
+        return AdaptiveMeshGeometry(lo, hi, vals)
+
+    return mesh_stellar_components(make_geometry, L, wavelength_grid,
+                                   nbins=nbins)

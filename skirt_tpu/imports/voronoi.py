@@ -99,3 +99,33 @@ class VoronoiMeshGeometry(Geometry):
 
     def sigma_z(self) -> float:
         return self._axis_sigma(2)
+
+
+def voronoi_stellar_components(grid, fields, wavelength_grid, family,
+                               density_index: int = 0,
+                               metallicity_index: int = 1,
+                               age_index: int = 2, nbins: int = 8):
+    """Stellar components imported from a Voronoi mesh data file.
+
+    ref: SKIRTcore/VoronoiStellarComp.cpp:40-90 — per cell m: mass
+    M = rho_m [Msun/pc^3] * V_m / pc^3, SED = family(M, Z_m, age_m);
+    the reference samples cells from per-wavelength luminosity CDFs.
+    TPU re-design: spectral-hardness bins over cells
+    (sources.stellar.mesh_stellar_components), each a cell-weighted
+    VoronoiMeshGeometry component.
+    """
+    from ..sources.stellar import mesh_stellar_components
+
+    f = np.asarray(fields, np.float64)
+    V = grid.cell_volumes()
+    M = np.clip(f[:, density_index], 0.0, None) * V / PC ** 3
+    params = np.stack([M, f[:, metallicity_index], f[:, age_index]], axis=1)
+    L = family.luminosities(wavelength_grid, params)
+
+    def make_geometry(weights):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = np.where(V > 0, weights / V, 0.0)
+        return VoronoiMeshGeometry(grid, vals)
+
+    return mesh_stellar_components(make_geometry, L, wavelength_grid,
+                                   nbins=nbins)

@@ -645,6 +645,55 @@ def build_stellar_component(node: Node, wg):
         h = data[:, 3] * PC
         L = family.luminosities(wg, data[:, 4:need])
         return sph_stellar_components(pos, h, L, wg)
+    if n == "VoronoiStellarComp":
+        # ref: VoronoiStellarComp.hpp:25-60 — Voronoi mesh file with
+        # (density [Msun/pc^3], metallicity, age [yr]) columns + extent;
+        # BC03 SEDs per cell.
+        from .grids.voronoi import VoronoiGrid
+        from .imports.voronoi import (load_voronoi_mesh,
+                                      voronoi_stellar_components)
+        from .sources.sed_family import BruzualCharlotSEDFamily
+        s = node.scalar
+        extent = (s("minX"), s("minY"), s("minZ"),
+                  s("maxX"), s("maxY"), s("maxZ"))
+        mesh_node = node.child("voronoiMeshFile")
+        mesh_file = mesh_node.attrs["filename"] if mesh_node else \
+            node.attrs["filename"]
+        coord_units = mesh_node.scalar("coordinateUnits", PC) \
+            if mesh_node else PC
+        sites, fields = load_voronoi_mesh(mesh_file, coord_units)
+        vgrid = VoronoiGrid(sites, extent)
+        return voronoi_stellar_components(
+            vgrid, fields, wg, BruzualCharlotSEDFamily(),
+            density_index=int(s("densityIndex", 0)),
+            metallicity_index=int(s("metallicityIndex", 1)),
+            age_index=int(s("ageIndex", 2)))
+    if n == "AdaptiveMeshStellarComp":
+        # ref: AdaptiveMeshStellarComp.hpp — AMR mesh file (Ascii or
+        # AMRVAC) with (density, metallicity, age) columns + extent.
+        from .imports.amr import (amr_stellar_components, load_amr_ascii,
+                                  load_amr_amrvac)
+        from .sources.sed_family import BruzualCharlotSEDFamily
+        s = node.scalar
+        extent = (s("minX"), s("minY"), s("minZ"),
+                  s("maxX"), s("maxY"), s("maxZ"))
+        mesh_node = node.child("adaptiveMeshFile")
+        mesh_file = mesh_node.attrs["filename"] if mesh_node else \
+            node.attrs["filename"]
+        if mesh_node is not None and \
+                mesh_node.name == "AdaptiveMeshAmrvacFile":
+            levelone = (int(mesh_node.scalar("levelOneX", 1)),
+                        int(mesh_node.scalar("levelOneY", 1)),
+                        int(mesh_node.scalar("levelOneZ", 1)))
+            lo, hi, fields = load_amr_amrvac(mesh_file, extent, levelone,
+                                             None)
+        else:
+            lo, hi, fields = load_amr_ascii(mesh_file, extent, None)
+        return amr_stellar_components(
+            lo, hi, fields, wg, BruzualCharlotSEDFamily(),
+            density_index=int(s("densityIndex", 0)),
+            metallicity_index=int(s("metallicityIndex", 1)),
+            age_index=int(s("ageIndex", 2)))
     raise SkiParseError(f"unsupported stellar component '{n}'")
 
 

@@ -261,18 +261,7 @@ def sph_stellar_components(positions, smoothing, luminosities,
         raise ValueError("all particles have zero luminosity")
     pos, h, L, Lbol = pos[keep], h[keep], L[keep], Lbol[keep]
 
-    # spectral hardness: luminosity-weighted mean wavelength per particle
-    lam = wavelength_grid.lambdav
-    hardness = (L * lam[None, :]).sum(axis=1) / Lbol
-    nbins = min(int(nbins), pos.shape[0])
-    # luminosity-weighted quantile edges so each bin carries similar power
-    order = np.argsort(hardness)
-    cumL = np.cumsum(Lbol[order])
-    targets = np.linspace(0.0, cumL[-1], nbins + 1)[1:-1]
-    edge_idx = np.searchsorted(cumL, targets)
-    edges = np.concatenate([[-np.inf], hardness[order][edge_idx], [np.inf]])
-    which = np.clip(np.searchsorted(edges, hardness, "right") - 1, 0,
-                    nbins - 1)
+    which, nbins = _spectral_bins(L, Lbol, wavelength_grid.lambdav, nbins)
 
     comps = []
     for b in range(nbins):
@@ -282,4 +271,61 @@ def sph_stellar_components(positions, smoothing, luminosities,
         geom = SPHParticleGeometry(pos[sel], h[sel], Lbol[sel], kernel=kernel)
         comps.append(LuminosityStellarComponent(
             geom, wavelength_grid, L[sel].sum(axis=0)))
+    return comps
+
+
+def _spectral_bins(L, Lbol, lam, nbins):
+    """Group entities into <= nbins bins of similar spectral hardness
+    (luminosity-weighted mean wavelength), with luminosity-weighted
+    quantile edges so each bin carries similar power.  Returns (which,
+    nbins): the bin index per entity."""
+    hardness = (L * lam[None, :]).sum(axis=1) / Lbol
+    nbins = min(int(nbins), L.shape[0])
+    order = np.argsort(hardness)
+    cumL = np.cumsum(Lbol[order])
+    targets = np.linspace(0.0, cumL[-1], nbins + 1)[1:-1]
+    edge_idx = np.searchsorted(cumL, targets)
+    edges = np.concatenate([[-np.inf], hardness[order][edge_idx], [np.inf]])
+    which = np.clip(np.searchsorted(edges, hardness, "right") - 1, 0,
+                    nbins - 1)
+    return which, nbins
+
+
+def mesh_stellar_components(make_geometry, luminosities, wavelength_grid,
+                            nbins: int = 8):
+    """Spectrally-binned stellar components over mesh cells.
+
+    ref: SKIRTcore/VoronoiStellarComp.cpp:40-90 /
+    AdaptiveMeshStellarComp.cpp — the reference samples an emitting cell
+    per packet from a per-wavelength luminosity CDF over all cells
+    (position uniform in the cell).  TPU re-design: same spectral-bin
+    scheme as sph_stellar_components — cells group into <= nbins bins of
+    similar spectral hardness, each bin becomes a
+    LuminosityStellarComponent over a cell-weighted mesh geometry, and
+    the StellarSystem per-wavelength component CDF reproduces the
+    reference's spectral selection across bins.
+
+    make_geometry(weights): (Ncells,) per-cell bolometric luminosities
+    (zero outside the bin) -> a Geometry sampling cells ~ weights with
+    uniform in-cell positions.  luminosities: (Ncells, Nlambda) [W].
+    """
+    L = np.asarray(luminosities, np.float64)
+    ncells = L.shape[0]
+    Lbol_full = L.sum(axis=1)
+    keep = Lbol_full > 0
+    if not keep.any():
+        raise ValueError("all cells have zero luminosity")
+    idx_keep = np.nonzero(keep)[0]
+    Lk = L[keep]
+    which, nbins = _spectral_bins(Lk, Lbol_full[keep],
+                                  wavelength_grid.lambdav, nbins)
+    comps = []
+    for b in range(nbins):
+        sel = which == b
+        if not sel.any():
+            continue
+        w = np.zeros(ncells)
+        w[idx_keep[sel]] = Lbol_full[idx_keep[sel]]
+        comps.append(LuminosityStellarComponent(
+            make_geometry(w), wavelength_grid, Lk[sel].sum(axis=0)))
     return comps

@@ -622,3 +622,149 @@ class TestSphericalAdaptiveMesh:
         north = g.density(np.array([[0.0, 0.0, 1.0]]))[0]
         south = g.density(np.array([[0.0, 0.0, -1.0]]))[0]
         assert north / south == pytest.approx(3.0, rel=1e-9)
+
+
+class TestImportedStellarComps:
+    """VoronoiStellarComp / AdaptiveMeshStellarComp: stellar components
+    imported from mesh files with (density, Z, age) columns and BC03 SEDs
+    (ref: VoronoiStellarComp.cpp:40-90, AdaptiveMeshStellarComp.cpp)."""
+
+    @staticmethod
+    def _bc_family(tmp_path, monkeypatch):
+        import os
+        from tests.test_data_loaders import write_ised_ascii
+        from skirt_tpu.sources.sed_family import BruzualCharlotSEDFamily
+        base = str(tmp_path / "dat")
+        for code in BruzualCharlotSEDFamily.ZCODES:
+            write_ised_ascii(os.path.join(
+                base, "SED/BruzualCharlot/chabrier",
+                f"bc2003_lr_{code}_chab_ssp.ised_ASCII"))
+        BruzualCharlotSEDFamily._cache.clear()
+        return BruzualCharlotSEDFamily(data_dir=base), base
+
+    def _wg(self):
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+        return OligoWavelengthGrid([0.3e-6, 1.1e-6])
+
+    def test_voronoi_stellar_components(self, tmp_path, monkeypatch):
+        from skirt_tpu.constants import PC
+        from skirt_tpu.grids.voronoi import VoronoiGrid
+        from skirt_tpu.imports.voronoi import (load_voronoi_mesh,
+                                               voronoi_stellar_components)
+        from skirt_tpu.sources.stellar import StellarSystem
+
+        family, _ = self._bc_family(tmp_path, monkeypatch)
+        wg = self._wg()
+        rs = np.random.default_rng(3)
+        nsites = 32
+        sites_pc = rs.uniform(-40, 40, size=(nsites, 3))
+        rho = rs.uniform(0.0, 2.0, nsites)       # Msun/pc^3
+        Z = rs.uniform(0.001, 0.03, nsites)
+        age = rs.uniform(1e6, 9e8, nsites)
+        mesh = tmp_path / "stars.vmesh"
+        np.savetxt(mesh, np.column_stack([sites_pc, rho, Z, age]))
+
+        sites, fields = load_voronoi_mesh(str(mesh))
+        half = 45 * PC
+        grid = VoronoiGrid(sites, (-half, -half, -half, half, half, half))
+        comps = voronoi_stellar_components(grid, fields, wg, family)
+        assert 1 <= len(comps) <= 8
+
+        # total luminosity equals the family's per-cell sum
+        V = grid.cell_volumes()
+        M = rho * V / PC ** 3
+        L_ref = family.luminosities(wg, np.column_stack([M, Z, age]))
+        L_tot = sum(np.asarray(c.luminosities) for c in comps)
+        np.testing.assert_allclose(L_tot, L_ref.sum(axis=0), rtol=1e-8)
+
+        # the system launches packets from inside the domain
+        ss = StellarSystem(comps)
+        import jax.numpy as jnp
+        from skirt_tpu import rng as _rng
+        n = 512
+        pos, d, L, _ = ss.launch(_rng.root_key(1),
+                                 jnp.zeros(n, jnp.int32),
+                                 jnp.full((n,), 1.0 / n, jnp.float32))
+        p = np.asarray(pos)
+        assert np.isfinite(p).all()
+        assert (np.abs(p) <= half * 1.0001).all()
+
+    def test_amr_stellar_components(self, tmp_path, monkeypatch):
+        from skirt_tpu.constants import PC
+        from skirt_tpu.imports.amr import (amr_stellar_components,
+                                           load_amr_ascii)
+
+        family, _ = self._bc_family(tmp_path, monkeypatch)
+        wg = self._wg()
+        # 2x1x1 root: one refined node (2x2x2) + one leaf; 3 value columns
+        lines = ["! 2 1 1", "! 2 2 2"]
+        rs = np.random.default_rng(5)
+        for _ in range(8):
+            lines.append(f"{rs.uniform(0.5, 2):.4f} 0.02 1e8")
+        lines.append("1.5 0.008 5e8")
+        p = tmp_path / "stars.amr"
+        p.write_text("\n".join(lines) + "\n")
+        half = 10 * PC
+        extent = (-half, -half, -half, half, half, half)
+        lo, hi, fields = load_amr_ascii(str(p), extent, None)
+        assert fields.shape == (9, 3)
+        comps = amr_stellar_components(lo, hi, fields, wg, family)
+        assert 1 <= len(comps) <= 8
+        V = np.prod(hi - lo, axis=1)
+        M = fields[:, 0] * V / PC ** 3
+        L_ref = family.luminosities(
+            wg, np.column_stack([M, fields[:, 1], fields[:, 2]]))
+        L_tot = sum(np.asarray(c.luminosities) for c in comps)
+        np.testing.assert_allclose(L_tot, L_ref.sum(axis=0), rtol=1e-8)
+
+    def test_voronoi_stellar_ski_end_to_end(self, tmp_path, monkeypatch):
+        from skirt_tpu.constants import PC
+        from skirt_tpu.log import SilentLog
+        from skirt_tpu.ski import load_ski
+
+        family, base = self._bc_family(tmp_path, monkeypatch)
+        import skirt_tpu.sources.sed_family as sf
+        monkeypatch.setattr(sf, "DATA_DIR", base)
+        rs = np.random.default_rng(7)
+        nsites = 16
+        sites_pc = rs.uniform(-40, 40, size=(nsites, 3))
+        rho = rs.uniform(0.1, 2.0, nsites)
+        Z = np.full(nsites, 0.02)
+        age = np.full(nsites, 1e8)
+        mesh = tmp_path / "stars.vmesh"
+        np.savetxt(mesh, np.column_stack([sites_pc, rho, Z, age]))
+        ski = tmp_path / "vstars.ski"
+        ski.write_text(f"""<?xml version="1.0" encoding="UTF-8"?>
+<skirt-simulation-hierarchy type="MonteCarloSimulation" format="6.1">
+  <OligoMonteCarloSimulation packages="2000">
+    <units type="Units"><SIUnits/></units>
+    <wavelengthGrid type="OligoWavelengthGrid">
+      <OligoWavelengthGrid wavelengths="0.3 micron, 1.1 micron"/>
+    </wavelengthGrid>
+    <stellarSystem type="StellarSystem">
+      <StellarSystem>
+        <components type="StellarComp">
+          <VoronoiStellarComp minX="-45 pc" maxX="45 pc" minY="-45 pc"
+              maxY="45 pc" minZ="-45 pc" maxZ="45 pc" densityIndex="0"
+              metallicityIndex="1" ageIndex="2">
+            <voronoiMeshFile type="VoronoiMeshFile">
+              <VoronoiMeshAsciiFile filename="{mesh}"/>
+            </voronoiMeshFile>
+          </VoronoiStellarComp>
+        </components>
+      </StellarSystem>
+    </stellarSystem>
+    <instrumentSystem type="InstrumentSystem">
+      <InstrumentSystem>
+        <instruments type="Instrument">
+          <SEDInstrument instrumentName="sed" distance="10 Mpc"/>
+        </instruments>
+      </InstrumentSystem>
+    </instrumentSystem>
+  </OligoMonteCarloSimulation>
+</skirt-simulation-hierarchy>
+""")
+        sim = load_ski(str(ski), out_dir=str(tmp_path), log=SilentLog())
+        acc = sim.run()
+        F = np.asarray(acc["instruments"][0]["Ftot"])
+        assert np.isfinite(F).all() and (F > 0).all()
