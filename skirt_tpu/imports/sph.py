@@ -27,9 +27,16 @@ from ..geometry.kernels import CubicSplineSmoothingKernel
 
 
 def load_sph_particles(path: str, length_unit: float = PC,
-                       mass_unit: float = M_SUN):
-    """Read a text SPH particle file: columns x, y, z, h, M (+ extras)."""
+                       mass_unit: float = M_SUN,
+                       max_temperature: float | None = None):
+    """Read a text SPH particle file: columns x, y, z, h, M (+ extras).
+
+    max_temperature: when given and the file has a 6th column (gas
+    temperature [K]), particles above it are excluded (ref:
+    SPHGeometry.hpp:30-35, default 75000 K)."""
     data = np.loadtxt(path, comments="#", ndmin=2)
+    if max_temperature is not None and data.shape[1] >= 6:
+        data = data[data[:, 5] <= float(max_temperature)]
     pos = data[:, 0:3] * length_unit
     h = data[:, 3] * length_unit
     m = data[:, 4] * mass_unit

@@ -259,10 +259,49 @@ def build_geometry(node: Node):
             [g1, g2], [s("firstWeight", 1.0), s("secondWeight", 1.0)])
     if n == "ClumpyGeometryDecorator":
         base = build_geometry(node.child("geometry"))
+        # ref: ClumpyGeometryDecorator.hpp:57 — selectable smoothing
+        # kernel (default CubicSplineSmoothingKernel)
+        kern_node = node.child("kernel")
+        kernel = None
+        if kern_node is not None:
+            from .geometry.kernels import (CubicSplineSmoothingKernel,
+                                           UniformSmoothingKernel)
+            kernel = {"CubicSplineSmoothingKernel":
+                      CubicSplineSmoothingKernel,
+                      "UniformSmoothingKernel":
+                      UniformSmoothingKernel}[kern_node.name]()
         return geo.ClumpyGeometryDecorator(base, s("clumpFraction"),
                                            int(s("clumpCount")),
-                                           s("clumpRadius"),
+                                           s("clumpRadius"), kernel=kernel,
                                            cutoff=node.boolean("cutoff"))
+    if n == "SPHGeometry":
+        # ref: SPHGeometry.hpp:22-35 — SPH particle file as a generic
+        # geometry; particles above maximumTemperature are excluded
+        from .imports.sph import SPHParticleGeometry, load_sph_particles
+        ppos, h, m = load_sph_particles(
+            node.attrs["filename"],
+            max_temperature=s("maximumTemperature", 75000.0))
+        return SPHParticleGeometry(ppos, h, m)
+    if n == "VoronoiGeometry":
+        # ref: VoronoiGeometry.hpp:27-46 — Voronoi mesh file as a generic
+        # geometry (densityIndex column, optional multiplierIndex)
+        from .grids.voronoi import VoronoiGrid
+        from .imports.voronoi import VoronoiMeshGeometry, load_voronoi_mesh
+        extent = (s("minX"), s("minY"), s("minZ"),
+                  s("maxX"), s("maxY"), s("maxZ"))
+        # mesh_node is the VoronoiMeshFile wrapper (VoronoiMeshAsciiFile —
+        # the ASCII x y z field... format of VoronoiMeshAsciiFile.cpp)
+        mesh_node = node.child("voronoiMeshFile")
+        mesh_file = mesh_node.attrs["filename"] if mesh_node else \
+            node.attrs["filename"]
+        coord_units = mesh_node.scalar("coordinateUnits", PC) \
+            if mesh_node else PC
+        sites, fields = load_voronoi_mesh(mesh_file, coord_units)
+        vals = fields[:, int(s("densityIndex", 0))]
+        mi = int(s("multiplierIndex", -1))
+        if mi >= 0:
+            vals = vals * fields[:, mi]
+        return VoronoiMeshGeometry(VoronoiGrid(sites, extent), vals)
     if n == "SpiralStructureGeometryDecorator":
         base = build_geometry(node.child("geometry"))
         return geo.SpiralStructureDecorator(
@@ -344,6 +383,12 @@ def build_mix(node: Node, wg):
             wg, hydrocarbon_bins=int(node.scalar("hydrocarbonPops", 5)),
             enstatite_bins=int(node.scalar("enstatitePops", 5)),
             forsterite_bins=int(node.scalar("forsteritePops", 5)))
+    if n == "TrustDustMix":
+        from .media.grains import TrustDustMix
+        return TrustDustMix(
+            wg, graphite_bins=int(node.scalar("graphitePops", 5)),
+            silicate_bins=int(node.scalar("silicatePops", 5)),
+            pah_bins=int(node.scalar("PAHPops", 3)))
     if n == "ZubkoDustMix":
         from .media.grains import ZubkoDustMix
         return ZubkoDustMix(

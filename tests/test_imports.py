@@ -768,3 +768,58 @@ class TestImportedStellarComps:
         acc = sim.run()
         F = np.asarray(acc["instruments"][0]["Ftot"])
         assert np.isfinite(F).all() and (F > 0).all()
+
+
+class TestGenericImportGeometries:
+    """SPHGeometry / VoronoiGeometry as generic ski geometries (ref:
+    SPHGeometry.hpp:22-35, VoronoiGeometry.hpp:27-46) + the clumpy
+    decorator's selectable smoothing kernel."""
+
+    def test_sph_geometry_with_temperature_filter(self, tmp_path):
+        from skirt_tpu.ski import build_geometry, Node
+        # x y z h M T: second particle is hot gas -> excluded
+        f = tmp_path / "gas.dat"
+        f.write_text("0 0 0 1 2.0 100\n5 0 0 1 3.0 90000\n")
+        g = build_geometry(Node("SPHGeometry", {"filename": str(f)}))
+        assert g.pos.shape[0] == 1 and g.m[0] > 0
+        g2 = build_geometry(Node("SPHGeometry",
+                                 {"filename": str(f),
+                                  "maximumTemperature": "1e6 K"}))
+        assert g2.pos.shape[0] == 2
+
+    def test_voronoi_geometry_with_multiplier(self, tmp_path):
+        from skirt_tpu.constants import PC
+        from skirt_tpu.ski import build_geometry, Node
+        rs = np.random.default_rng(11)
+        sites = rs.uniform(-40, 40, size=(16, 3))
+        rho = rs.uniform(0.5, 2.0, 16)
+        mult = np.full(16, 0.5)
+        f = tmp_path / "mesh.dat"
+        np.savetxt(f, np.column_stack([sites, rho, mult]))
+        attrs = {"filename": str(f), "minX": "-45 pc", "maxX": "45 pc",
+                 "minY": "-45 pc", "maxY": "45 pc", "minZ": "-45 pc",
+                 "maxZ": "45 pc", "densityIndex": "0"}
+        g = build_geometry(Node("VoronoiGeometry", dict(attrs)))
+        g2 = build_geometry(Node("VoronoiGeometry",
+                                 dict(attrs, multiplierIndex="1")))
+        # multiplier scales the file mass but not the normalized density
+        assert g2.file_mass == pytest.approx(0.5 * g.file_mass, rel=1e-12)
+        pts = rs.uniform(-30, 30, size=(200, 3)) * PC
+        np.testing.assert_allclose(np.asarray(g2.density(pts)),
+                                   np.asarray(g.density(pts)), rtol=1e-9)
+
+    def test_clumpy_kernel_selection(self):
+        from skirt_tpu.geometry.kernels import (CubicSplineSmoothingKernel,
+                                                UniformSmoothingKernel)
+        from skirt_tpu.ski import build_geometry, Node
+        base = Node("PlummerGeometry", {"scale": "100 pc"})
+        n = Node("ClumpyGeometryDecorator",
+                 {"clumpFraction": "0.3", "clumpCount": "10",
+                  "clumpRadius": "10 pc"})
+        n.children["geometry"] = [base]
+        n.children["kernel"] = [Node("UniformSmoothingKernel", {})]
+        g = build_geometry(n)
+        assert isinstance(g.kernel, UniformSmoothingKernel)
+        n.children["kernel"] = [Node("CubicSplineSmoothingKernel", {})]
+        assert isinstance(build_geometry(n).kernel,
+                          CubicSplineSmoothingKernel)
