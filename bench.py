@@ -49,6 +49,9 @@ def main():
     # amortizes; K=128 keeps each dispatch ~40 s, under the tunneled
     # worker's ~2-minute limit
     packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "21"))
+    # CAUTION: K=128 keeps one dispatch ~40 s; K=256 (~80 s) exceeds the
+    # tunneled worker's dispatch tolerance and CRASHES it (recovery takes
+    # 10+ minutes, measured 2026-08-21) — gains were already tapering
     refill = int(os.environ.get("BENCH_REFILL", "128"))
     run_batch, zero_tallies, ell, L0 = _build(
         nlambda=int(os.environ.get("BENCH_NLAMBDA", "4")),
