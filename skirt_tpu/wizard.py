@@ -156,6 +156,11 @@ class WizardEngine:
             pass
         except _Done as done:
             self._result = (done.root, done.path)
+        except Exception as e:
+            # a bad answer (unreadable ski path, malformed file): undo it
+            # so the pane re-asks instead of wedging the state machine
+            self.answers.pop()
+            raise ValueError(str(e)) from e
 
     def retreat(self):
         if not self.can_retreat():
@@ -370,7 +375,10 @@ class WizardEngine:
                 else:
                     fout.write("already at the first pane\n")
                 continue
-            self.advance(line)
+            try:
+                self.advance(line)
+            except ValueError as e:
+                fout.write(f"error: {e}\n")
         root, path = self._result
         if path.endswith(".fski") or root.name.endswith("FitScheme"):
             write_fski(root, path)

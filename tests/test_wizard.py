@@ -185,3 +185,30 @@ class TestNewFski:
         assert img.child("convolution").get("fwhm") == "1.5"
         opt = node.child("optim")
         assert opt.get("popsize") == "8" and opt.get("generations") == "4"
+
+
+class TestBadInput:
+    def test_bad_open_path_reasks(self):
+        w = WizardEngine()
+        w.advance("3")                    # open existing
+        with pytest.raises(ValueError):
+            w.advance("/nonexistent/whatever.ski")
+        # the bad answer was undone: still on the path pane
+        assert "path" in w.current_pane().prompt
+        assert len(w.answers) == 1
+
+    def test_run_loop_reports_and_continues(self, tmp_path):
+        from skirt_tpu.discover import write_ski
+        from skirt_tpu.ski import Node
+        src = str(tmp_path / "a.ski")
+        sim = Node("OligoMonteCarloSimulation", {"packages": "1e5"})
+        sim.children["units"] = [Node("SIUnits", {})]
+        write_ski(sim, src)
+        out = str(tmp_path / "b.ski")
+        fin = io.StringIO("\n".join([
+            "3", "/nope.ski",             # bad path -> error, re-asks
+            src, "", out]) + "\n")
+        fout = io.StringIO()
+        root, path = WizardEngine().run(stdin=fin, stdout=fout)
+        assert path == out
+        assert "error:" in fout.getvalue()
