@@ -255,3 +255,26 @@ class TestFskiEndToEnd:
         _, lums = scheme.reference_images[0].chi2(
             scheme.simulate({"hz": 0.3 * PC})[0])
         assert lums[0] == pytest.approx(5.0, rel=0.05)
+
+
+class TestFitCli:
+    def test_fitskirt_main_runs_batch(self, tmp_path, monkeypatch):
+        """`python -m skirt_tpu.fit model.fski` (ref:
+        FitSkirtCommandLineHandler::doBatch)."""
+        import subprocess
+        import sys as _sys
+        from skirt_tpu.io.fits import write_fits
+        (tmp_path / "template.ski").write_text(FSKI_TEMPLATE_SKI)
+        write_fits(str(tmp_path / "ref.fits"), np.ones((12, 12)))
+        (tmp_path / "model.fski").write_text(FSKI)
+        out = subprocess.run(
+            [_sys.executable, "-m", "skirt_tpu.fit",
+             str(tmp_path / "model.fski"), "-o", str(tmp_path / "out"),
+             "-s", "99"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**__import__("os").environ,
+                 "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+                 "JAX_PLATFORMS": "cpu"})
+        assert out.returncode == 0, out.stderr[-2000:]
+        import glob as _glob
+        assert _glob.glob(str(tmp_path / "out" / "*"))
