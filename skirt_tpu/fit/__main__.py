@@ -16,8 +16,10 @@ import sys
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="fitskirt", description="run FitSKIRT fski fit schemes")
-    parser.add_argument("fski", nargs="+",
-                        help="fski file(s), glob patterns allowed")
+    parser.add_argument("fski", nargs="*",
+                        help="fski file(s), glob patterns allowed; with no "
+                             "arguments on a terminal, the interactive "
+                             "fski wizard starts")
     parser.add_argument("-o", "--output", default=".",
                         help="output directory")
     parser.add_argument("-i", "--input", default=".",
@@ -33,6 +35,24 @@ def main(argv=None):
 
     from ..log import Log
     from .fski import load_fski
+
+    if not args.fski:
+        # ref: FitSkirtCommandLineHandler doInteractive — guided creation
+        if sys.stdin.isatty():
+            from ..wizard import WizardEngine
+            os.makedirs(args.output, exist_ok=True)
+            cwd = os.getcwd()
+            try:
+                os.chdir(args.output)
+                w = WizardEngine()
+                w.advance("create a new fski file")
+                w.run()
+            finally:
+                os.chdir(cwd)
+            return 0
+        print("error: no fski files given (run interactively from a "
+              "terminal to create one)", file=sys.stderr)
+        return 2
 
     paths = []
     for pattern in args.fski:

@@ -278,3 +278,14 @@ class TestFitCli:
         assert out.returncode == 0, out.stderr[-2000:]
         import glob as _glob
         assert _glob.glob(str(tmp_path / "out" / "*"))
+
+    def test_fitskirt_main_no_args_non_tty(self):
+        import subprocess
+        import sys as _sys
+        out = subprocess.run(
+            [_sys.executable, "-m", "skirt_tpu.fit"],
+            capture_output=True, text=True, cwd="/root/repo",
+            stdin=subprocess.DEVNULL,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+        assert out.returncode == 2
+        assert "no fski files" in out.stderr
