@@ -96,6 +96,7 @@ def main():
               f"peel={fast_peel}): {n / dt:,.0f} packets/s "
               f"({dt:.2f}s per {n} packets)", flush=True)
         return
+    refill = int(os.environ.get("OCTREE_REFILL", "0"))
     opts = LifecycleOptions(store_absorption=store_abs, max_scatt_events=64,
                             deposition=("sampled" if dmode in ("analytic",
                                                                "table")
@@ -104,12 +105,16 @@ def main():
                                                else None),
                             peel_panels=(8 if table else None),
                             fast_peeloff=fast_peel,
+                            table_peel=os.environ.get("OCTREE_PEELMODE",
+                                                      "staged"),
+                            refill_batches=refill,
                             fused=fused)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
 
     n = 1 << int(os.environ.get("OCTREE_LOG2N", "15"))
+    npackets = n * max(refill, 1)
     ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
-    L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+    L0 = jnp.full((n,), 1e36 / npackets, jnp.float32)
 
     def tallies():
         t = {"instruments": [i.zero_tallies() for i in ins]}
@@ -124,8 +129,10 @@ def main():
     out = run(jax.random.fold_in(key, 1), ell, L0, tallies())
     _sync(out)
     dt = time.perf_counter() - t0
-    print(f"octree lifecycle (mode={dmode} fused={fused} abs={store_abs} voxel={voxel} peel={fast_peel}): {n / dt:,.0f} packets/s "
-          f"({dt:.2f}s per {n} packets)", flush=True)
+    print(f"octree lifecycle (mode={dmode} fused={fused} abs={store_abs} "
+          f"voxel={voxel} peel={fast_peel} refill={refill}): "
+          f"{npackets / dt:,.0f} packets/s "
+          f"({dt:.2f}s per {npackets} packets)", flush=True)
 
 
 if __name__ == "__main__":

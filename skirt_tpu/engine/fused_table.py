@@ -1,0 +1,491 @@
+"""Fused single-event kernel for TABLE (gridded panel-quadrature) densities.
+
+ref: SKIRTcore/MonteCarloSimulation.cpp — the same per-event chain as
+engine/fused.py (simulateescapeandabsorption :438-515, simulatepropagation
+:519-537, peeloffscattering :319-363, simulatescattering :541-549), but for
+models WITHOUT closed-form densities: imports and clumpy decorators traced
+through a uniform voxel table (DustSystem.voxelized().as_table()).
+
+TPU re-design rationale: the table path is gather-bound — the per-cell rho
+lookups ride the serial gather unit at ~9 ns/descriptor regardless of
+formulation (measured: microbench_gather5 / microbench_mxu_*; in-kernel
+Mosaic alternatives are 2-5x slower).  So the design splits the event at
+the gather boundary:
+
+  - XLA stages the (N, P) panel-midpoint kappaext*rho rows each iteration
+    (vt.panel_paths + DustSystem.analytic_rows — the one irreducibly
+    gather-bound op, using the two-level row gather),
+  - a Pallas kernel consumes the staged panels and runs the REST of the
+    event in VMEM: cumulative-tau profile, sampled absorption deposit,
+    forced-scattering inversion, position update, Henyey-Greenstein
+    scatter — replacing the ~20 HBM-materialized (N, P) intermediates of
+    the unfused path with one kernel,
+  - peel-off extinction uses per-leader density-path maps
+    (compute_rho_path_maps) — two (N,) gathers per instrument instead of a
+    P_peel-panel staged quadrature (options.table_peel='staged' keeps the
+    exact quadrature),
+  - relaunch (refill) runs XLA-side after the kernel: dead lanes with
+    packet budget left relaunch through the FULL stellar launch machinery
+    (any source, not just closed-form samplers) and get their emission
+    peel-off from the same merged peel pass.
+
+Per-lane wavelengths are loop-invariant (relaunched lanes keep their ell),
+so per-lambda optical properties (albedo, g) are gathered ONCE per batch
+and passed as (R, 128) inputs — no select chains, no nlambda ceiling.
+
+Supported configuration (else ValueError and the caller falls back):
+  - table-mode single-component dust system (uniform albedo per lambda),
+  - uniform-spacing Cartesian grid (the voxelized view),
+  - distant instruments, sampled deposition, no polarization,
+    no continuous scattering, no io_state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rng
+from ..ops import binned_add
+from . import vector_traversal as vt
+from .fused import _expon_cutoff, _group_leaders
+
+
+def _validate(grid, ds, instruments, options, mueller, io_state):
+    def bail(msg):
+        raise ValueError(f"fused table lifecycle: {msg}")
+
+    if ds is None or not getattr(ds, "table", False):
+        bail("requires density_mode='table' (voxelized().as_table())")
+    if ds.ncomp != 1:
+        bail("single dust component only (per-panel albedo blending of "
+             "multi-component tables is not fused yet)")
+    if mueller is not None:
+        bail("polarization not supported")
+    if io_state:
+        bail("io_state not supported")
+    if options.continuous_scattering:
+        bail("continuous_scattering not supported")
+    if options.store_absorption and options.deposition != "sampled":
+        bail("absorption tallies require deposition='sampled'")
+    if not (hasattr(grid, "_uniform") and all(grid._uniform)):
+        bail("requires a uniform-spacing Cartesian grid (the voxelized "
+             "view); call DustSystem.voxelized() first")
+    for ins in instruments:
+        if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
+            bail("requires distant (constant-direction) instruments")
+    if options.refill_batches > 1:
+        pass   # XLA-side relaunch: any stellar system works
+
+
+def _build_kernel(grid, options, nlambda, npanels, want_labs):
+    """The in-VMEM event kernel: staged kr panels -> event physics."""
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    lo = grid._lo
+    inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
+    xi = float(options.scatt_bias)
+    min_scatt = int(options.min_scatt_events)
+    inv_minred = np.float32(1.0 / options.min_weight_reduction)
+
+    def locate(X, Y, Z):
+        ix = jnp.floor((X - np.float32(lo[0]))
+                       * np.float32(inv[0])).astype(jnp.int32)
+        iy = jnp.floor((Y - np.float32(lo[1]))
+                       * np.float32(inv[1])).astype(jnp.int32)
+        iz = jnp.floor((Z - np.float32(lo[2]))
+                       * np.float32(inv[2])).astype(jnp.int32)
+        ok = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+              & (iz >= 0) & (iz < nz))
+        return jnp.where(ok, (ix * ny + iy) * nz + iz, -1)
+
+    def kern(*refs):
+        u_ref = refs[0]
+        kr_ref = refs[1]
+        (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
+         L_r, alive_r, ns_r, ell_r, l0_r, t0_r, dt_r,
+         alb_r, g_r) = refs[2:17]
+        out = refs[17:]
+        opx, opy, opz, odx, ody, odz, oL, oalive, ons = out[:9]
+        if want_labs:
+            odepi, odepv = out[9], out[10]
+
+        X, Y, Z = px_r[:], py_r[:], pz_r[:]
+        DX, DY, DZ = dx_r[:], dy_r[:], dz_r[:]
+        L = L_r[:]
+        alive = alive_r[:] != 0
+        nscatt = ns_r[:]
+        ell = ell_r[:]
+        Lth = l0_r[:] * inv_minred
+        t0 = t0_r[:]
+        delta = dt_r[:]
+        albedo = alb_r[:]
+        g = g_r[:]
+
+        def uget(i):
+            return u_ref[i]
+
+        # -- cumulative-tau profile from the staged panels ----------------
+        # (ref: simulateescapeandabsorption's per-segment accumulation;
+        # kr panels are kappaext*rho at the panel midpoints)
+        cum = jnp.zeros_like(L)
+        cums = []
+        for kk in range(npanels):
+            cum = cum + kr_ref[kk] * delta
+            cums.append(cum)
+        taupath = cum
+        one_m_e = 1.0 - jnp.exp(-taupath)
+        Lm = jnp.where(alive, L, 0.0)
+
+        # -- sampled absorption deposit (lifecycle.py 'sampled') ----------
+        if want_labs:
+            u_dep = uget(2)
+            D = (1.0 - albedo) * Lm * one_m_e
+            tau_dep = _expon_cutoff(u_dep, taupath)
+            i_dep = jnp.zeros(X.shape, jnp.int32)
+            for kk in range(npanels - 1):
+                i_dep = i_dep + (cums[kk] < tau_dep).astype(jnp.int32)
+            mid_dep = t0 + (i_dep.astype(jnp.float32) + 0.5) * delta
+            cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
+                          Z + mid_dep * DZ)
+            okd = (cell >= 0) & (D > 0) & alive
+            odepi[:] = jnp.where(okd, cell * nlambda + ell, -1)
+            odepv[:] = jnp.where(okd, D, 0.0)
+
+        # -- scattered-luminosity update + termination --------------------
+        L = jnp.where(alive, albedo * Lm * one_m_e, L)
+        alive = alive & (L > 0) & jnp.logical_not(
+            (L <= Lth) & (nscatt >= min_scatt)) & (taupath > 0)
+
+        # -- forced propagation (ref: simulatepropagation) ----------------
+        u1 = uget(0)
+        u2 = uget(1)
+        tau_exp = _expon_cutoff(u2, taupath)
+        if xi == 0.0:
+            tau = tau_exp
+        else:
+            tau = jnp.where(u1 < xi, u2 * taupath, tau_exp)
+            p = jnp.exp(-tau) / jnp.maximum(one_m_e, 1e-30)
+            qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, 1e-30)
+            L = jnp.where(alive, L * (p / jnp.maximum(qq, 1e-37)), L)
+        i_hit = jnp.zeros(X.shape, jnp.int32)
+        for kk in range(npanels - 1):
+            i_hit = i_hit + (cums[kk] < tau).astype(jnp.int32)
+        cum_h = jnp.zeros_like(L)
+        cum_prev = jnp.zeros_like(L)
+        for kk in range(npanels):
+            sel = i_hit == kk
+            cum_h = jnp.where(sel, cums[kk], cum_h)
+            if kk > 0:
+                cum_prev = jnp.where(sel, cums[kk - 1], cum_prev)
+        dtau_h = cum_h - cum_prev
+        frac = jnp.clip(jnp.where(dtau_h > 0,
+                                  (tau - cum_prev)
+                                  / jnp.maximum(dtau_h, 1e-30), 0.0),
+                        0.0, 1.0)
+        s = t0 + (i_hit.astype(jnp.float32) + frac) * delta
+        X = jnp.where(alive, X + s * DX, X)
+        Y = jnp.where(alive, Y + s * DY, Y)
+        Z = jnp.where(alive, Z + s * DZ, Z)
+
+        # -- Henyey-Greenstein scatter (ref: simulatescattering) ----------
+        u_g = uget(3)
+        u_phi = uget(4)
+        f = (1.0 - g) * (1.0 + g) / (1.0 - g + 2.0 * g * u_g)
+        small_g = jnp.abs(g) < 1e-6
+        cos_hg = (1.0 + g * g - f * f) / (2.0 * jnp.where(small_g, 1.0, g))
+        costheta = jnp.where(small_g, 2.0 * u_g - 1.0,
+                             jnp.clip(cos_hg, -1.0, 1.0))
+        phi = np.float32(2.0 * np.pi) * u_phi
+        sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
+        cosphi = jnp.cos(phi)
+        sinphi = jnp.sin(phi)
+        sign = jnp.where(DZ >= 0.0, 1.0, -1.0)
+        a = -1.0 / (sign + DZ)
+        b = DX * DY * a
+        ux = 1.0 + sign * DX * DX * a
+        uy = sign * b
+        uz = -sign * DX
+        vx = b
+        vy = sign + DY * DY * a
+        vz = -DY
+        nxd = sintheta * (cosphi * ux + sinphi * vx) + costheta * DX
+        nyd = sintheta * (cosphi * uy + sinphi * vy) + costheta * DY
+        nzd = sintheta * (cosphi * uz + sinphi * vz) + costheta * DZ
+        inv_n = jax.lax.rsqrt(jnp.maximum(
+            nxd * nxd + nyd * nyd + nzd * nzd, 1e-30))
+        DX = jnp.where(alive, nxd * inv_n, DX)
+        DY = jnp.where(alive, nyd * inv_n, DY)
+        DZ = jnp.where(alive, nzd * inv_n, DZ)
+        nscatt = jnp.where(alive, nscatt + 1, nscatt)
+
+        opx[:] = X
+        opy[:] = Y
+        opz[:] = Z
+        odx[:] = DX
+        ody[:] = DY
+        odz[:] = DZ
+        oL[:] = L
+        oalive[:] = alive.astype(jnp.int32)
+        ons[:] = nscatt
+
+    return kern
+
+
+def make_fused_table_lifecycle(grid, dust_system, stellar_system,
+                               instruments, options, nlambda: int,
+                               launch_fn=None, emission_peeloff: bool = True,
+                               scattering_peeloff: bool = True,
+                               is_dust_emission=False, mueller=None,
+                               io_state: bool = False,
+                               max_iterations: int | None = None):
+    """Build run_batch(key, ell, L0, tallies[, launch_ctx]) -> tallies
+    for table densities with the event physics fused into one kernel.
+
+    Same contract as lifecycle.make_lifecycle.
+    """
+    ds = dust_system
+    _validate(grid, ds, instruments, options, mueller, io_state)
+    from .lifecycle import (compute_rho_path_maps, make_peel_off)
+
+    npanels = int(options.quadrature_panels
+                  or getattr(grid, "max_steps", 96))
+    np_peel = int(options.peel_panels or npanels)
+    want_labs = bool(options.store_absorption)
+    leaders, lead_of = _group_leaders(instruments)
+    nlead = len(leaders)
+    tile_rows = int(getattr(options, "fused_tile_rows", 32))
+    peel_mode = getattr(options, "table_peel", "taumap")
+    if peel_mode not in ("taumap", "staged"):
+        raise ValueError("table_peel must be 'taumap' or 'staged'")
+    refill = options.refill_batches > 1
+    K = int(options.refill_batches) if refill else 1
+    if refill and launch_fn is not None:
+        raise ValueError("fused table lifecycle: refill requires the "
+                         "stellar launch (no launch_fn)")
+    if refill and not stellar_system.is_isotropic:
+        raise ValueError("fused table lifecycle: refill requires an "
+                         "isotropic stellar system (emission peel weight)")
+    interpret = jax.default_backend() != "tpu"
+
+    kern = _build_kernel(grid, options, nlambda, npanels, want_labs)
+
+    # per-leader density-path maps: peel tau = map[cell] * kext(ell) with a
+    # first-order in-cell correction (make_peel_off) — two gathers/packet
+    maps = None
+    if peel_mode == "taumap":
+        maps = [compute_rho_path_maps(grid, ds, ins) for ins in instruments]
+        peels = [make_peel_off(grid, ds, ins, rho_path_map=m)
+                 for ins, m in zip(instruments, maps)]
+    else:
+        peels = [make_peel_off(grid, ds, ins) for ins in instruments]
+    mix = ds.components[0].mix
+    iter_cap = int(max_iterations if max_iterations is not None
+                   else options.max_scatt_events) * K
+    n_uniform = 5
+
+    def staged_taus(pos, kext_pk):
+        """Exact panel-quadrature peel tau toward each leader (staged)."""
+        taus = []
+        for kvec in leaders:
+            kobs = jnp.broadcast_to(
+                jnp.asarray(np.asarray(kvec, np.float32)), pos.shape)
+            dsg, _, mid = vt.panel_paths(grid, pos, kobs, np_peel)
+            rows = ds.analytic_rows(pos, kobs, mid, None, kext_pk,
+                                    want_sca=False)
+            taus.append(jnp.sum(rows * dsg, axis=1))
+        return taus
+
+    n_state = 15   # px..l0 (11) + t0, dt, alb, g
+
+    def call_kernel(u, kr, state):
+        R = state[0].shape[0]
+        tr = min(tile_rows, R)
+
+        def blk():
+            return pl.BlockSpec((tr, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        out_dtypes = ([jnp.float32] * 7 + [jnp.int32] * 2
+                      + ([jnp.int32, jnp.float32] if want_labs else []))
+        u_spec = pl.BlockSpec((n_uniform, tr, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        kr_spec = pl.BlockSpec((npanels, tr, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(R // tr,),
+            in_specs=[u_spec, kr_spec] + [blk() for _ in range(n_state)],
+            out_specs=tuple(blk() for _ in range(len(out_dtypes))),
+            out_shape=tuple(jax.ShapeDtypeStruct((R, 128), dt)
+                            for dt in out_dtypes),
+            interpret=interpret,
+        )(u, kr, *state)
+
+    def run_batch(key, ell, L0, tallies, launch_ctx=None):
+        n = ell.shape[0]
+        k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
+
+        comp = None
+        if launch_fn is not None:
+            pos, direction, L = launch_fn(k_launch, ell, L0, launch_ctx)
+        else:
+            pos, direction, L, comp = stellar_system.launch(k_launch, ell,
+                                                            L0)
+        alive = L > 0
+        ksca_pk, kext_pk = ds.packet_kappas(ell)
+        albedo_pk = ksca_pk[0] / jnp.maximum(kext_pk[0], 1e-37)
+        g_pk = jnp.asarray(mix.g)[ell]
+
+        dust_flags = jnp.full(n, bool(is_dust_emission))
+
+        def emission_peel(ins_list, pos_p, ell_p, contribution, nscatt_p):
+            # ref: peeloffemission; tau via the maps or the staged
+            # quadrature depending on table_peel
+            tags = {"nscatt": nscatt_p, "is_dust": dust_flags}
+            taus0 = (staged_taus(pos_p, kext_pk)
+                     if peel_mode == "staged" else None)
+            out = []
+            for i, peel in enumerate(peels):
+                c = contribution
+                if (comp is not None and stellar_system is not None
+                        and not stellar_system.is_isotropic):
+                    kobs = instruments[i].observer_direction(pos_p)
+                    c = c * stellar_system.direction_probability(
+                        ell_p, pos_p, kobs, comp)
+                out.append(peel(ins_list[i], pos_p, ell_p, c, tags,
+                                tau=(taus0[lead_of[i]] if taus0 is not None
+                                     else None)))
+            return out
+
+        ins0 = tallies["instruments"]
+        if emission_peeloff:
+            ins0 = emission_peel(list(ins0), pos, ell,
+                                 jnp.where(alive, L, 0.0),
+                                 jnp.zeros(n, jnp.int32))
+
+        # -- pack the lane state into (R, 128) tiles ----------------------
+        tile = tile_rows * 128
+        npad = -(-max(n, tile) // tile) * tile
+
+        def pack(a, fill=0.0):
+            if npad > n:
+                a = jnp.pad(a, (0, npad - n), constant_values=fill)
+            return a.reshape(-1, 128)
+
+        def unpack(a):
+            return a.reshape(-1)[:n]
+
+        R = npad // 128
+        labs = tallies.get("labs")
+        state0 = {
+            "pos": pos, "dir": direction, "L": L,
+            "alive": alive, "ns": jnp.zeros(n, jnp.int32),
+            "bc": jnp.ones(n, jnp.int32),
+        }
+        carry = {"it": jnp.int32(0), "s": state0, "ins": ins0,
+                 "labs": labs if labs is not None
+                 else jnp.zeros((1,), jnp.float32)}
+
+        ell_p = pack(ell)
+        l0_p = pack(L0, 0.0)
+        alb_p = pack(albedo_pk)
+        g_p = pack(g_pk)
+
+        def body(st):
+            s = st["s"]
+            kit = rng.event_key(k_cycle, st["it"])
+            u = jnp.clip(jax.random.uniform(kit, (n_uniform, R, 128),
+                                            jnp.float32),
+                         1e-7, 1.0 - 1e-7)
+
+            # -- stage the kappaext*rho panel rows (the gather-bound op) --
+            dsg, _, mid = vt.panel_paths(grid, s["pos"], s["dir"], npanels)
+            kr_rows = ds.analytic_rows(s["pos"], s["dir"], mid, None,
+                                       kext_pk, want_sca=False)
+            t0 = mid[:, 0] - 0.5 * dsg[:, 0]
+            kr = jnp.moveaxis(
+                jnp.pad(kr_rows, ((0, npad - n), (0, 0)))
+                if npad > n else kr_rows, 1, 0).reshape(npanels, R, 128)
+
+            state = (pack(s["pos"][:, 0]), pack(s["pos"][:, 1]),
+                     pack(s["pos"][:, 2]),
+                     pack(s["dir"][:, 0]), pack(s["dir"][:, 1]),
+                     pack(s["dir"][:, 2], 1.0),
+                     pack(s["L"]), pack(s["alive"].astype(jnp.int32)),
+                     pack(s["ns"]), ell_p, l0_p,
+                     pack(t0), pack(dsg[:, 0]), alb_p, g_p)
+            outs = call_kernel(u, kr, state)
+
+            labs_c = st["labs"]
+            if want_labs:
+                labs_c = binned_add(labs_c, outs[9].reshape(-1),
+                                    outs[10].reshape(-1))
+
+            pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
+                                 unpack(outs[2])], axis=-1)
+            dir_new = jnp.stack([unpack(outs[3]), unpack(outs[4]),
+                                 unpack(outs[5])], axis=-1)
+            L_new = unpack(outs[6])
+            alive_new = unpack(outs[7]) != 0
+            ns_new = unpack(outs[8])
+
+            # -- XLA-side relaunch (refill) -------------------------------
+            bc = s["bc"]
+            fresh = jnp.zeros(n, bool)
+            if refill:
+                eligible = jnp.logical_not(alive_new) & (bc < K)
+                kre = rng.event_key(k_cycle, st["it"], 7)
+                pos_l, dir_l, L_l, _ = stellar_system.launch(kre, ell, L0)
+                pos_new = jnp.where(eligible[:, None], pos_l, pos_new)
+                dir_new = jnp.where(eligible[:, None], dir_l, dir_new)
+                L_new = jnp.where(eligible, L_l, L_new)
+                ns_new = jnp.where(eligible, 0, ns_new)
+                bc = bc + eligible.astype(jnp.int32)
+                fresh = eligible
+                alive_new = alive_new | eligible
+
+            # -- merged peel-off: scattered lanes get the phase weight,
+            # fresh lanes the (isotropic) emission weight ------------------
+            ins = list(st["ins"])
+            if scattering_peeloff:
+                taus0 = (staged_taus(pos_new, kext_pk)
+                         if peel_mode == "staged" else [None] * nlead)
+                tags2 = {"nscatt": ns_new, "is_dust": dust_flags}
+                for i, peel in enumerate(peels):
+                    kvec = leaders[lead_of[i]]
+                    cosj = (s["dir"][:, 0] * np.float32(kvec[0])
+                            + s["dir"][:, 1] * np.float32(kvec[1])
+                            + s["dir"][:, 2] * np.float32(kvec[2]))
+                    w = mix.phase_function(ell, cosj)
+                    if refill:
+                        w = jnp.where(fresh, 1.0, w)
+                    contribution = jnp.where(alive_new, L_new * w, 0.0)
+                    ins[i] = peel(ins[i], pos_new, ell, contribution,
+                                  tags2, tau=taus0[lead_of[i]])
+            elif refill and emission_peeloff:
+                ins = emission_peel(ins, pos_new, ell,
+                                    jnp.where(fresh, L_new, 0.0), ns_new)
+
+            s_new = {"pos": pos_new, "dir": dir_new, "L": L_new,
+                     "alive": alive_new, "ns": ns_new, "bc": bc}
+            return {"it": st["it"] + 1, "s": s_new, "ins": ins,
+                    "labs": labs_c}
+
+        def cond(st):
+            go = jnp.any(st["s"]["alive"])
+            if refill:
+                go = go | jnp.any(st["s"]["bc"] < K)
+            return (st["it"] < iter_cap) & go
+
+        final = jax.lax.while_loop(cond, body, carry)
+
+        out = dict(tallies)
+        out["instruments"] = final["ins"]
+        if labs is not None:
+            out["labs"] = final["labs"]
+        return out
+
+    return run_batch

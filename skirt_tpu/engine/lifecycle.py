@@ -89,6 +89,15 @@ class LifecycleOptions:
                                      # uniform Cartesian grid with distant
                                      # instruments; raises otherwise.
     fused_tile_rows: int = 32        # lanes per kernel tile / 128
+    table_peel: str = "staged"       # fused TABLE mode peel-off extinction:
+                                     # 'staged' = exact peel_panels
+                                     # quadrature along each leader (P_peel
+                                     # gathers/packet, the default),
+                                     # 'taumap' = per-leader density-path
+                                     # maps (two gathers/packet but a
+                                     # cell-scale lateral approximation:
+                                     # ~5% SED error at 16^3 voxels,
+                                     # tests/test_fused_table.py)
     fused_hw_rng: bool | None = None  # draw the per-event uniforms from the
                                      # TPU's on-core hardware PRNG INSIDE
                                      # the fused kernel (pltpu.prng_seed +
@@ -327,6 +336,15 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     (the north-star sorted-compaction divergence control).
     """
     ds = dust_system
+    if options.fused and ds is not None and getattr(ds, "table", False):
+        from . import fused_table as _ft
+        return _ft.make_fused_table_lifecycle(
+            grid, dust_system, stellar_system, instruments, options,
+            nlambda, launch_fn=launch_fn,
+            emission_peeloff=emission_peeloff,
+            scattering_peeloff=scattering_peeloff,
+            is_dust_emission=is_dust_emission, mueller=mueller,
+            io_state=io_state, max_iterations=max_iterations)
     if options.fused:
         from . import fused as _fused
         return _fused.make_fused_lifecycle(
