@@ -63,24 +63,33 @@ def main():
     comp = DustComponent(sphere, mix, DustMassNormalization(mass))
     dsys = DustSystem(grid, [comp], density_mode=mode)
     table = os.environ.get("VORONOI_TABLE", "0") == "1"
-    if os.environ.get("VORONOI_VOXEL", "0") == "1" or table:
-        dsys, _fold = dsys.voxelized()
+    direct = os.environ.get("VORONOI_DIRECT", "0") == "1"
+    if (os.environ.get("VORONOI_VOXEL", "0") == "1" or table) and not direct:
+        res = int(os.environ.get("VORONOI_RES", "0"))
+        mv = res ** 3 if res else 1 << 24
+        dsys, _fold = dsys.voxelized(max_voxels=mv)
         grid = dsys.grid
         print(f"voxelized: {grid.nx}^3", flush=True)
     if table:
+        # direct=1: panel table quadrature on the EXACT tessellation (MXU
+        # point location at panel midpoints), no rasterization
         dsys = dsys.as_table()
-        mode = "table"
+        mode = "table-direct" if direct else "table"
     ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+    fused = os.environ.get("VORONOI_FUSED", "0") == "1"
+    refill = int(os.environ.get("VORONOI_REFILL", "0"))
     opts = LifecycleOptions(store_absorption=True, max_scatt_events=64,
-                            deposition=("sampled" if mode in ("analytic",
-                                                              "table")
+                            deposition=("sampled" if (table or mode ==
+                                                      "analytic")
                                         else "path"),
                             quadrature_panels=(32 if table else None),
-                            peel_panels=(8 if table else None))
+                            peel_panels=(8 if table else None),
+                            refill_batches=refill, fused=fused)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
 
+    npackets = n * max(refill, 1)
     ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
-    L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+    L0 = jnp.full((n,), 1e36 / npackets, jnp.float32)
 
     def tallies():
         return {"instruments": [i.zero_tallies() for i in ins],
@@ -93,8 +102,9 @@ def main():
     out = run(jax.random.fold_in(key, 1), ell, L0, tallies())
     _sync(out)
     dt = time.perf_counter() - t0
-    print(f"voronoi {mode} lifecycle: {n / dt:,.0f} packets/s "
-          f"({dt:.2f}s per {n} packets)", flush=True)
+    print(f"voronoi {mode} lifecycle (fused={fused} refill={refill}): "
+          f"{npackets / dt:,.0f} packets/s "
+          f"({dt:.2f}s per {npackets} packets)", flush=True)
 
 
 if __name__ == "__main__":

@@ -38,9 +38,10 @@ from ..ops import binned_add
 from . import vector_traversal as vt
 
 _BIG = 3.4e38
-_MAX_CHAIN = 64   # wavelength-table lookups are where-chains inside the
-                  # kernel; beyond this the chain cost would overtake the
-                  # gather it replaces
+_MAX_CHAIN_AUTO = 16   # wavelength tables are compile-time where-chains up
+                       # to this nlambda (free for oligo runs); beyond it
+                       # they become per-lane (R,128) inputs gathered once
+                       # per batch (no ceiling)
 
 
 def _chain_table(ell, values):
@@ -161,8 +162,6 @@ def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
         bail("continuous_scattering not supported")
     if options.store_absorption and options.deposition != "sampled":
         bail("absorption tallies require deposition='sampled'")
-    if nlambda > _MAX_CHAIN:
-        bail(f"nlambda > {_MAX_CHAIN} (wavelength select chains)")
     if options.store_absorption:
         # deposits need an in-kernel (arithmetic) cell id; otherwise the
         # single-mix event is cell-independent and any analytic grid's
@@ -191,7 +190,7 @@ def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
 
 def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
                   want_labs, scattering_peeloff, sampler=None,
-                  hw_rng=False):
+                  hw_rng=False, lam_inputs=False):
     H = ds.ncomp
     multi = H > 1
     geoms = [c.geometry for c in ds.components]
@@ -243,6 +242,16 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
         (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
          L_r, alive_r, ns_r, ell_r, l0_r) = refs[1:12]
         nin = 12
+        lam_refs = None
+        if lam_inputs:
+            # per-lane wavelength properties precomputed in XLA: ell is
+            # loop-invariant (relaunched lanes keep their ell), so the
+            # per-lambda tables are gathered ONCE per batch — replaces the
+            # compile-time select chains whose cost grew linearly in
+            # nlambda (the old 64-wavelength ceiling)
+            n_lam = 3 * H if multi else 3
+            lam_refs = refs[nin:nin + n_lam]
+            nin += n_lam
         if refill:
             bc_r = refs[nin]
             nin += 1
@@ -287,14 +296,25 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, nlambda,
         L0 = l0_r[:]
         Lth = L0 * inv_minred
 
-        kextm_l = [_chain_table(ell, kextm_t[h]) for h in range(H)]
-        if multi:
-            kscam_l = [_chain_table(ell, kscam_t[h]) for h in range(H)]
-            g_l = [_chain_table(ell, g_t[h]) for h in range(H)]
-            g = g_l[0]
+        if lam_inputs:
+            if multi:
+                kextm_l = [lam_refs[h][:] for h in range(H)]
+                kscam_l = [lam_refs[H + h][:] for h in range(H)]
+                g_l = [lam_refs[2 * H + h][:] for h in range(H)]
+                g = g_l[0]
+            else:
+                kextm_l = [lam_refs[0][:]]
+                albedo = lam_refs[1][:]
+                g = lam_refs[2][:]
         else:
-            albedo = _chain_table(ell, alb_t)
-            g = _chain_table(ell, g_t[0])
+            kextm_l = [_chain_table(ell, kextm_t[h]) for h in range(H)]
+            if multi:
+                kscam_l = [_chain_table(ell, kscam_t[h]) for h in range(H)]
+                g_l = [_chain_table(ell, g_t[h]) for h in range(H)]
+                g = g_l[0]
+            else:
+                albedo = _chain_table(ell, alb_t)
+                g = _chain_table(ell, g_t[0])
         kextm = kextm_l[0]
 
         # -- traverse: equal-panel quadrature of the analytic density ------
@@ -573,9 +593,15 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
         raise ValueError("fused lifecycle: fused_hw_rng requires a real "
                          "TPU backend (interpret mode lacks the on-core "
                          "PRNG primitives)")
+    # per-lane lambda properties: below the threshold the compile-time
+    # select chains are free; beyond it they grow linearly in nlambda, so
+    # the tables are gathered once per batch instead (ell is loop-invariant
+    # even under refill) — this removed the old 64-wavelength ceiling
+    lam_inputs = nlambda > _MAX_CHAIN_AUTO
     kern = _build_kernel(grid, ds, leaders, npanels, np_peel, options,
                          nlambda, want_labs, scattering_peeloff,
-                         sampler=sampler, hw_rng=hw_rng)
+                         sampler=sampler, hw_rng=hw_rng,
+                         lam_inputs=lam_inputs)
     peels = [make_peel_off(grid, ds, ins) for ins in instruments]
     mix = ds.components[0].mix
     nlead = len(leaders)
@@ -597,7 +623,18 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
             taus.append(jnp.sum(rows * dsg, axis=1))
         return taus
 
-    n_state = 12 if refill else 11
+    n_lam = (3 * ds.ncomp if multi else 3) if lam_inputs else 0
+    n_state = 11 + n_lam + (1 if refill else 0)
+    if lam_inputs:
+        mL3s = [float(v) for v in np.asarray(ds._mass_over_L3).ravel()]
+        kextm_tab = jnp.asarray(np.asarray(ds.kappaext, np.float32)
+                                * np.asarray(mL3s, np.float32)[:, None])
+        kscam_tab = jnp.asarray(np.asarray(ds.kappasca, np.float32)
+                                * np.asarray(mL3s, np.float32)[:, None])
+        g_tab = jnp.asarray(np.asarray(ds.g, np.float32))
+        alb_tab = jnp.asarray(
+            np.asarray(ds.kappasca[0], np.float32)
+            / np.maximum(np.asarray(ds.kappaext[0], np.float32), 1e-37))
 
     def call_kernel(u, state):
         R = state[0].shape[0]
@@ -672,6 +709,17 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                  pack(L), pack(alive.astype(jnp.int32)),
                  pack(jnp.zeros(n, jnp.int32)), pack(ell),
                  pack(L0, 0.0))
+        if lam_inputs:
+            # loop-invariant per-lane wavelength properties (one gather
+            # per batch instead of in-kernel select chains)
+            if multi:
+                lam = tuple(pack(kextm_tab[h, ell]) for h in range(ds.ncomp)) \
+                    + tuple(pack(kscam_tab[h, ell]) for h in range(ds.ncomp)) \
+                    + tuple(pack(g_tab[h, ell]) for h in range(ds.ncomp))
+            else:
+                lam = (pack(kextm_tab[0, ell]), pack(alb_tab[ell]),
+                       pack(g_tab[0, ell]))
+            state = state + lam
         if refill:
             # packet budget per lane; padded lanes start exhausted
             state = state + (pack(jnp.ones(n, jnp.int32), K),)
@@ -712,7 +760,8 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
             if multi:
                 ows = outs[k:k + nlead]
                 k += nlead
-            new_state = tuple(outs[:9]) + (st["state"][9], st["state"][10])
+            new_state = tuple(outs[:9]) \
+                + tuple(st["state"][9:11 + n_lam])
             fresh = None
             if refill:
                 new_state = new_state + (outs[k],)
@@ -746,7 +795,7 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
         def cond(st):
             go = jnp.any(st["state"][7] != 0)
             if refill:
-                go = go | jnp.any(st["state"][11] < K)
+                go = go | jnp.any(st["state"][11 + n_lam] < K)
             return (st["it"] < iter_cap) & go
 
         final = jax.lax.while_loop(cond, body, carry)

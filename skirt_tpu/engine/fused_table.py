@@ -71,9 +71,9 @@ def _validate(grid, ds, instruments, options, mueller, io_state):
         bail("continuous_scattering not supported")
     if options.store_absorption and options.deposition != "sampled":
         bail("absorption tallies require deposition='sampled'")
-    if not (hasattr(grid, "_uniform") and all(grid._uniform)):
-        bail("requires a uniform-spacing Cartesian grid (the voxelized "
-             "view); call DustSystem.voxelized() first")
+    if not (hasattr(grid, "ray_span") and hasattr(grid, "locate_batched")):
+        bail("requires a grid with ray_span + locate_batched (uniform "
+             "Cartesian voxel view, or Voronoi with device point location)")
     for ins in instruments:
         if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
             bail("requires distant (constant-direction) instruments")
@@ -81,11 +81,18 @@ def _validate(grid, ds, instruments, options, mueller, io_state):
         pass   # XLA-side relaunch: any stellar system works
 
 
-def _build_kernel(grid, options, nlambda, npanels, want_labs):
-    """The in-VMEM event kernel: staged kr panels -> event physics."""
-    nx, ny, nz = grid.nx, grid.ny, grid.nz
-    lo = grid._lo
-    inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
+def _build_kernel(grid, options, nlambda, npanels, want_labs, arith_locate):
+    """The in-VMEM event kernel: staged kr panels -> event physics.
+
+    arith_locate: uniform Cartesian grids locate the deposit cell
+    in-kernel (pure arithmetic); other grids (Voronoi direct-table mode)
+    get the deposit ray parameter as an output and the caller locates it
+    (one locate_batched per iteration).
+    """
+    if arith_locate:
+        nx, ny, nz = grid.nx, grid.ny, grid.nz
+        lo = grid._lo
+        inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
     xi = float(options.scatt_bias)
     min_scatt = int(options.min_scatt_events)
     inv_minred = np.float32(1.0 / options.min_weight_reduction)
@@ -148,10 +155,15 @@ def _build_kernel(grid, options, nlambda, npanels, want_labs):
             for kk in range(npanels - 1):
                 i_dep = i_dep + (cums[kk] < tau_dep).astype(jnp.int32)
             mid_dep = t0 + (i_dep.astype(jnp.float32) + 0.5) * delta
-            cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
-                          Z + mid_dep * DZ)
-            okd = (cell >= 0) & (D > 0) & alive
-            odepi[:] = jnp.where(okd, cell * nlambda + ell, -1)
+            okd = (D > 0) & alive
+            if arith_locate:
+                cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
+                              Z + mid_dep * DZ)
+                okd = okd & (cell >= 0)
+                odepi[:] = jnp.where(okd, cell * nlambda + ell, -1)
+            else:
+                # caller locates pos + mid_dep*dir (locate_batched)
+                odepi[:] = jnp.where(okd, mid_dep, -1.0)
             odepv[:] = jnp.where(okd, D, 0.0)
 
         # -- scattered-luminosity update + termination --------------------
@@ -269,8 +281,10 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
         raise ValueError("fused table lifecycle: refill requires an "
                          "isotropic stellar system (emission peel weight)")
     interpret = jax.default_backend() != "tpu"
+    arith_locate = bool(hasattr(grid, "_uniform") and all(grid._uniform))
 
-    kern = _build_kernel(grid, options, nlambda, npanels, want_labs)
+    kern = _build_kernel(grid, options, nlambda, npanels, want_labs,
+                         arith_locate)
 
     # per-leader density-path maps: peel tau = map[cell] * kext(ell) with a
     # first-order in-cell correction (make_peel_off) — two gathers/packet
@@ -308,8 +322,9 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
             return pl.BlockSpec((tr, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
 
+        dep_dt = jnp.int32 if arith_locate else jnp.float32
         out_dtypes = ([jnp.float32] * 7 + [jnp.int32] * 2
-                      + ([jnp.int32, jnp.float32] if want_labs else []))
+                      + ([dep_dt, jnp.float32] if want_labs else []))
         u_spec = pl.BlockSpec((n_uniform, tr, 128), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
         kr_spec = pl.BlockSpec((npanels, tr, 128), lambda i: (0, i, 0),
@@ -390,6 +405,7 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                  else jnp.zeros((1,), jnp.float32)}
 
         ell_p = pack(ell)
+        pack_ell_flat = ell
         l0_p = pack(L0, 0.0)
         alb_p = pack(albedo_pk)
         g_p = pack(g_pk)
@@ -420,9 +436,20 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
             outs = call_kernel(u, kr, state)
 
             labs_c = st["labs"]
-            if want_labs:
+            if want_labs and arith_locate:
                 labs_c = binned_add(labs_c, outs[9].reshape(-1),
                                     outs[10].reshape(-1))
+            elif want_labs:
+                # locate the sampled deposit point on the (non-Cartesian)
+                # grid: one locate_batched per iteration
+                mid_dep = unpack(outs[9])
+                dval = unpack(outs[10])
+                pos_dep = s["pos"] + mid_dep[:, None] * s["dir"]
+                cell_dep = grid.locate_batched(pos_dep[:, None, :])[:, 0]
+                okd = (mid_dep >= 0) & (cell_dep >= 0)
+                bins = jnp.where(okd, cell_dep * nlambda + pack_ell_flat, -1)
+                labs_c = binned_add(labs_c, bins,
+                                    jnp.where(okd, dval, 0.0))
 
             pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
                                  unpack(outs[2])], axis=-1)

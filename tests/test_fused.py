@@ -248,3 +248,61 @@ class TestFusedMultiComponent:
         lx = float(np.asarray(tx["labs"]).sum())
         lf = float(np.asarray(tf["labs"]).sum())
         assert lf == pytest.approx(lx, rel=0.03)
+
+
+class TestFusedManyWavelengths:
+    def test_128_lambda_parity(self):
+        """Beyond _MAX_CHAIN_AUTO the per-lambda tables become per-lane
+        (R,128) inputs gathered once per batch — this removed the old
+        64-wavelength select-chain ceiling.  Parity vs the XLA lifecycle
+        with per-lambda VARYING optical properties."""
+        kw = dict(nlambda=128, ncells=8, packets=1 << 14, n_instruments=1,
+                  store_absorption=True, max_scatt=24, quadrature_panels=8,
+                  vary_lambda=True)
+        run_x, zeros_x, ell, L0 = _build(**kw)
+        run_f, zeros_f, _, _ = _build(fused=True, **kw)
+        key = jax.random.key(4357)
+        tx = jax.jit(lambda k: run_x(k, ell, L0, zeros_x()))(key)
+        tf = jax.jit(lambda k: run_f(k, ell, L0, zeros_f()))(key)
+        fx = np.asarray(tx["instruments"][0]["Ftot"], np.float64)
+        ff = np.asarray(tf["instruments"][0]["Ftot"], np.float64)
+        # 128 packets/lambda: direct flux dominates and shares the launch
+        # stream; scattered flux differs by the event streams
+        tot_x, tot_f = fx.sum(), ff.sum()
+        assert tot_f == pytest.approx(tot_x, rel=0.02)
+        np.testing.assert_allclose(ff, fx, rtol=0.25)
+        lx = float(np.asarray(tx["labs"]).sum())
+        lf = float(np.asarray(tf["labs"]).sum())
+        assert lf == pytest.approx(lx, rel=0.05)
+
+    def test_17_lambda_uses_lam_inputs(self):
+        """Just above the chain threshold: the lam-input path engages."""
+        kw = dict(nlambda=17, ncells=8, packets=1 << 12, n_instruments=1,
+                  store_absorption=False, max_scatt=16,
+                  quadrature_panels=8, vary_lambda=True)
+        run_x, zeros_x, ell, L0 = _build(**kw)
+        run_f, zeros_f, _, _ = _build(fused=True, **kw)
+        key = jax.random.key(1)
+        tx = jax.jit(lambda k: run_x(k, ell, L0, zeros_x()))(key)
+        tf = jax.jit(lambda k: run_f(k, ell, L0, zeros_f()))(key)
+        fx = np.asarray(tx["instruments"][0]["Ftot"], np.float64)
+        ff = np.asarray(tf["instruments"][0]["Ftot"], np.float64)
+        assert ff.sum() == pytest.approx(fx.sum(), rel=0.03)
+
+    def test_refill_with_lam_inputs(self):
+        """refill + lam-inputs together (the bc budget ref sits after the
+        lambda inputs in the state tuple)."""
+        kw = dict(nlambda=17, ncells=8, packets=1 << 12, n_instruments=1,
+                  store_absorption=False, max_scatt=16,
+                  quadrature_panels=8, vary_lambda=True)
+        run_x, zeros_x, ell, L0 = _build(**kw)
+        tx = jax.jit(lambda k: run_x(k, ell, L0, zeros_x()))(
+            jax.random.key(1))
+        kwr = dict(kw, packets=1 << 10)
+        run_r, zeros_r, ell_r, L0_r = _build(fused=True, refill_batches=4,
+                                             **kwr)
+        tr = jax.jit(lambda k: run_r(k, ell_r, L0_r, zeros_r()))(
+            jax.random.key(1))
+        fx = np.asarray(tx["instruments"][0]["Ftot"], np.float64)
+        fr = np.asarray(tr["instruments"][0]["Ftot"], np.float64)
+        assert fr.sum() == pytest.approx(fx.sum(), rel=0.04)
