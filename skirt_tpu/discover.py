@@ -460,6 +460,92 @@ def _merge_derived():
 _merge_derived()
 
 
+# Hand-curated entries the AST derivation misses (dict-dispatch builders,
+# container elements parsed positionally, and classes added after the
+# derivation was written).  ref: Discover/RegisterSimulationItems.cpp
+# :201-449 — every CONCRETE reference-registry class must be here or in
+# NOT_APPLICABLE (tests/test_discover.py enforces this).
+_SUPPLEMENT: dict[str, dict] = {
+    "Random": {"kind": "random", "properties": ["seed"]},
+    "InstrumentSystem": {"kind": "instrumentSystem", "properties": [],
+                         "children": ["instruments"]},
+    "InstrumentFrame": {"kind": "instrumentFrame",
+                        "properties": ["pixelsX", "pixelsY", "fieldOfViewX",
+                                       "fieldOfViewY"]},
+    "DustComp": {"kind": "dustComp", "properties": [],
+                 "children": ["geometry", "mix", "normalization"]},
+    "OligoDustSystem": {"kind": "dustSystem",
+                        "properties": ["writeConvergence", "writeDensity",
+                                       "writeDepthMap", "writeQuality",
+                                       "writeCellProperties",
+                                       "writeCellsCrossed"],
+                        "children": ["dustDistribution", "dustGrid"]},
+    "PanDustSystem": {"kind": "dustSystem",
+                      "properties": ["writeConvergence", "writeDensity",
+                                     "writeDepthMap", "writeQuality",
+                                     "writeCellProperties",
+                                     "writeCellsCrossed", "writeEmissivity",
+                                     "writeTemperature", "writeISRF",
+                                     "selfAbsorption", "emissionBoost"],
+                      "children": ["dustDistribution", "dustGrid",
+                                   "dustEmissivity", "dustLib"]},
+    "AllCellsDustLib": {"kind": "dustLib", "properties": []},
+    "Dim1DustLib": {"kind": "dustLib", "properties": ["entries"]},
+    "Dim2DustLib": {"kind": "dustLib",
+                    "properties": ["pointsTemperature", "pointsWavelength"]},
+    "GreyBodyDustEmissivity": {"kind": "dustEmissivity", "properties": []},
+    "TransientDustEmissivity": {"kind": "dustEmissivity", "properties": []},
+    "CubicSplineSmoothingKernel": {"kind": "smoothingKernel",
+                                   "properties": []},
+    "UniformSmoothingKernel": {"kind": "smoothingKernel", "properties": []},
+    "BruzualCharlotSED": {"kind": "sed",
+                          "properties": ["metallicity", "age"]},
+    "MappingsSED": {"kind": "sed",
+                    "properties": ["metallicity", "compactness", "pressure",
+                                   "coveringFactor"]},
+    "BruzualCharlotSEDFamily": {"kind": "sedFamily", "properties": []},
+    "MappingsSEDFamily": {"kind": "sedFamily", "properties": []},
+    "MieSilicateGrainComposition": {"kind": "grainComposition",
+                                    "properties": []},
+    "MinSilicateGrainComposition": {"kind": "grainComposition",
+                                    "properties": []},
+    "TrustGraphiteGrainComposition": {"kind": "grainComposition",
+                                      "properties": []},
+    "TrustSilicateGrainComposition": {"kind": "grainComposition",
+                                      "properties": []},
+    "PolarizedGraphiteGrainComposition": {"kind": "grainComposition",
+                                          "properties": []},
+    "PolarizedSilicateGrainComposition": {"kind": "grainComposition",
+                                          "properties": []},
+    "XDustCompNormalization": {"kind": "dustNormalization",
+                               "properties": ["wavelength", "opticalDepth"]},
+    "YDustCompNormalization": {"kind": "dustNormalization",
+                               "properties": ["wavelength", "opticalDepth"]},
+    "LuminosityStellarCompNormalization": {
+        "kind": "stellarNormalization",
+        "properties": ["band", "luminosity"]},
+    "VoronoiMeshAsciiFile": {"kind": "voronoiMeshFile",
+                             "properties": ["filename", "coordinateUnits"]},
+    "AdaptiveMeshGeometry": {"kind": "geometry",
+                             "properties": ["densityUnits"],
+                             "children": ["adaptiveMeshFile"]},
+}
+for _n, _e in _SUPPLEMENT.items():
+    if _n not in SUPPORTED:
+        SUPPORTED[_n] = _e
+
+# Reference-registry classes with no counterpart BY DESIGN: the
+# reference's thread/process work-assigner plumbing is replaced by SPMD
+# lockstep batches over the device mesh (parallel/mesh.py) — there is
+# nothing to assign.  ref: ProcessAssigner.hpp and subclasses.
+NOT_APPLICABLE: dict[str, str] = {
+    "IdenticalAssigner": "SPMD re-design: no per-thread work assignment",
+    "RandomAssigner": "SPMD re-design: no per-thread work assignment",
+    "SequentialAssigner": "SPMD re-design: no per-thread work assignment",
+    "StaggeredAssigner": "SPMD re-design: no per-thread work assignment",
+}
+
+
 # ---------------------------------------------------------------------------
 # ski writing (ref: Discover/XmlHierarchyWriter)
 # ---------------------------------------------------------------------------

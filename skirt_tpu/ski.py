@@ -337,6 +337,16 @@ def build_sed(node: Node, wg):
     if n == "KuruczSED":
         return KuruczSED(wg, node.scalar("metallicity"),
                          node.scalar("temperature"), node.scalar("gravity"))
+    if n == "BruzualCharlotSED":
+        from .sources.sed import BruzualCharlotSED
+        return BruzualCharlotSED(wg, node.scalar("metallicity", 0.02),
+                                 node.scalar("age", 5.0))
+    if n == "MappingsSED":
+        from .sources.sed import MappingsSED
+        return MappingsSED(wg, node.scalar("metallicity", 0.0122),
+                           node.scalar("compactness", 6.0),
+                           node.scalar("pressure", 1.38e-12),
+                           node.scalar("coveringFactor", 0.2))
     raise SkiParseError(f"unsupported SED '{n}'")
 
 
@@ -660,6 +670,11 @@ def build_stellar_component(node: Node, wg):
         elif norm_node.name == "SpectralLuminosityStellarCompNormalization":
             norm = SpectralLuminosityNormalization(
                 norm_node.scalar("wavelength"), norm_node.scalar("luminosity"))
+        elif norm_node.name == "LuminosityStellarCompNormalization":
+            from .sources.stellar import BroadbandLuminosityNormalization
+            norm = BroadbandLuminosityNormalization(
+                norm_node.attrs.get("band", "V"),
+                norm_node.scalar("luminosity"))
         else:
             raise SkiParseError(
                 f"unsupported stellar normalization '{norm_node.name}'")

@@ -2,7 +2,8 @@
 
 from .sed import (
     SED, BlackBodySED, SunSED, FileSED, PlanckFunction, KuruczSED,
-    QuasarSED, PegaseSED, MarastonSED,
+    QuasarSED, PegaseSED, MarastonSED, BruzualCharlotSED,
+    MappingsSED, StarburstSED,
 )
 from .stellar import (
     StellarComponent,
@@ -11,12 +12,14 @@ from .stellar import (
     BolometricLuminosityNormalization,
     SpectralLuminosityNormalization,
     BandLuminosityNormalization,
+    BroadbandLuminosityNormalization,
 )
 
 __all__ = [
     "SED", "BlackBodySED", "SunSED", "FileSED", "PlanckFunction",
     "KuruczSED", "QuasarSED", "PegaseSED", "MarastonSED",
+    "BruzualCharlotSED", "MappingsSED", "StarburstSED",
     "StellarComponent", "OligoStellarComponent", "StellarSystem",
     "BolometricLuminosityNormalization", "SpectralLuminosityNormalization",
-    "BandLuminosityNormalization",
+    "BandLuminosityNormalization", "BroadbandLuminosityNormalization",
 ]

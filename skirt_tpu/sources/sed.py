@@ -97,6 +97,39 @@ class SunSED(SED):
         super().__init__(wavelength_grid, j * wavelength_grid.dlambdav)
 
 
+class BruzualCharlotSED(SED):
+    """BC03 SSP spectrum at (Z, age) for unit mass.
+
+    ref: SKIRTcore/BruzualCharlotSED.cpp setupSelfBefore — the SED is the
+    family evaluated at M=1, Z, t (age in Gyr)."""
+
+    def __init__(self, wavelength_grid: WavelengthGrid, metallicity: float
+                 = 0.02, age: float = 5.0, data_dir: str | None = None):
+        from .sed_family import BruzualCharlotSEDFamily
+        fam = BruzualCharlotSEDFamily(data_dir)
+        Lv = fam.luminosities(wavelength_grid,
+                              [[1.0, metallicity, age * 1e9]])[0]
+        super().__init__(wavelength_grid, Lv)
+
+
+class MappingsSED(SED):
+    """MAPPINGS III starburst spectrum at (Z, logC, pressure, f_PDR).
+
+    ref: SKIRTcore/MappingsSED.cpp setupSelfBefore — the family at
+    SFR=1."""
+
+    def __init__(self, wavelength_grid: WavelengthGrid, metallicity: float
+                 = 0.0122, compactness: float = 6.0, pressure: float
+                 = 1.38e-12, covering_factor: float = 0.2,
+                 data_dir: str | None = None):
+        from .sed_family import MappingsSEDFamily
+        fam = MappingsSEDFamily(data_dir)
+        Lv = fam.luminosities(wavelength_grid,
+                              [[1.0, metallicity, compactness, pressure,
+                                covering_factor]])[0]
+        super().__init__(wavelength_grid, Lv)
+
+
 class FileSED(SED):
     """Two-column text file: lambda [micron], L_lambda (arbitrary units).
 

@@ -71,6 +71,48 @@ class BandLuminosityNormalization:
         return (self.luminosity / frac_in_band) * sed.fractions
 
 
+# broadband effective wavelengths, ref:
+# LuminosityStellarCompNormalization.cpp:74-99 (WISE1 is 3.35e-9 there —
+# an evident typo for the 3.35 um W1 band; corrected here)
+BROADBAND_WAVELENGTHS = {
+    "FUV": 152e-9, "NUV": 231e-9, "U": 365e-9, "B": 445e-9, "V": 551e-9,
+    "R": 658e-9, "I": 806e-9, "J": 1.22e-6, "H": 1.63e-6, "K": 2.19e-6,
+    "SDSSu": 354e-9, "SDSSg": 477e-9, "SDSSr": 623e-9, "SDSSi": 763e-9,
+    "SDSSz": 913e-9, "IRAC1": 3.56e-6, "IRAC2": 4.51e-6,
+    "WISE1": 3.35e-6, "WISE2": 4.60e-6,
+}
+
+
+@dataclass
+class BroadbandLuminosityNormalization:
+    """Luminosity in a named broadband, in solar units of that band.
+
+    ref: LuminosityStellarCompNormalization.cpp — the nearest wavelength
+    bin to the band's effective wavelength carries L_X * Lsun * sunfrac,
+    and the SED scales so its luminosity in that bin matches:
+    totluminosity = L_X * Lsun * sun.luminosity(ell) / sed.luminosity(ell).
+    """
+    band: str
+    luminosity: float          # in solar band luminosities
+    data_dir: str | None = None
+
+    def luminosities_for(self, sed: SED) -> np.ndarray:
+        from ..constants import L_SUN
+        from .sed import SunSED
+
+        if self.band not in BROADBAND_WAVELENGTHS:
+            raise ValueError(f"unknown broadband '{self.band}'")
+        wg = sed.wavelength_grid
+        ell = wg.nearest(BROADBAND_WAVELENGTHS[self.band])
+        if ell < 0:
+            raise ValueError("the band is outside the wavelength grid")
+        sun = SunSED(wg, self.data_dir)
+        if sed.fractions[ell] <= 0:
+            raise ValueError("SED has no luminosity in the band bin")
+        LX_W = self.luminosity * L_SUN * sun.fractions[ell]
+        return (LX_W / sed.fractions[ell]) * sed.fractions
+
+
 class StellarComponent:
     """Geometry + SED + normalization (ref: PanStellarComp)."""
 

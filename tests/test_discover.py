@@ -5,6 +5,7 @@ import xml.etree.ElementTree as ET
 
 import pytest
 
+from skirt_tpu import discover
 from skirt_tpu.discover import latex_report, write_schema, write_ski
 from skirt_tpu.ski import parse_ski
 from tests.test_ski import OLIGO_SKI
@@ -141,3 +142,67 @@ class TestFoamDecorators:
         total = np.trapezoid(np.trapezoid(rho * 2 * np.pi * RR, zg, axis=1),
                              Rg)
         assert total == pytest.approx(1.0, rel=0.02)
+
+
+# every CONCRETE class of the reference registry (add<X>() without the
+# abstract marker, Discover/RegisterSimulationItems.cpp:201-449)
+REFERENCE_CONCRETE_REGISTRY = [
+    "AdaptiveMeshAmrvacFile", "AdaptiveMeshAsciiFile", "AdaptiveMeshDustDistribution", "AdaptiveMeshDustGrid",
+    "AdaptiveMeshGeometry", "AdaptiveMeshStellarComp", "AllCellsDustLib", "AmHydrocarbonGrainComposition",
+    "Benchmark1DDustMix", "Benchmark2DDustMix", "BinTreeDustGrid", "BlackBodySED",
+    "BolLuminosityStellarCompNormalization", "BrokenExpDiskGeometry", "BruzualCharlotSED", "BruzualCharlotSEDFamily",
+    "CartesianDustGrid", "ClumpyGeometryDecorator", "CombineGeometryDecorator", "CompDustDistribution",
+    "ConfigurableDustMix", "ConicalShellGeometry", "CropGeometryDecorator", "CubBackgroundGeometry",
+    "CubicSplineSmoothingKernel", "Cylinder2DDustGrid", "CylindricalCavityGeometryDecorator", "Dim1DustLib",
+    "Dim2DustLib", "DraineGraphiteGrainComposition", "DraineIonizedPAHGrainComposition", "DraineLiDustMix",
+    "DraineNeutralPAHGrainComposition", "DraineSilicateGrainComposition", "DustComp", "DustEmGrainComposition",
+    "DustMassDustCompNormalization", "DustMixPopulation", "EdgeOnDustCompNormalization", "EinastoGeometry",
+    "ElectronDustMix", "EnstatiteGrainComposition", "ExpDiskGeometry", "ExtragalacticUnits",
+    "FaceOnDustCompNormalization", "FileGrainComposition", "FileSED", "FileWavelengthGrid",
+    "FoamGeometryDecorator", "ForsteriteGrainComposition", "FrameInstrument", "FullInstrument",
+    "GammaGeometry", "GaussianGeometry", "GreyBodyDustEmissivity", "IdenticalAssigner",
+    "InstrumentFrame", "InstrumentSystem", "InterstellarDustMix", "KuruczSED",
+    "LaserGeometry", "LinMesh", "LogMesh", "LogNormalGrainSizeDistribution",
+    "LogWavelengthGrid", "LuminosityStellarCompNormalization", "MGEGeometry", "MRNDustMix",
+    "MappingsSED", "MappingsSEDFamily", "MarastonSED", "MeanZubkoDustMix",
+    "MeshDustComponent", "MieSilicateGrainComposition", "MinSilicateGrainComposition", "ModifiedLogNormalGrainSizeDistribution",
+    "ModifiedPowerLawGrainSizeDistribution", "MultiFrameInstrument", "NestedLogWavelengthGrid", "NetzerAccretionDiskGeometry",
+    "OctTreeDustGrid", "OffsetGeometryDecorator", "OligoDustSystem", "OligoMonteCarloSimulation",
+    "OligoStellarComp", "OligoWavelengthGrid", "PanDustSystem", "PanMonteCarloSimulation",
+    "PanStellarComp", "ParticleTreeDustGrid", "PegaseSED", "PerspectiveInstrument",
+    "PlummerGeometry", "PointGeometry", "PolarizedGraphiteGrainComposition", "PolarizedSilicateGrainComposition",
+    "PowMesh", "PowerLawGrainSizeDistribution", "PseudoSersicGeometry", "QuasarSED",
+    "RadialDustCompNormalization", "Random", "RandomAssigner", "ReadFitsGeometry",
+    "RingGeometry", "RotateGeometryDecorator", "SEDInstrument", "SIUnits",
+    "SPHDustDistribution", "SPHGeometry", "SPHStellarComp", "SequentialAssigner",
+    "SersicGeometry", "ShellGeometry", "SimpleInstrument", "SimpleOligoDustMix",
+    "SingleGrainSizeDistribution", "SolarPatchGeometry", "SpectralLuminosityStellarCompNormalization", "SpheBackgroundGeometry",
+    "Sphere1DDustGrid", "Sphere2DDustGrid", "SphericalAdaptiveMeshDustDistribution", "SphericalCavityGeometryDecorator",
+    "SpheroidalGeometryDecorator", "SpiralStructureGeometryDecorator", "StaggeredAssigner", "StarburstSED",
+    "StellarSurfaceGeometry", "StellarSystem", "StellarUnits", "SunSED",
+    "SymPowMesh", "TTauriDiskGeometry", "ThemisDustMix", "TorusGeometry",
+    "TransientDustEmissivity", "TriaxialGeometryDecorator", "Trust1Geometry", "Trust2Geometry",
+    "Trust6Geometry", "Trust7aGeometry", "Trust7bGeometry", "TrustDustMix",
+    "TrustGraphiteGrainComposition", "TrustMeanDustMix", "TrustNeutralPAHGrainComposition", "TrustPolarizedMeanDustMix",
+    "TrustSilicateGrainComposition", "TwoPhaseDustGrid", "UniformCuboidGeometry", "UniformSmoothingKernel",
+    "VoronoiDustDistribution", "VoronoiDustGrid", "VoronoiGeometry", "VoronoiMeshAsciiFile",
+    "VoronoiStellarComp", "WeingartnerDraineDustMix", "XDustCompNormalization", "YDustCompNormalization",
+    "ZDustCompNormalization", "ZubkoDustMix", "ZubkoGraphiteGrainSizeDistribution", "ZubkoPAHGrainSizeDistribution",
+    "ZubkoSilicateGrainSizeDistribution",
+]
+
+
+class TestReferenceRegistryCoverage:
+    def test_every_concrete_reference_class_is_covered(self):
+        """Schema export / wizard vocabulary covers the full concrete
+        reference registry; deliberate re-design gaps carry a reason in
+        discover.NOT_APPLICABLE."""
+        missing = [n for n in REFERENCE_CONCRETE_REGISTRY
+                   if n not in discover.SUPPORTED
+                   and n not in discover.NOT_APPLICABLE]
+        assert missing == []
+
+    def test_not_applicable_has_reasons(self):
+        for name, reason in discover.NOT_APPLICABLE.items():
+            assert isinstance(reason, str) and len(reason) > 10
+            assert name not in discover.SUPPORTED
