@@ -97,9 +97,20 @@ def _child_kind(cls: str, child_prop: str) -> str:
         "secondGeometry": "geometry", "sed": "sed",
         "normalization": "stellarNormalization",
         "meshX": "mesh", "meshY": "mesh", "meshZ": "mesh", "meshR": "mesh",
-        "mix": "dustMix",
+        "mix": "dustMix", "dustMix": "dustMix",
+        "kernel": "smoothingKernel", "sedFamily": "sedFamily",
+        "dustEmissivity": "dustEmissivity", "dustLib": "dustLib",
+        "dustGrid": "dustGrid", "wavelengthGrid": "wavelengthGrid",
     }
-    return mapping.get(child_prop, "geometry")
+    if child_prop in mapping:
+        return mapping[child_prop]
+    # many child properties are literally named after their kind
+    # (adaptiveMeshFile, voronoiMeshFile, dustDistribution, ...)
+    if any(m.get("kind") == child_prop for m in SUPPORTED.values()):
+        return child_prop
+    if child_prop.endswith("Geometry") or child_prop.endswith("geometry"):
+        return "geometry"
+    return child_prop
 
 
 class WizardEngine:
