@@ -101,9 +101,12 @@ def main():
                             deposition=("sampled" if dmode in ("analytic",
                                                                "table")
                                         else "path"),
-                            quadrature_panels=(32 if (fused or table)
-                                               else None),
-                            peel_panels=(8 if table else None),
+                            quadrature_panels=(
+                                int(os.environ.get("OCTREE_PANELS", "32"))
+                                if (fused or table) else None),
+                            peel_panels=(
+                                int(os.environ.get("OCTREE_PEELP", "8"))
+                                if table else None),
                             fast_peeloff=fast_peel,
                             table_peel=os.environ.get("OCTREE_PEELMODE",
                                                       "staged"),

@@ -82,8 +82,14 @@ def main():
                             deposition=("sampled" if (table or mode ==
                                                       "analytic")
                                         else "path"),
-                            quadrature_panels=(32 if table else None),
-                            peel_panels=(8 if table else None),
+                            quadrature_panels=(
+                                int(os.environ.get("VORONOI_PANELS", "32"))
+                                if table else None),
+                            peel_panels=(
+                                int(os.environ.get("VORONOI_PEELP", "8"))
+                                if table else None),
+                            table_peel=os.environ.get("VORONOI_PEELMODE",
+                                                      "exact"),
                             refill_batches=refill, fused=fused)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
 

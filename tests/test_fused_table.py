@@ -32,9 +32,10 @@ def _table_setup():
 
 
 def _run(tds, ss, ins, ell, L0, **opt_kw):
+    opt_kw.setdefault("peel_panels", 8)
     opts = LifecycleOptions(store_absorption=True, max_scatt_events=48,
                             deposition="sampled", quadrature_panels=24,
-                            peel_panels=8, **opt_kw)
+                            **opt_kw)
     run = jax.jit(make_lifecycle(tds.grid, tds, ss, ins, opts, 2))
     t = run(rng.root_key(4357), ell, L0, {
         "instruments": [ins[0].zero_tallies()],
@@ -96,3 +97,73 @@ class TestFusedTableRefill:
         lx = float(np.asarray(tx["labs"]).sum())
         lr = float(np.asarray(tr["labs"]).sum())
         assert lr == pytest.approx(lx, rel=0.06)
+
+
+class TestExactPeel:
+    def test_exact_peel_matches_fine_staged(self):
+        """table_peel='exact' (per-leader column-DDA rows) must agree
+        with a fine staged quadrature on the same event stream — the
+        exact integral is the staged quadrature's P->inf limit."""
+        wg, ss, tds, ins, ell, L0 = _table_setup()
+        tf = _run(tds, ss, ins, ell, L0, fused=True, table_peel="staged",
+                  peel_panels=64)
+        te = _run(tds, ss, ins, ell, L0, fused=True, table_peel="exact")
+        ff = np.asarray(tf["instruments"][0]["Ftot"], np.float64)
+        fe = np.asarray(te["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fe, ff, rtol=0.01)
+
+    def test_exact_peel_attenuation_sphere(self):
+        """Detected flux through a uniform voxelized sphere equals
+        e^-tau: the exact-peel path must hit the closed form."""
+        import jax.numpy as jnp
+        from skirt_tpu.constants import KPC
+        from skirt_tpu.geometry import PointGeometry, UniformSphereGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.media import (DustComponent, DustSystem,
+                                     OpticalDepthNormalization,
+                                     SimpleOligoDustMix)
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([0.55e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1e36])])
+        sphere = UniformSphereGeometry(1.5 * KPC)
+        half = 1.6 * KPC
+        b = np.linspace(-half, half, 33)
+        grid = CartesianGrid(b, b, b)
+        tau0 = 2.0
+        mix = SimpleOligoDustMix(wg, [2600.0], [1e-6], [0.0])
+        comp = DustComponent(sphere, mix,
+                             OpticalDepthNormalization("x", 0.55e-6, tau0))
+        dsys = DustSystem(grid, [comp], samples_per_cell=8,
+                          density_mode="gridded").as_table()
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle)
+        from skirt_tpu.instruments import SEDInstrument
+        ins = [SEDInstrument("sed", 3.08e23, 1, inclination=0.9,
+                             azimuth=0.3)]
+        n = 1 << 11
+        ell = jnp.zeros((n,), jnp.int32)
+        L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+        opts = LifecycleOptions(max_scatt_events=4, deposition="sampled",
+                                quadrature_panels=16, fused=True,
+                                table_peel="exact")
+        run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 1))
+        t = run(rng.root_key(1), ell, L0,
+                {"instruments": [ins[0].zero_tallies()]})
+        F = float(np.asarray(t["instruments"][0]["Ftot"])[0])
+        # detected = L * e^-(tau/2) / (4 pi d^2) * d^2-normalization: the
+        # instrument reports nuFnu-like units; compare against the same
+        # run with zero dust for the exact e^-tau/2 ratio (radius path)
+        comp0 = DustComponent(sphere, mix,
+                              OpticalDepthNormalization("x", 0.55e-6, 1e-9))
+        dsys0 = DustSystem(grid, [comp0], samples_per_cell=8,
+                           density_mode="gridded").as_table()
+        run0 = jax.jit(make_lifecycle(grid, dsys0, ss, ins, opts, 1))
+        t0 = run0(rng.root_key(1), ell, L0,
+                  {"instruments": [ins[0].zero_tallies()]})
+        F0 = float(np.asarray(t0["instruments"][0]["Ftot"])[0])
+        # point source at the center: peel path = radius => tau0/2
+        assert F / F0 == pytest.approx(np.exp(-tau0 / 2.0), rel=5e-3)
