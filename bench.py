@@ -72,6 +72,7 @@ def main():
         # panels; propagation stays at 32 panels = cell-scale deposits
         peel_panels=int(os.environ.get("BENCH_PEEL_PANELS", "8")) or None,
         fused=os.environ.get("BENCH_FUSED", "1") == "1",
+        tally_flush=int(os.environ.get("BENCH_FLUSH", "1")),
     )
 
     key = jax.random.key(4357)

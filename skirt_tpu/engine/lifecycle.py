@@ -89,6 +89,16 @@ class LifecycleOptions:
                                      # uniform Cartesian grid with distant
                                      # instruments; raises otherwise.
     fused_tile_rows: int = 32        # lanes per kernel tile / 128
+    tally_flush: int = 1             # fused paths: buffer the peel/deposit
+                                     # streams for this many event
+                                     # iterations and flush them with ONE
+                                     # detect/binned_add per window.
+                                     # Measured NEUTRAL-to-negative on the
+                                     # flagship (the tally kernels' cost
+                                     # scales with elements, not calls, so
+                                     # batching the streams only adds
+                                     # buffer copies) — kept for shapes
+                                     # where per-call floors dominate.
     table_peel: str = "staged"       # fused TABLE mode peel-off extinction:
                                      # 'staged' = exact peel_panels
                                      # quadrature along each leader (P_peel

@@ -53,14 +53,24 @@ def _mxu_bincount(idx, val, *, nbins_padded, R, Q):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        def row(j, acc):
-            q = idx_ref[pl.ds(j, 1), :] // R                # (1, 128)
-            r = idx_ref[pl.ds(j, 1), :] - q * R
-            v = val_ref[pl.ds(j, 1), :]
-            qi = jax.lax.broadcasted_iota(jnp.int32, (Q, 128), 0)
-            Eq = (qi == q).astype(jnp.float32)               # (Q, 128)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-            Erv = jnp.where(ri == r, v, 0.0)                 # (R, 128)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Q, 128), 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        GR = 8   # rows per dot: amortizes the per-iteration Mosaic
+                 # overhead (a (1,128)-row loop runs ~0.4 us/row
+                 # regardless of the dot size)
+
+        def rows(j, acc):
+            Eqs = []
+            Ervs = []
+            for t in range(GR):
+                sl = pl.ds(j * GR + t, 1)
+                q = idx_ref[sl, :] // R                      # (1, 128)
+                r = idx_ref[sl, :] - q * R
+                v = val_ref[sl, :]
+                Eqs.append((qi == q).astype(jnp.float32))    # (Q, 128)
+                Ervs.append(jnp.where(ri == r, v, 0.0))      # (R, 128)
+            Eq = jnp.concatenate(Eqs, axis=1)                # (Q, GR*128)
+            Erv = jnp.concatenate(Ervs, axis=1)              # (R, GR*128)
             # C[q, r] += sum_e Eq[q, e] * Erv[r, e].
             # Default (bfloat16-product) MXU precision is deliberate for
             # tallies: the one-hot factor is exact in bfloat16 and the
@@ -71,7 +81,7 @@ def _mxu_bincount(idx, val, *, nbins_padded, R, Q):
                 Eq, Erv, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        out_ref[:] += jax.lax.fori_loop(0, _TILE_ROWS, row,
+        out_ref[:] += jax.lax.fori_loop(0, _TILE_ROWS // GR, rows,
                                         jnp.zeros((Q, R), jnp.float32))
 
     out = pl.pallas_call(
