@@ -374,8 +374,17 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                 for ins in instruments]
     peels = [make_peel_off(grid, ds, ins, rho_path_map=m)
              for ins, m in zip(instruments, maps)]
+    muellers = None
     if mueller is not None:
         from ..media import polarization as pol
+        # normalize to a per-component list (ref: the reference keeps
+        # per-mix Mueller matrices; peel blends them with the wv weights
+        # and scattering selects one via randomMixForPosition)
+        muellers = (list(mueller) if isinstance(mueller, (list, tuple))
+                    else [mueller])
+        if ds is not None and len(muellers) != ds.ncomp:
+            raise ValueError("mueller list must have one entry per dust "
+                             "component (None for unpolarized mixes)")
 
     # fully-batched all-crossings traversal (vector_traversal.py): no
     # sequential stepping at all — the default whenever the grid can
@@ -894,19 +903,49 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                         w = ds.phase_value(cell_at, ell, cosalpha)
                         tg = tags2
                     else:
-                        # polarized peel-off (ref: peeloffscattering +
-                        # scatteringPeelOffPolarization)
+                        # polarized peel-off (ref: peeloffscattering):
+                        # each component h weighted by kappasca_h*rho_h;
+                        # I/Q/U/V blend over components, unpolarized
+                        # mixes contribute their HG phase with zero
+                        # Q/U/V (the default StokesVector)
                         theta = jnp.arccos(jnp.clip(cosalpha, -1.0, 1.0))
                         phi = pol.angle_between_planes(st["normal"],
                                                        direction, kobs)
-                        S11, S12, S33, S34 = mueller.lookup(ell, theta)
                         pdeg = jnp.sqrt(st["q"] ** 2 + st["u"] ** 2)
                         pang = 0.5 * jnp.arctan2(st["u"], st["q"])
-                        w = jnp.asarray(mueller.pfnorm)[ell] * (
-                            S11 + pdeg * S12 * jnp.cos(2.0 * (phi - pang)))
                         qr, ur = pol.rotate_stokes(st["q"], st["u"], phi)
-                        _, q2, u2_, v2 = pol.apply_mueller(
-                            qr, ur, st["v"], S11, S12, S33, S34)
+                        if ds.ncomp == 1:
+                            wv_n = [1.0]
+                        else:
+                            wv = ds._component_weights(cell_at, ell)
+                            tot = sum(wv)
+                            wv_n = [jnp.where(tot > 0,
+                                              wh / jnp.maximum(tot, 1e-30),
+                                              0.0) for wh in wv]
+                        w = 0.0
+                        Qb = 0.0
+                        Ub = 0.0
+                        Vb = 0.0
+                        for h, mt in enumerate(muellers):
+                            if mt is None:
+                                w_h = ds.components[h].mix.phase_function(
+                                    ell, cosalpha)
+                                w = w + wv_n[h] * w_h
+                                continue
+                            S11, S12, S33, S34 = mt.lookup(ell, theta)
+                            w_h = jnp.asarray(mt.pfnorm)[ell] * (
+                                S11 + pdeg * S12
+                                * jnp.cos(2.0 * (phi - pang)))
+                            _, qh, uh, vh = pol.apply_mueller(
+                                qr, ur, st["v"], S11, S12, S33, S34)
+                            w = w + wv_n[h] * w_h
+                            Qb = Qb + wv_n[h] * w_h * qh
+                            Ub = Ub + wv_n[h] * w_h * uh
+                            Vb = Vb + wv_n[h] * w_h * vh
+                        winv = 1.0 / jnp.maximum(w, 1e-30)
+                        q2 = Qb * winv
+                        u2_ = Ub * winv
+                        v2 = Vb * winv
                         # rotate into the instrument frame (ref: angle
                         # BetweenScatteringAndInstrumentReference)
                         nrm = jnp.cross(direction, kobs)
@@ -936,8 +975,10 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                 costheta = hg_costheta(g, u)
                 new_dir = rng.direction_about_axis(k3, direction, costheta)
             else:
-                # ref: DustMix::scatteringDirectionAndPolarization
-                theta = mueller.sample_theta(jax.random.fold_in(k2, 0), ell)
+                # ref: MonteCarloSimulation::simulatescattering — one mix
+                # selected per event with probability ~ kappasca_h*rho_h
+                # (DustSystem::randomMixForPosition), then that mix's
+                # scatteringDirectionAndPolarization
                 pdeg = jnp.sqrt(st["q"] ** 2 + st["u"] ** 2)
                 pang = 0.5 * jnp.arctan2(st["u"], st["q"])
                 # unpolarized packets need a well-defined reference normal
@@ -948,23 +989,75 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
                     default_n * direction, axis=-1, keepdims=True)
                 default_n = default_n / jnp.maximum(
                     jnp.linalg.norm(default_n, axis=-1, keepdims=True), 1e-30)
-                normal = jnp.where(have_n[:, None], st["normal"], default_n)
-                phi = mueller.sample_phi(jax.random.fold_in(k2, 1), ell,
-                                         theta, pdeg, pang)
-                qr, ur = pol.rotate_stokes(st["q"], st["u"], phi)
-                normal = pol.rotate_normal(normal, direction, phi)
-                S11, S12, S33, S34 = mueller.lookup(ell, theta)
-                _, q2, u2_, v2 = pol.apply_mueller(qr, ur, st["v"],
-                                                   S11, S12, S33, S34)
-                newdir = (direction * jnp.cos(theta)[:, None]
-                          + jnp.cross(normal, direction)
-                          * jnp.sin(theta)[:, None])
-                new_dir = newdir / jnp.maximum(
-                    jnp.linalg.norm(newdir, axis=-1, keepdims=True), 1e-30)
-                st["q"] = jnp.where(alive, q2, st["q"])
-                st["u"] = jnp.where(alive, u2_, st["u"])
-                st["v"] = jnp.where(alive, v2, st["v"])
-                st["normal"] = jnp.where(alive[:, None], normal, st["normal"])
+                normal0 = jnp.where(have_n[:, None], st["normal"], default_n)
+                if ds.ncomp == 1:
+                    hsel = jnp.zeros(n, jnp.int32)
+                else:
+                    wv = ds._component_weights(cell_at, ell)
+                    tot = sum(wv)
+                    u_h = rng.uniform_open(jax.random.fold_in(k2, 3),
+                                           (n,)) * jnp.maximum(tot, 1e-30)
+                    acc = wv[0]
+                    hsel = jnp.zeros(n, jnp.int32)
+                    for h in range(1, ds.ncomp):
+                        hsel = jnp.where(u_h > acc, h, hsel)
+                        acc = acc + wv[h]
+                new_dir = direction
+                q2c = st["q"]
+                u2c = st["u"]
+                v2c = st["v"]
+                n2c = normal0
+                for h, mt in enumerate(muellers):
+                    sel = hsel == h
+                    if mt is None:
+                        # HG scatter off an unpolarized mix: the Stokes
+                        # state rides along (ref: the unpolarized branch
+                        # of scatteringDirectionAndPolarization leaves
+                        # the packet's StokesVector untouched); the
+                        # reference normal re-projects onto the new
+                        # direction's perpendicular plane
+                        g_h = jnp.asarray(
+                            ds.components[h].mix.g)[ell]
+                        u_c = rng.uniform_open(jax.random.fold_in(k2, 1),
+                                               (n,))
+                        costheta = hg_costheta(g_h, u_c)
+                        nd = rng.direction_about_axis(k3, direction,
+                                                      costheta)
+                        npr = normal0 - nd * jnp.sum(
+                            normal0 * nd, axis=-1, keepdims=True)
+                        nn = jnp.linalg.norm(npr, axis=-1, keepdims=True)
+                        npr = jnp.where(nn > 1e-20,
+                                        npr / jnp.maximum(nn, 1e-30),
+                                        default_n)
+                        qh, uh, vh, nh = st["q"], st["u"], st["v"], npr
+                    else:
+                        # ref: DustMix::scatteringDirectionAndPolarization
+                        theta = mt.sample_theta(jax.random.fold_in(k2, 0),
+                                                ell)
+                        phi = mt.sample_phi(jax.random.fold_in(k2, 1), ell,
+                                            theta, pdeg, pang)
+                        qr, ur = pol.rotate_stokes(st["q"], st["u"], phi)
+                        normal = pol.rotate_normal(normal0, direction, phi)
+                        S11, S12, S33, S34 = mt.lookup(ell, theta)
+                        _, qh, uh, vh = pol.apply_mueller(qr, ur, st["v"],
+                                                          S11, S12, S33,
+                                                          S34)
+                        newdir = (direction * jnp.cos(theta)[:, None]
+                                  + jnp.cross(normal, direction)
+                                  * jnp.sin(theta)[:, None])
+                        nd = newdir / jnp.maximum(
+                            jnp.linalg.norm(newdir, axis=-1, keepdims=True),
+                            1e-30)
+                        nh = normal
+                    new_dir = jnp.where(sel[:, None], nd, new_dir)
+                    q2c = jnp.where(sel, qh, q2c)
+                    u2c = jnp.where(sel, uh, u2c)
+                    v2c = jnp.where(sel, vh, v2c)
+                    n2c = jnp.where(sel[:, None], nh, n2c)
+                st["q"] = jnp.where(alive, q2c, st["q"])
+                st["u"] = jnp.where(alive, u2c, st["u"])
+                st["v"] = jnp.where(alive, v2c, st["v"])
+                st["normal"] = jnp.where(alive[:, None], n2c, st["normal"])
 
             direction = jnp.where(alive[:, None], new_dir, direction)
             nscatt = jnp.where(alive, nscatt + 1, nscatt)

@@ -204,25 +204,29 @@ class DustSystem:
         return t
 
     @property
-    def mueller(self):
-        """Mueller tables when the medium is polarized, else None.
+    def muellers(self):
+        """Per-component Mueller tables (None entries for unpolarized
+        mixes), or None when no component is polarized.
 
-        ref: DustMix polarization tables; the polarized lifecycle currently
-        supports a single dust component (the reference tracks per-mix
-        matrices — multi-component polarization is a planned extension).
+        ref: DustMix polarization tables; the reference keeps per-mix
+        matrices and blends/selects per event (peeloffscattering wv,
+        randomMixForPosition).
         """
-        tables = [c.mix.mueller for c in self.components
-                  if getattr(c.mix, "mueller", None) is not None]
-        if not tables:
+        tables = [getattr(c.mix, "mueller", None) for c in self.components]
+        if not any(t is not None for t in tables):
             return None
-        if len(tables) != self.ncomp:
-            raise NotImplementedError(
-                "mixing polarized and unpolarized dust components "
-                "is not supported")
-        if self.ncomp > 1:
-            raise NotImplementedError(
-                "polarization currently supports a single dust component")
-        return tables[0]
+        return tables
+
+    @property
+    def mueller(self):
+        """Single-component Mueller table (back-compat accessor): the
+        per-component list collapses when there is one component."""
+        tables = self.muellers
+        if tables is None:
+            return None
+        if self.ncomp == 1:
+            return tables[0]
+        return tables
 
     # -- voxelized view (tree grids) --------------------------------------
 

@@ -297,13 +297,15 @@ class TestTableMode:
         assert acc["labs"].sum() == pytest.approx(acc2["labs"].sum(),
                                                   rel=0.08)
 
-    def test_fused_rejects_table(self):
+    def test_fused_accepts_table(self):
+        """Round 3: table densities now have their own fused kernel
+        (engine/fused_table.py) — make_lifecycle dispatches to it."""
         wg, ss, grid0, dsys0 = _torus_setup()
         vds, _ = dsys0.voxelized()
         tds = vds.as_table()
         ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
-        with pytest.raises(ValueError, match="table"):
-            make_lifecycle(vds.grid, tds, ss, ins,
-                           LifecycleOptions(fused=True,
-                                            deposition="sampled",
-                                            quadrature_panels=32), 2)
+        run = make_lifecycle(vds.grid, tds, ss, ins,
+                             LifecycleOptions(fused=True,
+                                              deposition="sampled",
+                                              quadrature_panels=32), 2)
+        assert callable(run)
