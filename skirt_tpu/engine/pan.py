@@ -360,27 +360,91 @@ class PanSimulation(OligoSimulation):
 
     # ------------------------------------------------------------------
 
+    # -- pan-loop checkpoint (beyond ref: SURVEY.md §5 "none") -----------
+    # Cycle-granular: a worker crash mid-self-absorption (this
+    # environment's >~60 s-dispatch hazard) resumes at the next cycle
+    # instead of restarting the whole loop.  Every per-cycle key derives
+    # from (seed, stage, cycle), so the resumed run is bit-for-bit the
+    # uninterrupted one (tests/test_checkpoint.py::TestPanCheckpoint).
+
+    @property
+    def _pan_ckpt_path(self):
+        import os
+        return os.path.join(self.out_dir, f"{self.prefix}_pan_checkpoint.npz")
+
+    def _save_pan_ckpt(self, **arrays):
+        import os
+        if not self.checkpoint_every:
+            return
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = self._pan_ckpt_path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, self._pan_ckpt_path)
+
+    def _load_pan_ckpt(self):
+        import os
+        if not self.checkpoint_every or not os.path.exists(
+                self._pan_ckpt_path):
+            return None
+        with np.load(self._pan_ckpt_path) as z:
+            return {k: z[k] for k in z.files}
+
     def run(self):
         key = rng.root_key(self.seed)
         ds = self.dust_system
         ncl = self.grid.ncells
 
-        with self.log.timer("the stellar emission phase"):
-            acc = self._run_phase(key, phase_tag=0)
-        labs_stellar = acc["labs"].reshape(ncl, self.nlambda)
-
-        labs_dust = np.zeros_like(labs_stellar)
+        ck = self._load_pan_ckpt()
+        if ck is not None:
+            self.log.info("resuming the pan loop from "
+                          + self._pan_ckpt_path)
+            labs_stellar = np.asarray(ck["labs_stellar"])
+            # numpy on purpose: jnp.asarray would downcast the float64
+            # accumulators to float32 (x64 disabled) and break the
+            # bit-for-bit resume guarantee
+            acc = {"labs": labs_stellar.reshape(-1),
+                   "instruments": [
+                       {k.split("_", 1)[1]: np.asarray(ck[k])
+                        for k in ck if k.startswith(f"sins{i}_")}
+                       for i in range(len(self.instruments))]}
+            labs_dust = np.asarray(ck["labs_dust"])
+            start_stage = int(ck["stage"])
+            start_cycle = int(ck["cycle"])
+            prev_tot = float(ck["prev_tot"])
+        else:
+            with self.log.timer("the stellar emission phase"):
+                acc = self._run_phase(key, phase_tag=0)
+            labs_stellar = np.asarray(acc["labs"]).reshape(ncl,
+                                                           self.nlambda)
+            labs_dust = np.zeros_like(labs_stellar)
+            start_stage, start_cycle, prev_tot = 0, 1, 0.0
+            payload = {"labs_stellar": labs_stellar,
+                       "labs_dust": labs_dust, "stage": 0, "cycle": 1,
+                       "prev_tot": 0.0}
+            for i, t in enumerate(acc["instruments"]):
+                for k, v in t.items():
+                    payload[f"sins{i}_{k}"] = np.asarray(v)
+            self._save_pan_ckpt(**payload)
 
         def zero_with_labs():
             return {"instruments": [ins.zero_tallies() for ins in self.instruments],
                     "labs": jnp.zeros((ncl * self.nlambda,), jnp.float32)}
 
+        def save_cycle(stage, cycle):
+            payload = {"labs_stellar": labs_stellar, "labs_dust": labs_dust,
+                       "stage": stage, "cycle": cycle,
+                       "prev_tot": prev_tot}
+            for i, t in enumerate(acc["instruments"]):
+                for k, v in t.items():
+                    payload[f"sins{i}_{k}"] = np.asarray(v)
+            self._save_pan_ckpt(**payload)
+
         if self.self_absorption:
             with self.log.timer("the dust self-absorption phase"):
-                prev_tot = 0.0
-                for stage in range(3):
+                for stage in range(start_stage, 3):
                     converged = False
-                    for cycle in range(1, MAX_CYCLES + 1):
+                    first = start_cycle if stage == start_stage else 1
+                    for cycle in range(first, MAX_CYCLES + 1):
                         labs_full = labs_stellar + labs_dust
                         labs_bol = jnp.asarray(labs_full.sum(axis=1),
                                                jnp.float32)
@@ -389,14 +453,21 @@ class PanSimulation(OligoSimulation):
                         out = self._run_dust_phase(
                             key, self._run_dust_absorb, packets, ctx,
                             zero_with_labs, phase_tag=100 + stage * 10 + cycle)
-                        labs_dust = out["labs"].reshape(ncl, self.nlambda)
+                        labs_dust = np.asarray(out["labs"]).reshape(
+                            ncl, self.nlambda)
                         tot = float(labs_dust.sum())
                         eps = abs(tot - prev_tot) / max(tot, 1e-300)
                         prev_tot = tot
                         self.log.info(
                             f"{STAGE_NAMES[stage]} cycle {cycle}: absorbed "
                             f"dust luminosity {tot:.4e} W (delta {eps*100:.2f}%)")
-                        if (stage < 2 or cycle > 1) and eps < STAGE_EPSMAX[stage]:
+                        done_cycle = ((stage < 2 or cycle > 1)
+                                      and eps < STAGE_EPSMAX[stage])
+                        # next resume point: next stage's first cycle or
+                        # this stage's next cycle
+                        save_cycle(stage + 1 if done_cycle else stage,
+                                   1 if done_cycle else cycle + 1)
+                        if done_cycle:
                             converged = True
                             break
                     if not converged:
@@ -425,6 +496,9 @@ class PanSimulation(OligoSimulation):
         acc["labs_stellar"] = labs_stellar
         acc["labs_dust"] = labs_dust
         self.write(acc)
+        import os
+        if self.checkpoint_every and os.path.exists(self._pan_ckpt_path):
+            os.remove(self._pan_ckpt_path)   # pan loop complete
         from ..media import outputs as ds_out
         if self.write_temperature:
             ds_out.write_temperature_cuts(self, acc, self.units, self.out_dir,

@@ -163,3 +163,60 @@ def test_dim2_library_runs():
     F = acc["instruments"][0]["Ftot"]
     assert np.isfinite(F).all()
     assert F.sum() == pytest.approx(0.01, rel=0.2)
+
+
+class TestPanCheckpoint:
+    def _build_pan(self, out_dir, checkpoint_every=0):
+        from skirt_tpu.engine.pan import PanSimulation
+        from skirt_tpu.wavelengths import LogWavelengthGrid
+
+        wg = LogWavelengthGrid(0.2e-6, 100e-6, 6)
+        ss = StellarSystem([LuminosityStellarComponent(
+            PointGeometry(), wg, [1e36 / wg.nlambda] * wg.nlambda)])
+        b = np.linspace(-1e17, 1e17, 7)
+        grid = CartesianGrid(b, b, b)
+        mix = SimpleOligoDustMix(wg, [200.0] * wg.nlambda,
+                                 [0.3] * wg.nlambda, [0.2] * wg.nlambda)
+        comp = DustComponent(BoxGeometry(-8e16, 8e16, -8e16, 8e16,
+                                         -8e16, 8e16), mix,
+                             DustMassNormalization(4e33))
+        dsys = DustSystem(grid, [comp], samples_per_cell=1)
+        ins = SEDInstrument("sed", 3.08e18, wg.nlambda)
+        return PanSimulation(stellar_system=ss, instruments=[ins],
+                             dust_system=dsys, packets=1 << 10,
+                             log=SilentLog(), batch_size=1 << 10,
+                             out_dir=str(out_dir),
+                             checkpoint_every=checkpoint_every)
+
+    def test_kill_resume_bitwise(self, tmp_path):
+        """Kill the pan loop mid-self-absorption; a fresh PanSimulation
+        resumes from the cycle checkpoint and reproduces the
+        uninterrupted run bit-for-bit (per-cycle keys derive from
+        (seed, stage, cycle))."""
+        ref = self._build_pan(tmp_path / "ref")
+        acc_ref = ref.run()
+
+        sim1 = self._build_pan(tmp_path / "kr", checkpoint_every=1)
+        calls = {"n": 0}
+        orig = sim1._run_dust_phase
+
+        def dying(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated worker crash")
+            return orig(*a, **kw)
+
+        sim1._run_dust_phase = dying
+        with pytest.raises(RuntimeError):
+            sim1.run()
+        assert os.path.exists(sim1._pan_ckpt_path)
+
+        sim2 = self._build_pan(tmp_path / "kr", checkpoint_every=1)
+        acc2 = sim2.run()
+        assert not os.path.exists(sim2._pan_ckpt_path)
+
+        np.testing.assert_array_equal(
+            np.asarray(acc2["labs_dust"]), np.asarray(acc_ref["labs_dust"]))
+        np.testing.assert_array_equal(
+            np.asarray(acc2["instruments"][0]["Ftot"]),
+            np.asarray(acc_ref["instruments"][0]["Ftot"]))
