@@ -40,13 +40,23 @@ def apply_mueller(q, u, v, S11, S12, S33, S34):
 
     Returns (intensity_factor, q', u', v') where intensity_factor is the
     multiplicative change of I (ref: StokesVector::applyMueller).
+
+    The normalized ratios are clamped to the physical ball
+    q'^2+u'^2+v'^2 <= 1: when I2 underflows (a fully-polarized packet
+    scattering into its zero-intensity direction, e.g. Thomson at 90
+    degrees with q=1) the raw ratios blow up to ~1/eps and a peel
+    contribution w*q' would inject unbounded spurious Q (the
+    Chandrasekhar Milne experiment caught +50 Q/I outliers).
     """
     I2 = S11 + S12 * q
     Q2 = S12 + S11 * q
     U2 = S33 * u + S34 * v
     V2 = -S34 * u + S33 * v
     safe = jnp.maximum(I2, 1e-37)
-    return I2, Q2 / safe, U2 / safe, V2 / safe
+    q2, u2, v2 = Q2 / safe, U2 / safe, V2 / safe
+    norm = jnp.sqrt(q2 * q2 + u2 * u2 + v2 * v2)
+    scale = jnp.where(norm > 1.0, 1.0 / jnp.maximum(norm, 1e-30), 1.0)
+    return I2, q2 * scale, u2 * scale, v2 * scale
 
 
 def rotate_normal(normal, direction, phi):
