@@ -45,7 +45,8 @@ class OligoSimulation:
                  write_density: bool = False, write_depth_map: bool = False,
                  checkpoint_every: int = 0,
                  use_mesh: bool | None = None, compaction_iterations: int = 0,
-                 dispatch_batches: int = 8, write_grid: bool = False):
+                 dispatch_batches: int = 8, write_grid: bool = False,
+                 write_cells_crossed: bool = False):
         self.stellar_system = stellar_system
         self.instruments = list(instruments)
         self.dust_system = dust_system
@@ -61,6 +62,7 @@ class OligoSimulation:
         self.write_density = write_density
         self.write_depth_map = write_depth_map
         self.write_grid = write_grid
+        self.write_cells_crossed = write_cells_crossed
         # checkpoint/resume is a capability the reference lacks (SURVEY.md
         # §5: "Checkpoint/resume: none"); batches are deterministic per
         # (seed, phase, batch index), so a phase can resume mid-stream.
@@ -438,4 +440,10 @@ class OligoSimulation:
                 ds_out.write_grid_plots(self.dust_system_out.grid,
                                         self.units, self.out_dir,
                                         self.prefix, log=self.log)
+            if self.write_cells_crossed:
+                # ref: DustSystem.cpp:965-971, :1010-1021
+                ds_out.write_cells_crossed(
+                    self.dust_system_out.grid, self.dust_system_out,
+                    self.stellar_system, self.out_dir, self.prefix,
+                    log=self.log)
         self.log.success("Wrote instrument outputs to " + self.out_dir)

@@ -42,15 +42,28 @@ class OctreeGrid:
     def __init__(self, extent, density_fn=None, *, min_level: int = 2,
                  max_level: int = 6, max_mass_fraction: float = 1e-6,
                  samples_per_node: int = 100, seed: int = 9157,
-                 max_dens_disp_fraction: float = 0.0):
+                 max_dens_disp_fraction: float = 0.0,
+                 subdivision: str = "midpoint"):
         """extent: (xmin, ymin, zmin, xmax, ymax, zmax) in meters.
 
         density_fn(pos: (n,3) float64) -> density (host callable); nodes
         with mass fraction above max_mass_fraction subdivide until
         max_level.  ref defaults: minLevel 2, maxLevel 6
         (TreeDustGrid.hpp:37,43), 100 samples/node (:166).
+
+        subdivision: 'midpoint' (ref: OctTreeNode) or 'barycentric'
+        (ref: BaryOctTreeNode.cpp — children split at the node's density
+        barycenter, clamped slightly inside the node so no child is
+        degenerate; better leaf economy for steep AGN-torus contrast).
+        Barycentric leaves are NOT voxel unions, so voxelize() refuses.
         """
         self.extent = np.asarray(extent, dtype=np.float64)
+        if subdivision not in ("midpoint", "barycentric"):
+            raise ValueError("subdivision must be 'midpoint' or "
+                             "'barycentric'")
+        self.subdivision = subdivision
+        if subdivision == "barycentric":
+            self.voxelize_exact = False
         lo = self.extent[:3]
         hi = self.extent[3:]
         if np.any(hi <= lo):
@@ -76,7 +89,18 @@ class OctreeGrid:
             pos = los[:, None, :] + u * (his - los)[:, None, :]
             rho = np.asarray(density_fn(pos.reshape(-1, 3))).reshape(n, s)
             vol = np.prod(his - los, axis=1)
-            return rho.mean(axis=1) * vol, rho
+            # density barycenter per node (ref: TreeNodeDensityCalculator
+            # barycenter()); midpoint fallback for empty nodes, clamped
+            # 5% inside the walls so no child degenerates
+            w = rho[:, :, None]
+            wsum = w.sum(axis=1)
+            midp = 0.5 * (los + his)
+            with np.errstate(invalid="ignore"):
+                bary = (pos * w).sum(axis=1) / np.where(wsum > 0, wsum, 1.0)
+            bary = np.where(wsum > 0, bary, midp)
+            bary = np.clip(bary, los + 0.05 * (his - los),
+                           his - 0.05 * (his - los))
+            return rho.mean(axis=1) * vol, rho, bary
 
         # The total mass is estimated from the stratified min-level frontier
         # (a single root-box MC estimate badly misses compact structures).
@@ -89,12 +113,12 @@ class OctreeGrid:
             lvls = np.array([levels[i] for i in frontier])
             if density_fn is not None and total_mass is None \
                     and lvls.min() >= min_level:
-                masses, _ = node_mass(los, his)
+                masses, _, _b = node_mass(los, his)
                 total_mass = float(masses.sum())
                 if total_mass <= 0:
                     total_mass = None
             if density_fn is not None and total_mass:
-                masses, rhos = node_mass(los, his)
+                masses, rhos, barys = node_mass(los, his)
                 mass_frac = masses / total_mass
                 disp_ok = np.zeros(len(frontier), dtype=bool)
                 if max_dens_disp_fraction > 0:
@@ -106,13 +130,17 @@ class OctreeGrid:
             else:
                 needs = lvls < min_level
             next_frontier = []
+            have_bary = (self.subdivision == "barycentric"
+                         and density_fn is not None and total_mass)
             for idx, parent in enumerate(frontier):
                 if not needs[idx]:
                     continue
                 base = len(boxes_lo)
                 children[parent] = base
                 plo, phi = boxes_lo[parent], boxes_hi[parent]
-                mid = 0.5 * (plo + phi)
+                # ref: BaryOctTreeNode.cpp — split at the density
+                # barycenter instead of the geometric midpoint
+                mid = barys[idx] if have_bary else 0.5 * (plo + phi)
                 for octant in range(8):
                     clo = np.where([octant & 1, octant & 2, octant & 4], mid, plo)
                     chi = np.where([octant & 1, octant & 2, octant & 4], phi, mid)
@@ -204,8 +232,11 @@ class OctreeGrid:
         tally/emission resolution: deposits fold voxel -> leaf cell.
 
         Returns None when the voxel count would exceed `max_voxels`
-        (callers fall back to the leaf walk).
+        (callers fall back to the leaf walk) or when the subdivision is
+        barycentric (leaf walls off-lattice: no exact voxel union).
         """
+        if not self.voxelize_exact:
+            return None
         from .cartesian import CartesianGrid
 
         lo = self.extent[:3]
@@ -373,10 +404,19 @@ class BinTreeGrid(OctreeGrid):
     def __init__(self, extent, density_fn=None, *, min_level: int = 6,
                  max_level: int = 18, max_mass_fraction: float = 1e-6,
                  samples_per_node: int = 100, seed: int = 9157,
-                 max_dens_disp_fraction: float = 0.0):
+                 max_dens_disp_fraction: float = 0.0,
+                 subdivision: str = "midpoint"):
         """Levels count binary splits: 3 binary levels = 1 octree level
-        (reference defaults scale the same way)."""
+        (reference defaults scale the same way).  subdivision
+        'barycentric' splits at the density barycenter along the cycling
+        axis (ref: BaryBinTreeNode)."""
         self.extent = np.asarray(extent, dtype=np.float64)
+        if subdivision not in ("midpoint", "barycentric"):
+            raise ValueError("subdivision must be 'midpoint' or "
+                             "'barycentric'")
+        self.subdivision = subdivision
+        if subdivision == "barycentric":
+            self.voxelize_exact = False
         lo = self.extent[:3]
         hi = self.extent[3:]
         if np.any(hi <= lo):
@@ -397,7 +437,18 @@ class BinTreeGrid(OctreeGrid):
             pos = los[:, None, :] + u * (his - los)[:, None, :]
             rho = np.asarray(density_fn(pos.reshape(-1, 3))).reshape(n, s)
             vol = np.prod(his - los, axis=1)
-            return rho.mean(axis=1) * vol, rho
+            # density barycenter per node (ref: TreeNodeDensityCalculator
+            # barycenter()); midpoint fallback for empty nodes, clamped
+            # 5% inside the walls so no child degenerates
+            w = rho[:, :, None]
+            wsum = w.sum(axis=1)
+            midp = 0.5 * (los + his)
+            with np.errstate(invalid="ignore"):
+                bary = (pos * w).sum(axis=1) / np.where(wsum > 0, wsum, 1.0)
+            bary = np.where(wsum > 0, bary, midp)
+            bary = np.clip(bary, los + 0.05 * (his - los),
+                           his - 0.05 * (his - los))
+            return rho.mean(axis=1) * vol, rho, bary
 
         total_mass = None
         frontier = [0]
@@ -407,12 +458,12 @@ class BinTreeGrid(OctreeGrid):
             lvls = np.array([levels[i] for i in frontier])
             if density_fn is not None and total_mass is None \
                     and lvls.min() >= min_level:
-                masses, _ = node_mass(los, his)
+                masses, _, _b = node_mass(los, his)
                 total_mass = float(masses.sum())
                 if total_mass <= 0:
                     total_mass = None
             if density_fn is not None and total_mass:
-                masses, rhos = node_mass(los, his)
+                masses, rhos, barys = node_mass(los, his)
                 mass_frac = masses / total_mass
                 disp_ok = np.zeros(len(frontier), dtype=bool)
                 if max_dens_disp_fraction > 0:
@@ -434,7 +485,13 @@ class BinTreeGrid(OctreeGrid):
                 children[parent] = base
                 plo, phi = boxes_lo[parent], boxes_hi[parent]
                 ax = levels[parent] % 3
-                mid = 0.5 * (plo[ax] + phi[ax])
+                # ref: BaryBinTreeNode — split at the density barycenter
+                # coordinate along the cycling axis
+                if (self.subdivision == "barycentric"
+                        and density_fn is not None and total_mass):
+                    mid = barys[idx][ax]
+                else:
+                    mid = 0.5 * (plo[ax] + phi[ax])
                 for half in range(2):
                     clo = plo.copy()
                     chi = phi.copy()

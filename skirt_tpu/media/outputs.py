@@ -409,3 +409,57 @@ def write_grid_plots(grid, units: Units, out_dir: str, prefix: str,
 def _UNIT_TO_SI_LENGTH(units: Units) -> float:
     from ..units import _UNIT_TO_SI
     return _UNIT_TO_SI["length"][units.unit("length")]
+
+
+def write_cells_crossed(grid, dust_system, stellar_system, out_dir: str,
+                        prefix: str, n_samples: int = 20000, seed: int = 71,
+                        log=None):
+    """Histogram of cells crossed per photon path -> _ds_crossed.dat.
+
+    ref: DustSystem.cpp:965-971 + :1010-1021 — the reference counts the
+    path length (pp->size()) of every fillOpticalDepth call and writes a
+    two-column histogram.  TPU re-design: a per-event host-side counter
+    would serialize the SPMD lockstep loop, so the histogram is sampled
+    POST-HOC over n_samples launch-distributed rays traced through the
+    same grid (statistically the same first-flight distribution; the
+    scattered-flight distribution is geometry-dominated and matches to
+    sampling noise).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import rng as _rng
+    from ..engine import vector_traversal as vt
+
+    os.makedirs(out_dir, exist_ok=True)
+    key = _rng.root_key(seed)
+    n = int(n_samples)
+    ell = jnp.zeros((n,), jnp.int32)
+    L0 = jnp.ones((n,), jnp.float32)
+    pos, direction, _L, _c = stellar_system.launch(key, ell, L0)
+    if hasattr(grid, "crossings"):
+        cells, dsg, _ = vt.record_paths(grid, pos, direction)
+        counts = np.asarray(jnp.sum((cells >= 0) & (dsg > 0), axis=1))
+    else:
+        # panel fallback: count distinct located cells at panel midpoints
+        dsg, _, mid = vt.panel_paths(grid, pos, direction,
+                                     int(getattr(grid, "max_steps", 64)))
+        pmid = pos[:, None, :] + mid[..., None] * direction[:, None, :]
+        cells = grid.locate_batched(pmid)
+        change = jnp.concatenate(
+            [(cells[:, :1] >= 0).astype(jnp.int32),
+             ((cells[:, 1:] != cells[:, :-1])
+              & (cells[:, 1:] >= 0)).astype(jnp.int32)], axis=1)
+        counts = np.asarray(change.sum(axis=1))
+    hist = np.bincount(counts)
+    path = os.path.join(out_dir, f"{prefix}_ds_crossed.dat")
+    with open(path, "w") as f:
+        f.write("# Number of cells crossed per path (sampled)\n")
+        f.write("# column 1: number of cells crossed\n")
+        f.write("# column 2: number of paths that crossed this number "
+                "of cells\n")
+        for i, c in enumerate(hist):
+            f.write(f"{i} {int(c)}\n")
+    if log is not None:
+        log.info(f"Wrote cells-crossed histogram to {path}")
+    return hist

@@ -572,13 +572,19 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357,
                           min_level=int(s("minLevel", 2)),
                           max_level=int(s("maxLevel", 6)),
                           max_mass_fraction=s("maxMassFraction", 1e-6),
-                          samples_per_node=int(s("sampleCount", 100)))
+                          samples_per_node=int(s("sampleCount", 100)),
+                          subdivision=("barycentric"
+                                       if node.boolean("barycentric")
+                                       else "midpoint"))
     if n == "BinTreeDustGrid":
         from .grids.octree import BinTreeGrid
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
                   s("maxZ"))
         return BinTreeGrid(extent, dust_density_fn,
-                           min_level=int(s("minLevel", 6)),
+                           min_level=int(s("minLevel", 6,
+                           subdivision=("barycentric"
+                                        if node.boolean("barycentric")
+                                        else "midpoint"))),
                            max_level=int(s("maxLevel", 18)),
                            max_mass_fraction=s("maxMassFraction", 1e-6),
                            samples_per_node=int(s("sampleCount", 100)))
@@ -1044,6 +1050,7 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
         kwargs["write_convergence"] = ds_node.boolean("writeConvergence")
         kwargs["write_density"] = ds_node.boolean("writeDensity")
         kwargs["write_depth_map"] = ds_node.boolean("writeDepthMap")
+        kwargs["write_cells_crossed"] = ds_node.boolean("writeCellsCrossed")
     if log is not None:
         kwargs["log"] = log
     if is_pan:

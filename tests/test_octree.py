@@ -178,3 +178,44 @@ class TestParticleTree:
         g0 = ParticleTreeGrid(EXTENT, pts, extra_levels=0)
         g1 = ParticleTreeGrid(EXTENT, pts, extra_levels=1)
         assert g1.ncells == 8 * g0.ncells
+
+
+class TestBarycentricSubdivision:
+    def test_build_and_field_coverage(self):
+        """ref: BaryOctTreeNode.cpp / BaryBinTreeNode — children split at
+        the node's density barycenter.  The barycentric tree must cover
+        the domain (every point locates to a leaf) and represent the
+        same total mass within MC sampling noise."""
+        import numpy as np
+        import jax.numpy as jnp
+        from skirt_tpu.constants import KPC
+        from skirt_tpu.geometry import TorusGeometry
+        from skirt_tpu.grids.octree import BinTreeGrid, OctreeGrid
+
+        torus = TorusGeometry(1.0, 2.0, 0.7, 0.05 * KPC, 2 * KPC)
+        half = 2.2 * KPC
+        ext = (-half,) * 3 + (half,) * 3
+
+        def fn(p):
+            return np.asarray(torus.density(p))
+
+        for cls, kw in ((OctreeGrid, dict(min_level=2, max_level=4)),
+                        (BinTreeGrid, dict(min_level=6, max_level=12))):
+            g = cls(ext, fn, subdivision="barycentric", **kw)
+            assert g.ncells > 8
+            assert g.voxelize_exact is False
+            assert g.voxelize() is None
+            rs = np.random.default_rng(1)
+            pts = rs.uniform(-0.99 * half, 0.99 * half, (2000, 3))
+            cells = np.asarray(g.locate(jnp.asarray(pts, jnp.float32)))
+            assert (cells >= 0).all()
+            # volumes tile the domain
+            assert np.isclose(g.cell_volumes().sum(), (2 * half) ** 3,
+                              rtol=1e-10)
+
+    def test_ski_property(self):
+        from skirt_tpu.discover import SUPPORTED  # noqa: F401 (import ok)
+        from skirt_tpu.grids.octree import OctreeGrid
+        g = OctreeGrid((-1, -1, -1, 1, 1, 1), None, min_level=1,
+                       max_level=2, subdivision="barycentric")
+        assert g.subdivision == "barycentric"
