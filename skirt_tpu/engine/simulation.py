@@ -83,7 +83,10 @@ class OligoSimulation:
                       and getattr(dust_system.grid, "voxelize_exact",
                                   False)))
         if dust_system is not None and self._auto_voxelize and vox_ok:
-            v = dust_system.voxelized()
+            # approximate (Voronoi) rasterizations get their field error
+            # measured and are refused above 10% (exact voxelizations
+            # skip the check) — ref: VoronoiMesh.cpp:512-543 is exact
+            v = dust_system.voxelized(max_field_error=0.10, log=self.log)
             if v is not None:
                 dust_system, self._labs_fold = v
                 self.dust_system = dust_system

@@ -230,7 +230,8 @@ class DustSystem:
 
     # -- voxelized view (tree grids) --------------------------------------
 
-    def voxelized(self, max_voxels: int = 1 << 24):
+    def voxelized(self, max_voxels: int = 1 << 24,
+                  max_field_error: float | None = None, log=None):
         """Uniform-voxel view of this system for tree grids.
 
         The gridded density field is piecewise constant on leaf cells and
@@ -240,6 +241,15 @@ class DustSystem:
         fold_labs maps a flat (nvox*nlambda,) absorption tally back onto
         (ncells*nlambda,) leaf cells; None when the grid has no exact
         voxelization or it would be too large.
+
+        For APPROXIMATE voxelizations (Voronoi nearest-site
+        rasterization: grid.voxelize_exact is False) the mass-weighted
+        field error is MEASURED by sampling (stored as
+        `voxelization_error` on the returned system and logged); when
+        `max_field_error` is given and the estimate exceeds it the
+        voxelization is REFUSED (returns None) so callers fall back to
+        the exact walk.  ref: VoronoiMesh.cpp:512-543 is exact; the
+        rasterization trades wall-resolution for the Cartesian DDA.
         """
         import copy
 
@@ -249,11 +259,27 @@ class DustSystem:
         if v is None:
             return None
         cart, cell_of = v
+        field_error = None
+        if not getattr(self.grid, "voxelize_exact", True):
+            field_error = self._voxel_field_error(cart, cell_of)
+            if log is not None:
+                log.info(f"approximate voxelization: mass-weighted field "
+                         f"error {field_error * 100:.2f}%")
+            if max_field_error is not None \
+                    and field_error > max_field_error:
+                if log is not None:
+                    log.warning(
+                        f"voxelization refused: field error "
+                        f"{field_error * 100:.2f}% exceeds the "
+                        f"{max_field_error * 100:.2f}% tolerance — "
+                        f"falling back to the exact walk")
+                return None
         vds = copy.copy(self)
         vds.grid = cart
         vds.rho64 = np.ascontiguousarray(self.rho64[:, cell_of])
         vds.rho = np.asarray(vds.rho64, np.float32)
         vds.volumes = cart.cell_volumes()
+        vds.voxelization_error = field_error
         nl = self.wavelength_grid.nlambda
         ncells = self.grid.ncells
 
@@ -264,6 +290,33 @@ class DustSystem:
             return out.reshape(-1)
 
         return vds, fold_labs
+
+    def _voxel_field_error(self, cart, cell_of, n_samples: int = 200000,
+                           seed: int = 31):
+        """Mass-weighted relative field error of an approximate
+        rasterization: E = sum |rho_vox - rho_exact| dV / sum rho dV,
+        MC-sampled.  rho_exact uses the grid's own point location (the
+        exact tessellation); rho_vox the voxel assignment."""
+        import jax.numpy as _jnp
+
+        rs = np.random.default_rng(seed)
+        lo = np.asarray([cart._lo[a] for a in range(3)])
+        dxv = np.asarray([cart._dx[a] for a in range(3)])
+        nv = np.asarray([cart.nx, cart.ny, cart.nz])
+        pts = lo + rs.uniform(size=(n_samples, 3)) * (nv * dxv)
+        exact_cells = np.asarray(
+            self.grid.locate(_jnp.asarray(pts, _jnp.float32)))
+        iv = np.clip(((pts - lo) / dxv).astype(np.int64), 0, nv - 1)
+        vox_flat = (iv[:, 0] * nv[1] + iv[:, 1]) * nv[2] + iv[:, 2]
+        vox_cells = np.asarray(cell_of)[vox_flat]
+        rho = self.rho64.sum(axis=0)
+        ok = exact_cells >= 0
+        re_ = rho[exact_cells[ok]]
+        rv = rho[vox_cells[ok]]
+        denom = re_.sum()
+        if denom <= 0:
+            return 0.0
+        return float(np.abs(rv - re_).sum() / denom)
 
     # -- diagnostics (host) -----------------------------------------------
 

@@ -225,3 +225,72 @@ class TestAnalyticFastPath:
         # energy balance: emitted = detected-direction flux + absorbed is
         # not closed (scattering), but both tallies must be positive
         assert Fa > 0 and la > 0
+
+
+class TestVoxelizationErrorBound:
+    def test_error_measured_and_refusal(self):
+        """The approximate (nearest-site) rasterization's mass-weighted
+        field error is measured at voxelize time; a tolerance below the
+        measured value refuses the voxelization (callers fall back to
+        the exact bisector walk).  High-contrast field: smooth sphere +
+        10^3-contrast clumps sampled onto Voronoi sites."""
+        import numpy as np
+        from skirt_tpu.constants import KPC
+        from skirt_tpu.geometry import UniformSphereGeometry
+        from skirt_tpu.grids.voronoi import VoronoiGrid
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem, SimpleOligoDustMix)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([0.55e-6])
+        half = 2.0 * KPC
+        rs = np.random.default_rng(3)
+        sites = rs.uniform(-0.98 * half, 0.98 * half, size=(1500, 3))
+        grid = VoronoiGrid(sites, (-half, -half, -half, half, half, half),
+                           volume_samples=16)
+        mix = SimpleOligoDustMix(wg, [2600.0], [0.5], [0.4])
+        comp = DustComponent(UniformSphereGeometry(1.8 * KPC), mix,
+                             DustMassNormalization(1e33))
+        dsys = DustSystem(grid, [comp], density_mode="gridded")
+        # inject 1e3 contrast into a random 3% of cells (clumpy import)
+        hot = rs.random(grid.ncells) < 0.03
+        dsys.rho64[:, hot] *= 1e3
+        dsys.rho = np.asarray(dsys.rho64, np.float32)
+
+        out = dsys.voxelized(max_voxels=48 ** 3)
+        assert out is not None
+        vds, _ = out
+        err = vds.voxelization_error
+        assert err is not None and 0.0 < err < 1.0
+        # tolerance below the measurement refuses
+        assert dsys.voxelized(max_voxels=48 ** 3,
+                              max_field_error=err * 0.5) is None
+        # tolerance above it accepts
+        out2 = dsys.voxelized(max_voxels=48 ** 3,
+                              max_field_error=err * 2.0)
+        assert out2 is not None
+
+    def test_error_decreases_with_resolution(self):
+        import numpy as np
+        from skirt_tpu.constants import KPC
+        from skirt_tpu.geometry import UniformSphereGeometry
+        from skirt_tpu.grids.voronoi import VoronoiGrid
+        from skirt_tpu.media import (DustComponent, DustMassNormalization,
+                                     DustSystem, SimpleOligoDustMix)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([0.55e-6])
+        half = 2.0 * KPC
+        rs = np.random.default_rng(4)
+        sites = rs.uniform(-0.9 * half, 0.9 * half, size=(800, 3))
+        grid = VoronoiGrid(sites, (-half, -half, -half, half, half, half),
+                           volume_samples=16)
+        mix = SimpleOligoDustMix(wg, [2600.0], [0.5], [0.4])
+        comp = DustComponent(UniformSphereGeometry(1.8 * KPC), mix,
+                             DustMassNormalization(1e33))
+        dsys = DustSystem(grid, [comp], density_mode="gridded")
+        dsys.rho64[:, rs.random(grid.ncells) < 0.05] *= 100.0
+        dsys.rho = np.asarray(dsys.rho64, np.float32)
+        e_lo = dsys.voxelized(max_voxels=24 ** 3)[0].voxelization_error
+        e_hi = dsys.voxelized(max_voxels=64 ** 3)[0].voxelization_error
+        assert e_hi < e_lo
