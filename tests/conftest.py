@@ -27,6 +27,28 @@ jax.config.update("jax_platforms", "cpu")
 # ---------------------------------------------------------------------------
 
 _SLOW_TESTS = {
+    ("test_golden.py", "test_reference_exact_outputs_pinned"),
+    ("test_fused.py", "test_refill_with_lam_inputs"),
+    ("test_polarization_multi.py", "test_mixed_polarized_unpolarized_runs"),
+    ("test_analytic_mode.py", "test_sampled_deposition_unbiased"),
+    ("test_geometry.py", "test_trust6_quadrature_normalized"),
+    ("test_cartesian_traversal.py", "test_chord_length_equals_sum_ds"),
+    ("test_cartesian_traversal.py", "test_cells_visited_once"),
+    ("test_fused_table.py", "test_exact_peel_attenuation_sphere"),
+    ("test_grains.py", "test_large_grain_matches_equilibrium"),
+    ("test_fit.py", "test_fitskirt_main_runs_batch"),
+    ("test_migrate.py", "test_d8_matches_d1"),
+    ("test_checkpoint.py", "test_kill_resume_bitwise"),
+    ("test_voronoi.py", "test_error_measured_and_refusal"),
+    ("test_voronoi.py", "test_error_decreases_with_resolution"),
+    ("test_fused_table.py", "test_exact_peel_matches_fine_staged"),
+    ("test_polarization_multi.py",
+     "test_zero_opacity_second_component_is_noop"),
+    ("test_fused.py", "test_128_lambda_parity"),
+    ("test_imports.py", "test_voronoi_stellar_components"),
+    ("test_cartesian_traversal.py", "test_propagate_matches_optical_depth"),
+    ("test_analytic_mode.py", "test_sphere1d_matches_cartesian"),
+    ("test_analytic_mode.py", "test_sphere2d_matches_cartesian"),
     ("test_voronoi.py", "test_lifecycle_analytic_vs_gridded"),
     ("test_compaction.py", "test_matches_discrete_peeloff"),
     ("test_compaction.py", "test_scattering_statistically_consistent"),
