@@ -841,7 +841,16 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
             # one flush WINDOW: T event iterations buffering their tally
             # streams, then one unconditional flush (a lax.cond flush
             # lowers to predicated execution on TPU — measured 4x slower)
-            st = jax.lax.fori_loop(0, T, lambda i, s: inner(s), st)
+            if T == 1:
+                st = inner(st)
+            else:
+                # a window must not overrun the scattering-event cap:
+                # iterations past iter_cap become no-ops
+                st = jax.lax.fori_loop(
+                    0, T,
+                    lambda i, s: jax.lax.cond(s["it"] < iter_cap, inner,
+                                              lambda x: x, s),
+                    st)
             ins, labs_c = flush(st["ins"], st["labs"], st["bufs"])
             return dict(st, ins=list(ins), labs=labs_c, bufs=zero_bufs())
 

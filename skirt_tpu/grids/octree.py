@@ -408,15 +408,16 @@ class BinTreeGrid(OctreeGrid):
                  subdivision: str = "midpoint"):
         """Levels count binary splits: 3 binary levels = 1 octree level
         (reference defaults scale the same way).  subdivision
-        'barycentric' splits at the density barycenter along the cycling
-        axis (ref: BaryBinTreeNode)."""
+        'barycentric' = the reference's directionMethod "Barycenter"
+        (ref: BaryBinTreeNode.cpp:34-58): the split AXIS is the one whose
+        wall lies fractionally nearest the density barycenter, but the
+        split PLANE stays the midpoint — so leaf walls remain on the
+        dyadic lattice and exact voxelization still applies."""
         self.extent = np.asarray(extent, dtype=np.float64)
         if subdivision not in ("midpoint", "barycentric"):
             raise ValueError("subdivision must be 'midpoint' or "
                              "'barycentric'")
         self.subdivision = subdivision
-        if subdivision == "barycentric":
-            self.voxelize_exact = False
         lo = self.extent[:3]
         hi = self.extent[3:]
         if np.any(hi <= lo):
@@ -477,6 +478,13 @@ class BinTreeGrid(OctreeGrid):
                     & ((mass_frac > max_mass_fraction) | disp_ok))
             else:
                 needs = lvls < min_level
+                barys = None
+            if (self.subdivision == "barycentric" and barys is None
+                    and density_fn is not None and np.any(needs)):
+                # forced min_level splits still choose the axis from the
+                # barycenter (ref: BaryBinTreeNode::createchildren runs
+                # unconditionally)
+                _, _, barys = node_mass(los, his)
             next_frontier = []
             for idx, parent in enumerate(frontier):
                 if not needs[idx]:
@@ -484,14 +492,19 @@ class BinTreeGrid(OctreeGrid):
                 base = len(boxes_lo)
                 children[parent] = base
                 plo, phi = boxes_lo[parent], boxes_hi[parent]
-                ax = levels[parent] % 3
-                # ref: BaryBinTreeNode — split at the density barycenter
-                # coordinate along the cycling axis
-                if (self.subdivision == "barycentric"
-                        and density_fn is not None and total_mass):
-                    mid = barys[idx][ax]
+                if self.subdivision == "barycentric" and barys is not None:
+                    # ref: BaryBinTreeNode.cpp:38-57 — split axis = the
+                    # one whose wall is fractionally nearest the density
+                    # barycenter; ties pick the later axis (strict <)
+                    b = barys[idx]
+                    frac = np.minimum(b - plo, phi - b) / (phi - plo)
+                    ax = 2 - int(np.argmin(frac[::-1]))
                 else:
-                    mid = 0.5 * (plo[ax] + phi[ax])
+                    ax = levels[parent] % 3
+                axes[parent] = ax
+                # the split plane is always the midpoint (the reference's
+                # Barycenter method changes only the direction)
+                mid = 0.5 * (plo[ax] + phi[ax])
                 for half in range(2):
                     clo = plo.copy()
                     chi = phi.copy()
@@ -507,11 +520,10 @@ class BinTreeGrid(OctreeGrid):
                     next_frontier.append(base + half)
             frontier = next_frontier
 
-        # split axis of each *inner* node is its own level % 3
-        split_axis = np.array([lv % 3 for lv in levels], dtype=np.int64)
+        # split axis recorded per inner node when its children were made
         self._finalize(boxes_lo, boxes_hi, levels, children,
                        linear_depth=-(-self.__maxlvl(levels) // 3))
-        self._split_axis_np = np.asarray(split_axis, np.int32)
+        self._split_axis_np = np.asarray(axes, np.int32)
 
     @property
     def split_axis(self):

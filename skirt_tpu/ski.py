@@ -580,14 +580,17 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357,
         from .grids.octree import BinTreeGrid
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
                   s("maxZ"))
+        # ref: BinTreeDustGrid.hpp:21-46 — a directionMethod enum
+        # (Alternating | Barycenter), not a boolean like OctTree
+        dmeth = str(node.get("directionMethod", "Alternating")).lower()
         return BinTreeGrid(extent, dust_density_fn,
-                           min_level=int(s("minLevel", 6,
-                           subdivision=("barycentric"
-                                        if node.boolean("barycentric")
-                                        else "midpoint"))),
+                           min_level=int(s("minLevel", 6)),
                            max_level=int(s("maxLevel", 18)),
                            max_mass_fraction=s("maxMassFraction", 1e-6),
-                           samples_per_node=int(s("sampleCount", 100)))
+                           samples_per_node=int(s("sampleCount", 100)),
+                           subdivision=("barycentric"
+                                        if dmeth == "barycenter"
+                                        else "midpoint"))
     if n == "VoronoiDustGrid":
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
                   s("maxZ"))

@@ -203,8 +203,14 @@ class TestBarycentricSubdivision:
                         (BinTreeGrid, dict(min_level=6, max_level=12))):
             g = cls(ext, fn, subdivision="barycentric", **kw)
             assert g.ncells > 8
-            assert g.voxelize_exact is False
-            assert g.voxelize() is None
+            if cls is OctreeGrid:
+                # true barycenter split planes: walls off-lattice
+                assert g.voxelize_exact is False
+                assert g.voxelize() is None
+            else:
+                # ref: BaryBinTreeNode splits at the MIDPOINT along the
+                # barycenter-chosen axis — walls stay dyadic
+                assert g.voxelize_exact is True
             rs = np.random.default_rng(1)
             pts = rs.uniform(-0.99 * half, 0.99 * half, (2000, 3))
             cells = np.asarray(g.locate(jnp.asarray(pts, jnp.float32)))
@@ -212,6 +218,34 @@ class TestBarycentricSubdivision:
             # volumes tile the domain
             assert np.isclose(g.cell_volumes().sum(), (2 * half) ** 3,
                               rtol=1e-10)
+
+    def test_bintree_barycenter_axis_choice(self):
+        """ref: BaryBinTreeNode.cpp:38-57 — the split axis for an inner
+        node is the one whose wall is fractionally nearest the density
+        barycenter, and the plane is the geometric midpoint."""
+        import numpy as np
+        from skirt_tpu.grids.octree import BinTreeGrid
+
+        # density concentrated near +x wall: every early split should be x
+        def fn(p):
+            p = np.asarray(p)
+            return np.exp(8.0 * p[..., 0])
+
+        g = BinTreeGrid((-1, -1, -1, 1, 1, 1), fn, min_level=3,
+                        max_level=6, max_mass_fraction=1e-3)
+        ax = np.asarray(g._split_axis_np)
+        inner = np.asarray(g.child) >= 0
+        # the root (largest node) must split along x, not the
+        # alternating default
+        assert ax[0] == 0
+        # midpoint plane: each child pair shares a wall at the parent mid
+        lo = np.asarray(g.lo64)
+        hi = np.asarray(g.hi64)
+        child = np.asarray(g.child)
+        c0 = child[0]
+        a = ax[0]
+        assert np.isclose(hi[c0, a], 0.5 * (lo[0, a] + hi[0, a]))
+        assert inner.sum() > 0
 
     def test_ski_property(self):
         from skirt_tpu.discover import SUPPORTED  # noqa: F401 (import ok)

@@ -89,6 +89,30 @@ class TestParsing:
         wg = node.child("wavelengthGrid")
         assert wg.name == "OligoWavelengthGrid"
 
+    def test_bintree_grid_parses(self, tmp_path):
+        """Regression: BinTreeDustGrid parsing crashed with a TypeError
+        (subdivision= was nested inside the minLevel scalar() call), and
+        directionMethod never reached the grid.
+        ref: BinTreeDustGrid.hpp:21-46 (directionMethod enum)."""
+        ski = OLIGO_SKI.replace(
+            '<CartesianDustGrid minX="-15000 pc" maxX="15000 pc" '
+            'minY="-15000 pc" maxY="15000 pc" minZ="-2000 pc" '
+            'maxZ="2000 pc">',
+            '<BinTreeDustGrid minX="-15000 pc" maxX="15000 pc" '
+            'minY="-15000 pc" maxY="15000 pc" minZ="-2000 pc" '
+            'maxZ="2000 pc" minLevel="6" maxLevel="8" sampleCount="10" '
+            'directionMethod="Barycenter">').replace(
+            "</CartesianDustGrid>", "</BinTreeDustGrid>")
+        p = tmp_path / "bintree.ski"
+        p.write_text(ski)
+        sim = load_ski(str(p))
+        from skirt_tpu.grids.octree import BinTreeGrid
+        g = sim.dust_system_out.grid
+        assert isinstance(g, BinTreeGrid)
+        assert g.subdivision == "barycentric"
+        # barycentric BinTree still voxelizes (midpoint split planes)
+        assert g.voxelize_exact is True
+
     def test_unknown_class_raises(self, tmp_path):
         bad = OLIGO_SKI.replace("ExpDiskGeometry", "WeirdGeometry")
         p = tmp_path / "bad.ski"
