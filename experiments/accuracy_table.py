@@ -87,6 +87,35 @@ def main():
                        "exact voxel DDA (path est.)")
 
     tds = vds.as_table()
+
+    if os.environ.get("TABLE_POLY", "0") == "1":
+        # polychromatic lanes at matched per-wavelength sample counts:
+        # n/2 lanes each carrying BOTH wavelengths = n/2 paths per
+        # wavelength, same as the n-packet monochromatic reference
+        for P in [int(p) for p in
+                  os.environ.get("TABLE_PANELS", "16").split(",")]:
+            run = jax.jit(make_lifecycle(
+                tds.grid, tds, ss, ins,
+                LifecycleOptions(store_absorption=True, max_scatt_events=64,
+                                 deposition="sampled", quadrature_panels=P,
+                                 fused=True, polychromatic=True,
+                                 table_peel="exact"), 2))
+            npl = nb // 2
+            ellp = jnp.zeros((npl,), jnp.int32)
+            L0p = jnp.full((npl, 2), 1e36 / n, jnp.float32)
+            t = {"instruments": [ins[0].zero_tallies()],
+                 "labs": jnp.zeros((tds.grid.ncells * 2,), jnp.float32)}
+            t0 = time.perf_counter()
+            for b in range(nbatch):
+                t = run(jax.random.fold_in(key, b), ellp, L0p, t)
+            Fp = np.asarray(t["instruments"][0]["Ftot"], np.float64)
+            lp = float(np.asarray(t["labs"], np.float64).sum())
+            print(f"poly table P={P}: F={Fp} labs={lp:.4e} "
+                  f"({time.perf_counter()-t0:.1f}s)", flush=True)
+            print(f"  poly P={P}: SED rel delta = {np.abs(Fp/Fr-1.0)}, "
+                  f"labs delta = {abs(lp/lr-1):.4%}", flush=True)
+        return
+
     for P in [int(p) for p in
               os.environ.get("TABLE_PANELS", "16,24,32").split(",")]:
         for peel_mode, pp in (("exact", 0), ("staged", int(os.environ.get(

@@ -423,7 +423,16 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                          "'staged'")
     if peel_mode == "exact" and not (hasattr(grid, "_uniform")
                                      and all(grid._uniform)):
-        peel_mode = "staged"   # non-Cartesian direct-table mode
+        # non-uniform direct-table mode has no column-DDA formulation;
+        # say so out loud — staged peel carries a panel-count-dependent
+        # convexity bias (see LifecycleOptions.table_peel)
+        import warnings
+        warnings.warn(
+            "table_peel='exact' needs a uniform Cartesian (voxel) grid; "
+            f"downgrading to 'staged' ({np_peel} panels) on "
+            f"{type(grid).__name__} — peel flux carries a panel "
+            "quadrature bias (use >=32 panels)", stacklevel=2)
+        peel_mode = "staged"
     refill = options.refill_batches > 1
     K = int(options.refill_batches) if refill else 1
     if refill and launch_fn is not None:

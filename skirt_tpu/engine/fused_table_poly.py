@@ -1,0 +1,595 @@
+"""Polychromatic fused table-mode lifecycle: W wavelengths per lane.
+
+The table path is gather-bound (~8.6 ns/descriptor on the serial gather
+unit, BASELINE.md roofline): the (N, P) rho panel gathers and the exact
+peel column-DDA rows are the per-event cost — and BOTH are
+lambda-independent.  So in this mode each lane carries the FULL oligo
+wavelength vector: one geometric path serves W wavelengths and the
+descriptor budget per photon packet divides by W.
+
+Estimator (unbiased defensive-mixture importance sampling):
+
+ - The interaction point s and the scattering angle are sampled from the
+   uniform-mixture proposal q(s, cos) = (1/W) sum_c q_c(s) HG_c(cos),
+   where q_c is wavelength c's composite-biased forced-scattering pdf
+   (the same xi-mixture as the monochromatic kernel) and HG_c its
+   Henyey-Greenstein phase function: draw a driver wavelength c
+   uniformly, then sample both from that wavelength's distributions.
+ - Every per-wavelength pdf shares the same rho(s) factor, so the
+   importance ratios are pure arithmetic in the lambda-independent
+   cumulative column density I(s) = int rho ds — no extra gathers:
+       F_w(I) = kext_w e^{-kext_w I} / (1 - e^{-tau_w})
+       Q_w(I) = (1-xi) F_w(I) + xi kext_w / tau_w
+   peel luminosity   L^peel_w = L_w albedo_w (1-e^{-tau_w})
+                                * F_w / ((1/W) sum_c Q_c)
+   onward luminosity L^next_w = L_w albedo_w (1-e^{-tau_w})
+                                * F_w HG_w / ((1/W) sum_c Q_c HG_c)
+   The peel weight uses the s-marginal of the proposal; the outgoing leg
+   carries the joint weight.  Both are defensive-mixture ratios bounded
+   by W — no weight blow-up, unlike naive path reweighting.
+ - The peel-off for ALL wavelengths shares ONE exact column-DDA
+   rho-integral per leader direction; per-wavelength extinction is
+   exp(-kext_w I_peel).
+ - Absorption deposits sample ONE wavelength per event with probability
+   D_w / sum(D) and deposit sum(D) at that wavelength's bin (unbiased;
+   one deposit stream regardless of W).
+
+ref: SKIRTcore/MonteCarloSimulation.cpp:438-549 — the same event chain
+(simulateescapeandabsorption / simulatepropagation / peeloffscattering /
+simulatescattering) as engine/fused_table.py; the polychromatic packet
+is a TPU-first estimator redesign with no reference counterpart (the
+reference is strictly monochromatic per packet).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rng
+from ..ops import binned_add
+from . import vector_traversal as vt
+from .fused import _expon_cutoff, _group_leaders
+from .fused_table import make_exact_peel
+
+
+def _validate(grid, ds, stellar_system, instruments, options, nlambda,
+              mueller, io_state, launch_fn):
+    def bail(msg):
+        raise ValueError(f"polychromatic table lifecycle: {msg}")
+
+    if ds is None or not getattr(ds, "table", False):
+        bail("requires density_mode='table' (voxelized().as_table())")
+    if ds.ncomp != 1:
+        bail("single dust component only")
+    if mueller is not None:
+        bail("polarization not supported")
+    if io_state:
+        bail("io_state not supported")
+    if options.continuous_scattering:
+        bail("continuous_scattering not supported")
+    if options.store_absorption and options.deposition != "sampled":
+        bail("absorption tallies require deposition='sampled'")
+    if nlambda > 8:
+        bail("nlambda <= 8 (per-lane wavelength vector lives in VMEM; "
+             "use wavelength blocks / the monochromatic kernel above)")
+    if launch_fn is not None:
+        bail("launch_fn not supported (dust-emission phases launch with "
+             "per-cell lambda spectra; use the monochromatic kernel)")
+    if stellar_system.ncomp != 1 or not stellar_system.is_isotropic:
+        bail("requires a single isotropic stellar component (the launch "
+             "position must be wavelength-independent)")
+    if not (hasattr(grid, "_uniform") and all(grid._uniform)):
+        bail("requires the uniform Cartesian voxel view")
+    for ins in instruments:
+        if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
+            bail("requires distant (constant-direction) instruments")
+
+
+def _build_kernel(grid, options, W, npanels, want_labs,
+                  kext_w, albedo_w, g_w):
+    """The in-VMEM polychromatic event kernel.
+
+    kext_w / albedo_w / g_w are python float tuples of length W — the
+    single-mix optical properties are compile-time constants, not
+    per-lane gathers.
+    """
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    lo = grid._lo
+    inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
+    xi = float(options.scatt_bias)
+    min_scatt = int(options.min_scatt_events)
+    inv_minred = np.float32(1.0 / options.min_weight_reduction)
+    kext_w = [np.float32(k) for k in kext_w]
+    albedo_w = [np.float32(a) for a in albedo_w]
+    g_w = [np.float32(g) for g in g_w]
+    tiny = np.float32(1e-30)
+
+    def locate(X, Y, Z):
+        ix = jnp.floor((X - np.float32(lo[0]))
+                       * np.float32(inv[0])).astype(jnp.int32)
+        iy = jnp.floor((Y - np.float32(lo[1]))
+                       * np.float32(inv[1])).astype(jnp.int32)
+        iz = jnp.floor((Z - np.float32(lo[2]))
+                       * np.float32(inv[2])).astype(jnp.int32)
+        ok = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+              & (iz >= 0) & (iz < nz))
+        return jnp.where(ok, (ix * ny + iy) * nz + iz, -1)
+
+    def hg(g, cosa):
+        t = 1.0 + g * g - 2.0 * g * cosa
+        return (1.0 - g) * (1.0 + g) / jnp.sqrt(t * t * t)
+
+    n_uniform = 7
+
+    def kern(*refs):
+        u_ref = refs[0]
+        r_ref = refs[1]          # (P, tr, 128) raw rho panels
+        L_ref = refs[2]          # (W, tr, 128)
+        l0_ref = refs[3]         # (W, tr, 128)
+        (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
+         alive_r, ns_r, t0_r, dt_r) = refs[4:14]
+        out = refs[14:]
+        opx, opy, opz, odx, ody, odz, oalive, ons = out[:8]
+        oLn = out[8]             # (W, tr, 128) onward luminosities
+        oLp = out[9]             # (W, tr, 128) peel luminosities
+        if want_labs:
+            odepi, odepv = out[10], out[11]
+
+        X, Y, Z = px_r[:], py_r[:], pz_r[:]
+        DX, DY, DZ = dx_r[:], dy_r[:], dz_r[:]
+        alive = alive_r[:] != 0
+        nscatt = ns_r[:]
+        t0 = t0_r[:]
+        delta = dt_r[:]
+
+        def uget(i):
+            return u_ref[i]
+
+        # -- cumulative column density I_k (lambda-independent) -----------
+        cum = jnp.zeros_like(delta)
+        cums = []
+        for kk in range(npanels):
+            cum = cum + r_ref[kk] * delta
+            cums.append(cum)
+        I_tot = cum
+
+        tau_w = [kext_w[w] * I_tot for w in range(W)]
+        ome_w = [1.0 - jnp.exp(-tau_w[w]) for w in range(W)]
+        Lm_w = [jnp.where(alive, L_ref[w], 0.0) for w in range(W)]
+
+        # -- absorption deposit: one sampled wavelength per event ---------
+        if want_labs:
+            D_w = [(1.0 - albedo_w[w]) * Lm_w[w] * ome_w[w]
+                   for w in range(W)]
+            Dsum = D_w[0]
+            for w in range(1, W):
+                Dsum = Dsum + D_w[w]
+            target = uget(6) * Dsum
+            accd = jnp.zeros_like(Dsum)
+            wsel = jnp.zeros(X.shape, jnp.int32)
+            for w in range(W - 1):
+                accd = accd + D_w[w]
+                wsel = wsel + (accd <= target).astype(jnp.int32)
+            tau_sel = tau_w[0]
+            kinv_sel = jnp.full(X.shape, np.float32(1.0 / kext_w[0]))
+            for w in range(1, W):
+                sel = wsel == w
+                tau_sel = jnp.where(sel, tau_w[w], tau_sel)
+                kinv_sel = jnp.where(sel, np.float32(1.0 / kext_w[w]),
+                                     kinv_sel)
+            tau_dep = _expon_cutoff(uget(2), tau_sel)
+            I_dep = tau_dep * kinv_sel
+            i_dep = jnp.zeros(X.shape, jnp.int32)
+            for kk in range(npanels - 1):
+                i_dep = i_dep + (cums[kk] < I_dep).astype(jnp.int32)
+            mid_dep = t0 + (i_dep.astype(jnp.float32) + 0.5) * delta
+            okd = (Dsum > 0) & alive
+            cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
+                          Z + mid_dep * DZ)
+            okd = okd & (cell >= 0)
+            odepi[:] = jnp.where(okd, cell * W + wsel, -1)
+            odepv[:] = jnp.where(okd, Dsum, 0.0)
+
+        # -- scattered luminosity (absorption split) ----------------------
+        Lab_w = [albedo_w[w] * Lm_w[w] * ome_w[w] for w in range(W)]
+
+        # -- mixture-driver forced propagation ----------------------------
+        # driver wavelength c uniform in [0, W)
+        c = jnp.minimum((uget(5) * np.float32(W)).astype(jnp.int32), W - 1)
+        tau_c = tau_w[0]
+        kinv_c = jnp.full(X.shape, np.float32(1.0 / kext_w[0]))
+        g_c = jnp.full(X.shape, g_w[0])
+        for w in range(1, W):
+            sel = c == w
+            tau_c = jnp.where(sel, tau_w[w], tau_c)
+            kinv_c = jnp.where(sel, np.float32(1.0 / kext_w[w]), kinv_c)
+            g_c = jnp.where(sel, g_w[w], g_c)
+        u1 = uget(0)
+        u2 = uget(1)
+        tau_exp = _expon_cutoff(u2, tau_c)
+        if xi == 0.0:
+            tau_smp = tau_exp
+        else:
+            tau_smp = jnp.where(u1 < xi, u2 * tau_c, tau_exp)
+        I_s = tau_smp * kinv_c          # I(s) at the interaction point
+
+        # panel inversion in I space (cums are lambda-independent)
+        i_hit = jnp.zeros(X.shape, jnp.int32)
+        for kk in range(npanels - 1):
+            i_hit = i_hit + (cums[kk] < I_s).astype(jnp.int32)
+        cum_h = jnp.zeros_like(I_tot)
+        cum_prev = jnp.zeros_like(I_tot)
+        for kk in range(npanels):
+            sel = i_hit == kk
+            cum_h = jnp.where(sel, cums[kk], cum_h)
+            if kk > 0:
+                cum_prev = jnp.where(sel, cums[kk - 1], cum_prev)
+        dI_h = cum_h - cum_prev
+        frac = jnp.clip(jnp.where(dI_h > 0,
+                                  (I_s - cum_prev)
+                                  / jnp.maximum(dI_h, tiny), 0.0),
+                        0.0, 1.0)
+        s = t0 + (i_hit.astype(jnp.float32) + frac) * delta
+        X = jnp.where(alive, X + s * DX, X)
+        Y = jnp.where(alive, Y + s * DY, Y)
+        Z = jnp.where(alive, Z + s * DZ, Z)
+
+        # -- per-wavelength mixture ratios (arithmetic in I_s) ------------
+        F_w = [kext_w[w] * jnp.exp(-kext_w[w] * I_s)
+               / jnp.maximum(ome_w[w], tiny) for w in range(W)]
+        if xi == 0.0:
+            Q_w = F_w
+        else:
+            Q_w = [(1.0 - xi) * F_w[w]
+                   + np.float32(xi) * kext_w[w]
+                   / jnp.maximum(tau_w[w], tiny) for w in range(W)]
+        Qmix = Q_w[0]
+        for w in range(1, W):
+            Qmix = Qmix + Q_w[w]
+        Qmix = Qmix * np.float32(1.0 / W)
+
+        # -- Henyey-Greenstein scatter with the driver's g ----------------
+        u_g = uget(3)
+        u_phi = uget(4)
+        f = (1.0 - g_c) * (1.0 + g_c) / (1.0 - g_c + 2.0 * g_c * u_g)
+        small_g = jnp.abs(g_c) < 1e-6
+        cos_hg = (1.0 + g_c * g_c - f * f) / (2.0
+                                              * jnp.where(small_g, 1.0,
+                                                          g_c))
+        costheta = jnp.where(small_g, 2.0 * u_g - 1.0,
+                             jnp.clip(cos_hg, -1.0, 1.0))
+        HG_w = [hg(g_w[w], costheta) for w in range(W)]
+        QHmix = Q_w[0] * HG_w[0]
+        for w in range(1, W):
+            QHmix = QHmix + Q_w[w] * HG_w[w]
+        QHmix = QHmix * np.float32(1.0 / W)
+
+        # peel luminosity: s-marginal weight; onward: joint weight
+        Lp_w = [Lab_w[w] * F_w[w] / jnp.maximum(Qmix, tiny)
+                for w in range(W)]
+        Ln_w = [Lab_w[w] * F_w[w] * HG_w[w] / jnp.maximum(QHmix, tiny)
+                for w in range(W)]
+
+        # per-wavelength termination (weight-reduction cutoff,
+        # ref: MonteCarloSimulation.cpp:44-50)
+        past_min = nscatt >= min_scatt
+        any_next = jnp.zeros(X.shape, bool)
+        for w in range(W):
+            Lth = l0_ref[w] * inv_minred
+            kill = (Ln_w[w] <= Lth) & past_min
+            Lp_w[w] = jnp.where(kill, 0.0, Lp_w[w])
+            Ln_w[w] = jnp.where(kill, 0.0, Ln_w[w])
+            any_next = any_next | (Ln_w[w] > 0)
+        alive = alive & any_next & (I_tot > tiny)
+
+        phi = np.float32(2.0 * np.pi) * u_phi
+        sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
+        cosphi = jnp.cos(phi)
+        sinphi = jnp.sin(phi)
+        sign = jnp.where(DZ >= 0.0, 1.0, -1.0)
+        a = -1.0 / (sign + DZ)
+        b = DX * DY * a
+        ux = 1.0 + sign * DX * DX * a
+        uy = sign * b
+        uz = -sign * DX
+        vx = b
+        vy = sign + DY * DY * a
+        vz = -DY
+        nxd = sintheta * (cosphi * ux + sinphi * vx) + costheta * DX
+        nyd = sintheta * (cosphi * uy + sinphi * vy) + costheta * DY
+        nzd = sintheta * (cosphi * uz + sinphi * vz) + costheta * DZ
+        inv_n = jax.lax.rsqrt(jnp.maximum(
+            nxd * nxd + nyd * nyd + nzd * nzd, tiny))
+        DX = jnp.where(alive, nxd * inv_n, DX)
+        DY = jnp.where(alive, nyd * inv_n, DY)
+        DZ = jnp.where(alive, nzd * inv_n, DZ)
+        nscatt = jnp.where(alive, nscatt + 1, nscatt)
+
+        opx[:] = X
+        opy[:] = Y
+        opz[:] = Z
+        odx[:] = DX
+        ody[:] = DY
+        odz[:] = DZ
+        oalive[:] = alive.astype(jnp.int32)
+        ons[:] = nscatt
+        for w in range(W):
+            oLn[w] = jnp.where(alive, Ln_w[w], 0.0)
+            oLp[w] = jnp.where(alive, Lp_w[w], 0.0)
+
+    return kern, n_uniform
+
+
+def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
+                                    instruments, options, nlambda: int,
+                                    launch_fn=None,
+                                    emission_peeloff: bool = True,
+                                    scattering_peeloff: bool = True,
+                                    is_dust_emission=False, mueller=None,
+                                    io_state: bool = False,
+                                    max_iterations: int | None = None):
+    """Build run_batch(key, ell, L0, tallies) for polychromatic lanes.
+
+    Contract difference from make_lifecycle: each lane carries ALL
+    nlambda wavelengths.  `L0` must be (N, nlambda) per-lane launch
+    luminosities (Lv[w] / total launches of the dispatch); `ell` is
+    ignored (kept for signature compatibility — pass zeros).  A
+    dispatch's packet count is N * refill_batches * nlambda.
+    """
+    ds = dust_system
+    W = int(nlambda)
+    _validate(grid, ds, stellar_system, instruments, options, W,
+              mueller, io_state, launch_fn)
+
+    npanels = int(options.quadrature_panels
+                  or getattr(grid, "max_steps", 96))
+    want_labs = bool(options.store_absorption)
+    leaders, lead_of = _group_leaders(instruments)
+    nlead = len(leaders)
+    tile_rows = int(getattr(options, "fused_tile_rows", 32))
+    peel_mode = getattr(options, "table_peel", "exact")
+    if peel_mode == "taumap":
+        raise ValueError("polychromatic table lifecycle: table_peel="
+                         "'taumap' is per-wavelength; use 'exact'")
+    refill = options.refill_batches > 1
+    K = int(options.refill_batches) if refill else 1
+    interpret = jax.default_backend() != "tpu"
+
+    mix = ds.components[0].mix
+    # single-mix per-wavelength constants (host floats, compiled in)
+    kext_w = [float(np.asarray(ds.kappaext)[0, w]) for w in range(W)]
+    albedo_w = [float(np.asarray(mix.albedo)[w]) for w in range(W)]
+    g_w = [float(np.asarray(mix.g)[w]) for w in range(W)]
+
+    kern, n_uniform = _build_kernel(grid, options, W, npanels, want_labs,
+                                    kext_w, albedo_w, g_w)
+
+    # lambda-independent peel rho-integrals: ONE column-DDA (or staged
+    # quadrature) per leader serves every wavelength
+    np_peel = int(options.peel_panels or npanels)
+    exact_peel = (make_exact_peel(grid, ds, leaders)
+                  if peel_mode == "exact" else None)
+
+    def peel_I(pos):
+        ones = [jnp.ones(pos.shape[:1], jnp.float32)]
+        if exact_peel is not None:
+            return exact_peel(pos, ones)
+        out = []
+        for kvec in leaders:
+            kobs = jnp.broadcast_to(
+                jnp.asarray(np.asarray(kvec, np.float32)), pos.shape)
+            dsg, _, midp = vt.panel_paths(grid, pos, kobs, np_peel)
+            rows = ds.analytic_rows(pos, kobs, midp, None, ones,
+                                    want_sca=False)
+            out.append(jnp.sum(rows * dsg, axis=1))
+        return out
+
+    iter_cap = int(max_iterations if max_iterations is not None
+                   else options.max_scatt_events) * K
+
+    def run_batch(key, ell, L0, tallies, launch_ctx=None):
+        del ell, launch_ctx
+        if L0.ndim != 2 or L0.shape[1] != W:
+            raise ValueError("polychromatic run_batch needs L0 of shape "
+                             f"(N, {W})")
+        n = L0.shape[0]
+        k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
+
+        ell0 = jnp.zeros(n, jnp.int32)
+        pos, direction, _, _ = stellar_system.launch(
+            k_launch, ell0, jnp.ones(n, jnp.float32))
+        L = L0.T                                     # (W, N)
+        alive = jnp.any(L > 0, axis=0)
+
+        dust_flags = jnp.full(n, bool(is_dust_emission))
+        ell_w = [jnp.full(n, w, jnp.int32) for w in range(W)]
+
+        def detect_all(ins_list, pos_p, contrib_w, nscatt_p, Ipeel):
+            # one shared I per leader; per-lambda extinction + detect
+            tags = {"nscatt": nscatt_p, "is_dust": dust_flags}
+            out = list(ins_list)
+            for i, ins in enumerate(instruments):
+                Ii = Ipeel[lead_of[i]]
+                t = out[i]
+                for w in range(W):
+                    extincted = contrib_w[w] * jnp.exp(
+                        -np.float32(kext_w[w]) * Ii)
+                    t = ins.detect(t, pos_p, ell_w[w], extincted,
+                                   dict(tags, transparent=contrib_w[w]))
+                out[i] = t
+            return out
+
+        ins0 = tallies["instruments"]
+        if emission_peeloff:
+            Ipeel0 = peel_I(pos)
+            ins0 = detect_all(list(ins0), pos,
+                              [jnp.where(alive, L[w], 0.0)
+                               for w in range(W)],
+                              jnp.zeros(n, jnp.int32), Ipeel0)
+
+        # -- pack the lane state into (R, 128) tiles ----------------------
+        tile = tile_rows * 128
+        npad = -(-max(n, tile) // tile) * tile
+
+        def pack(a, fill=0.0):
+            if npad > n:
+                a = jnp.pad(a, (0, npad - n), constant_values=fill)
+            return a.reshape(-1, 128)
+
+        def packW(a):                                # (W, N) -> (W, R, 128)
+            if npad > n:
+                a = jnp.pad(a, ((0, 0), (0, npad - n)))
+            return a.reshape(W, -1, 128)
+
+        def unpack(a):
+            return a.reshape(-1)[:n]
+
+        R = npad // 128
+        labs = tallies.get("labs")
+        l0_p = packW(L0.T)
+
+        state0 = {"pos": pos, "dir": direction, "L": L, "alive": alive,
+                  "ns": jnp.zeros(n, jnp.int32), "bc": jnp.ones(n, jnp.int32)}
+        carry = {"it": jnp.int32(0), "s": state0, "ins": ins0,
+                 "labs": labs if labs is not None
+                 else jnp.zeros((1,), jnp.float32)}
+
+        def call_kernel(u, r, Lw, state):
+            def blk():
+                return pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+
+            def blkW(lead):
+                return pl.BlockSpec((lead, tile_rows, 128),
+                                    lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)
+
+            out_dtypes = ([jnp.float32] * 6 + [jnp.int32] * 2)
+            out_shapes = [jax.ShapeDtypeStruct((R * 128 // 128, 128), dt)
+                          for dt in out_dtypes]
+            out_specs = [blk() for _ in out_dtypes]
+            out_shapes += [jax.ShapeDtypeStruct((W, R, 128), jnp.float32)] * 2
+            out_specs += [blkW(W)] * 2
+            if want_labs:
+                out_shapes += [jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                               jax.ShapeDtypeStruct((R, 128), jnp.float32)]
+                out_specs += [blk(), blk()]
+            return pl.pallas_call(
+                kern,
+                grid=(R // tile_rows,),
+                in_specs=[blkW(n_uniform), blkW(npanels), blkW(W), blkW(W)]
+                + [blk() for _ in range(10)],
+                out_specs=tuple(out_specs),
+                out_shape=tuple(out_shapes),
+                interpret=interpret,
+            )(u, r, Lw, l0_p, *state)
+
+        def body(st):
+            s = st["s"]
+            kit = rng.event_key(k_cycle, st["it"])
+            u = jnp.clip(jax.random.uniform(kit, (n_uniform, R, 128),
+                                            jnp.float32),
+                         1e-7, 1.0 - 1e-7)
+
+            # -- stage the rho panel rows (the gather-bound op) -----------
+            dsg, _, midp = vt.panel_paths(grid, s["pos"], s["dir"], npanels)
+            ones = [jnp.ones(n, jnp.float32)]
+            r_rows = ds.analytic_rows(s["pos"], s["dir"], midp, None,
+                                      ones, want_sca=False)
+            t0 = midp[:, 0] - 0.5 * dsg[:, 0]
+            r = jnp.moveaxis(
+                jnp.pad(r_rows, ((0, npad - n), (0, 0)))
+                if npad > n else r_rows, 1, 0).reshape(npanels, R, 128)
+
+            state = (pack(s["pos"][:, 0]), pack(s["pos"][:, 1]),
+                     pack(s["pos"][:, 2]),
+                     pack(s["dir"][:, 0]), pack(s["dir"][:, 1]),
+                     pack(s["dir"][:, 2], 1.0),
+                     pack(s["alive"].astype(jnp.int32)),
+                     pack(s["ns"]), pack(t0), pack(dsg[:, 0]))
+            outs = call_kernel(u, r, packW(s["L"]), state)
+
+            labs_c = st["labs"]
+            if want_labs:
+                odepi, odepv = outs[10], outs[11]
+                labs_c = binned_add(labs_c, odepi.reshape(-1),
+                                    odepv.reshape(-1))
+
+            pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
+                                 unpack(outs[2])], axis=-1)
+            dir_new = jnp.stack([unpack(outs[3]), unpack(outs[4]),
+                                 unpack(outs[5])], axis=-1)
+            alive_new = unpack(outs[6]) != 0
+            ns_new = unpack(outs[7])
+            Ln = outs[8].reshape(W, -1)[:, :n]       # onward
+            Lp = outs[9].reshape(W, -1)[:, :n]       # peel
+
+            # -- XLA-side relaunch (refill) -------------------------------
+            bc = s["bc"]
+            fresh = jnp.zeros(n, bool)
+            if refill:
+                eligible = jnp.logical_not(alive_new) & (bc < K)
+                kre = rng.event_key(k_cycle, st["it"], 7)
+                pos_l, dir_l, _, _ = stellar_system.launch(
+                    kre, ell0, jnp.ones(n, jnp.float32))
+                pos_new = jnp.where(eligible[:, None], pos_l, pos_new)
+                dir_new = jnp.where(eligible[:, None], dir_l, dir_new)
+                Ln = jnp.where(eligible[None, :], L0.T, Ln)
+                ns_new = jnp.where(eligible, 0, ns_new)
+                bc = bc + eligible.astype(jnp.int32)
+                fresh = eligible
+                alive_new = alive_new | eligible
+
+            # -- merged peel-off: scattered lanes use the peel
+            # luminosities + per-lambda phase weights; fresh lanes the
+            # isotropic emission weight ----------------------------------
+            ins = list(st["ins"])
+            if scattering_peeloff:
+                Ipeel = peel_I(pos_new)
+                tags2 = {"nscatt": ns_new, "is_dust": dust_flags}
+                for i, ins_obj in enumerate(instruments):
+                    kvec = leaders[lead_of[i]]
+                    cosj = (s["dir"][:, 0] * np.float32(kvec[0])
+                            + s["dir"][:, 1] * np.float32(kvec[1])
+                            + s["dir"][:, 2] * np.float32(kvec[2]))
+                    Ii = Ipeel[lead_of[i]]
+                    t = ins[i]
+                    for w in range(W):
+                        pw = mix.phase_function(ell_w[w], cosj)
+                        cw = jnp.where(fresh, Ln[w], Lp[w] * pw)
+                        cw = jnp.where(alive_new, cw, 0.0)
+                        extincted = cw * jnp.exp(
+                            -np.float32(kext_w[w]) * Ii)
+                        t = ins_obj.detect(t, pos_new, ell_w[w], extincted,
+                                           dict(tags2, transparent=cw))
+                    ins[i] = t
+            elif refill and emission_peeloff:
+                Ipeel = peel_I(pos_new)
+                ins = detect_all(ins, pos_new,
+                                 [jnp.where(fresh, Ln[w], 0.0)
+                                  for w in range(W)], ns_new, Ipeel)
+
+            s_new = {"pos": pos_new, "dir": dir_new, "L": Ln,
+                     "alive": alive_new, "ns": ns_new, "bc": bc}
+            return {"it": st["it"] + 1, "s": s_new, "ins": ins,
+                    "labs": labs_c}
+
+        def cond(st):
+            go = jnp.any(st["s"]["alive"])
+            if refill:
+                go = go | jnp.any(st["s"]["bc"] < K)
+            return (st["it"] < iter_cap) & go
+
+        final = jax.lax.while_loop(cond, body, carry)
+
+        out = dict(tallies)
+        out["instruments"] = final["ins"]
+        if labs is not None:
+            out["labs"] = final["labs"]
+        return out
+
+    return run_batch

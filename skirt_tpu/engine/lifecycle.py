@@ -57,6 +57,19 @@ class LifecycleOptions:
                                      # the lanes are idle (2 = 50%, the
                                      # measured sweet spot); 1 degenerates
                                      # to relaunch-only-when-all-dead
+    polychromatic: bool = False      # fused TABLE mode: each lane carries
+                                     # ALL nlambda wavelengths on one
+                                     # geometric path (defensive-mixture
+                                     # importance sampling; weights
+                                     # bounded by nlambda) — the rho panel
+                                     # gathers and the exact-peel column
+                                     # rows are lambda-independent, so the
+                                     # descriptor budget per packet
+                                     # divides by nlambda.  Requires the
+                                     # fused table path, single dust
+                                     # component, single isotropic stellar
+                                     # component, nlambda <= 8.  See
+                                     # engine/fused_table_poly.py.
     peel_panels: int | None = None   # panels for peel-off extinction
                                      # integrals (None = quadrature_panels);
                                      # peel tau only weights detected flux,
@@ -99,15 +112,24 @@ class LifecycleOptions:
                                      # batching the streams only adds
                                      # buffer copies) — kept for shapes
                                      # where per-call floors dominate.
-    table_peel: str = "staged"       # fused TABLE mode peel-off extinction:
-                                     # 'staged' = exact peel_panels
-                                     # quadrature along each leader (P_peel
-                                     # gathers/packet, the default),
+    table_peel: str = "exact"        # fused TABLE mode peel-off extinction:
+                                     # 'exact' = per-leader column-DDA (one
+                                     # row gather per lateral column
+                                     # crossed) — exact for the voxel
+                                     # field, the accuracy-validated
+                                     # default (0.06% flux vs the exact
+                                     # walk, experiments/accuracy_table.py);
+                                     # 'staged' = P_peel-panel quadrature —
+                                     # its variance sits inside e^-tau and
+                                     # becomes a convexity BIAS (25% flux
+                                     # at 8 panels, 0.7% at 32);
                                      # 'taumap' = per-leader density-path
                                      # maps (two gathers/packet but a
                                      # cell-scale lateral approximation:
-                                     # ~5% SED error at 16^3 voxels,
-                                     # tests/test_fused_table.py)
+                                     # ~5% SED error at 16^3 voxels).
+                                     # 'exact' needs a uniform Cartesian
+                                     # (voxel) grid; other grids downgrade
+                                     # to 'staged' with a warning.
     fused_hw_rng: bool | None = None  # draw the per-event uniforms from the
                                      # TPU's on-core hardware PRNG INSIDE
                                      # the fused kernel (pltpu.prng_seed +
@@ -346,6 +368,16 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
     (the north-star sorted-compaction divergence control).
     """
     ds = dust_system
+    if (options.fused and options.polychromatic and ds is not None
+            and getattr(ds, "table", False)):
+        from . import fused_table_poly as _ftp
+        return _ftp.make_fused_table_poly_lifecycle(
+            grid, dust_system, stellar_system, instruments, options,
+            nlambda, launch_fn=launch_fn,
+            emission_peeloff=emission_peeloff,
+            scattering_peeloff=scattering_peeloff,
+            is_dust_emission=is_dust_emission, mueller=mueller,
+            io_state=io_state, max_iterations=max_iterations)
     if options.fused and ds is not None and getattr(ds, "table", False):
         from . import fused_table as _ft
         return _ft.make_fused_table_lifecycle(

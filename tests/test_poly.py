@@ -1,0 +1,120 @@
+"""Polychromatic fused table kernel (engine/fused_table_poly.py) parity.
+
+Each lane carries ALL wavelengths on one mixture-sampled geometric path;
+fluxes and absorption must agree with the monochromatic fused table
+path within MC noise at MATCHED per-wavelength launch totals.  Runs the
+Pallas kernel in interpreter mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skirt_tpu import rng
+from skirt_tpu.engine.lifecycle import LifecycleOptions, make_lifecycle
+from skirt_tpu.instruments import SEDInstrument
+
+from test_voxelize import _torus_setup
+
+N = 1 << 13
+
+
+def _table_setup():
+    wg, ss, grid, dsys = _torus_setup()
+    vds, fold = dsys.voxelized()
+    tds = vds.as_table()
+    ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2, azimuth=0.7)]
+    return wg, ss, tds, ins
+
+
+def _run_mono(tds, ss, ins, **opt_kw):
+    ell = jnp.asarray(np.arange(N, dtype=np.int32) % 2)
+    L0 = jnp.full((N,), 1e36 / N, jnp.float32)
+    opts = LifecycleOptions(store_absorption=True, max_scatt_events=48,
+                            deposition="sampled", quadrature_panels=24,
+                            fused=True, table_peel="exact", **opt_kw)
+    run = jax.jit(make_lifecycle(tds.grid, tds, ss, ins, opts, 2))
+    return run(rng.root_key(4357), ell, L0, {
+        "instruments": [ins[0].zero_tallies()],
+        "labs": jnp.zeros((tds.grid.ncells * 2,), jnp.float32)})
+
+
+def _run_poly(tds, ss, ins, n, refill=0, seed=4357, **opt_kw):
+    # per-wavelength launch total must match the mono run: the mono run
+    # launches N/2 packets per wavelength at L0 = 1e36/N each
+    K = max(refill, 1)
+    L0 = jnp.full((n, 2), 5e35 / (n * K), jnp.float32)
+    ell = jnp.zeros((n,), jnp.int32)
+    opts = LifecycleOptions(store_absorption=True, max_scatt_events=48,
+                            deposition="sampled", quadrature_panels=24,
+                            fused=True, polychromatic=True,
+                            table_peel="exact", refill_batches=refill,
+                            **opt_kw)
+    run = jax.jit(make_lifecycle(tds.grid, tds, ss, ins, opts, 2))
+    return run(rng.root_key(seed), ell, L0, {
+        "instruments": [ins[0].zero_tallies()],
+        "labs": jnp.zeros((tds.grid.ncells * 2,), jnp.float32)})
+
+
+@pytest.fixture(scope="module")
+def duo():
+    wg, ss, tds, ins = _table_setup()
+    tm = _run_mono(tds, ss, ins)
+    tp = _run_poly(tds, ss, ins, N // 2)
+    return tm, tp
+
+
+class TestPolyParity:
+    def test_sed_matches_mono(self, duo):
+        tm, tp = duo
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        fp = np.asarray(tp["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fp, fm, rtol=0.06)
+
+    def test_absorption_matches_mono(self, duo):
+        tm, tp = duo
+        lm = np.asarray(tm["labs"], np.float64)
+        lp = np.asarray(tp["labs"], np.float64)
+        assert lp.sum() == pytest.approx(lm.sum(), rel=0.05)
+        # per-wavelength absorption split must match too (the sampled
+        # single-deposit stream is unbiased per wavelength)
+        assert lp.reshape(-1, 2).sum(0) == pytest.approx(
+            lm.reshape(-1, 2).sum(0), rel=0.06)
+
+    def test_everything_finite(self, duo):
+        for t in duo:
+            for leaf in jax.tree.leaves(t):
+                assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestPolyRefill:
+    def test_refill_normalization(self, duo):
+        """K packets on n/K persistent polychromatic lanes reproduces
+        the plain poly run."""
+        tm, _ = duo
+        wg, ss, tds, ins = _table_setup()
+        tr = _run_poly(tds, ss, ins, N // 8, refill=4)
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        fr = np.asarray(tr["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fr, fm, rtol=0.08)
+        lm = float(np.asarray(tm["labs"]).sum())
+        lr = float(np.asarray(tr["labs"]).sum())
+        assert lr == pytest.approx(lm, rel=0.08)
+
+
+class TestPolyGates:
+    def test_multicomponent_bails(self):
+        from skirt_tpu.engine.fused_table_poly import (
+            make_fused_table_poly_lifecycle)
+        wg, ss, tds, ins = _table_setup()
+
+        class FakeDS:
+            table = True
+            ncomp = 2
+
+        opts = LifecycleOptions(fused=True, polychromatic=True,
+                                deposition="sampled")
+        with pytest.raises(ValueError, match="single dust component"):
+            make_fused_table_poly_lifecycle(tds.grid, FakeDS(), ss, ins,
+                                            opts, 2)
