@@ -41,7 +41,11 @@ def _sync(o):
 
 def main():
     nsites = int(os.environ.get("VORONOI_SITES", "4096"))
-    mode = os.environ.get("VORONOI_MODE", "analytic")
+    # headline default: table mode rides the voxelized GRIDDED density
+    mode = os.environ.get("VORONOI_MODE",
+                          "gridded" if os.environ.get("VORONOI_TABLE",
+                                                      "1") == "1"
+                          else "analytic")
     n = 1 << int(os.environ.get("VORONOI_LOG2N",
                                 "17" if os.environ.get("VORONOI_TABLE", "1") == "1"
                                 else "15"))
@@ -67,7 +71,10 @@ def main():
     table = os.environ.get("VORONOI_TABLE", "1") == "1"
     direct = os.environ.get("VORONOI_DIRECT", "0") == "1"
     if (os.environ.get("VORONOI_VOXEL", "0") == "1" or table) and not direct:
-        res = int(os.environ.get("VORONOI_RES", "0"))
+        # default 47 ~ 3*ncells^(1/3): the validated headline resolution
+        # (matches the reference's search-block heuristic,
+        # VoronoiMesh.cpp:314); 0 = the ~8 voxels/cell-axis auto default
+        res = int(os.environ.get("VORONOI_RES", "47"))
         mv = res ** 3 if res else 1 << 24
         dsys, _fold = dsys.voxelized(max_voxels=mv)
         grid = dsys.grid

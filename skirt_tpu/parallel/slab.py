@@ -72,8 +72,17 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                         instruments, options, nlambda: int,
                         emission_peeloff: bool = True,
                         scattering_peeloff: bool = True,
-                        is_dust_emission: bool = False):
+                        is_dust_emission: bool = False,
+                        exchange: str = "allgather"):
     """Build the domain-decomposed lifecycle over a 1-D slab mesh.
+
+    exchange='migrate' swaps the per-event (D, N) all-gather for the
+    sharded-packet ppermute ring engine (parallel/migrate.py
+    make_migrating_lifecycle): packets live N/D per device, their ray
+    descriptors hop neighbour-to-neighbour, and deposits land in the
+    owning slab's local tally shard.  Narrower envelope (single
+    component, sampled deposition, isotropic source); per-device RNG
+    streams differ from the replicated engine's.
 
     Returns run(key, ell, L0) -> {"instruments": [per-instrument tallies,
     replicated], "labs": (Ncells*Nlambda,) absorption tally SHARDED over
@@ -85,6 +94,17 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     vector gridded path event for event, so results match the
     single-device engine to float32 reduction-order tolerance.
     """
+    if exchange == "migrate":
+        from .migrate import make_migrating_lifecycle
+        if not (emission_peeloff and scattering_peeloff) \
+                or is_dust_emission:
+            raise NotImplementedError("exchange='migrate' supports the "
+                                      "full stellar phase only")
+        return make_migrating_lifecycle(mesh, grid, dust_system,
+                                        stellar_system, instruments,
+                                        options, nlambda)
+    if exchange != "allgather":
+        raise ValueError("exchange must be 'allgather' or 'migrate'")
     ds = dust_system
     D = int(mesh.devices.size)
     if ds is None:

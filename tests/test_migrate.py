@@ -66,3 +66,68 @@ class TestMigratingTau:
         rel = np.abs(a8[sel] / a1[sel] - 1.0)
         assert np.median(rel) < 0.03
         assert np.quantile(rel, 0.9) < 0.12
+
+
+class TestMigratingLifecycle:
+    """Full sharded-packet lifecycle with ring migration (VERDICT r3 #3):
+    per-event exchange is ppermute descriptor hops, deposits land in the
+    owning slab's local tally shard, and results match the single-device
+    engine within MC tolerance (per-device RNG streams differ)."""
+
+    def _build(self, n=16, tau=2.0, albedo=0.4):
+        from test_slab import build
+        return build(tau=tau, albedo=albedo, n=n, ncomp=1, nlambda=1)
+
+    def test_parity_vs_single_device(self):
+        import jax.numpy as jnp
+        from skirt_tpu import rng as srng
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle)
+        from skirt_tpu.parallel.migrate import make_migrating_lifecycle
+        from test_slab import slab_mesh8
+
+        wg, ss, grid, dsys, instruments = self._build()
+        opts = LifecycleOptions(store_absorption=True, max_scatt_events=32,
+                                deposition="sampled",
+                                quadrature_panels=16)
+        npk = 1 << 13
+        key = srng.root_key(7)
+        # single-device reference (exact per-crossing walk)
+        run1 = make_lifecycle(grid, dsys, ss, instruments, opts, 1)
+        t1 = {"instruments": [i.zero_tallies() for i in instruments],
+              "labs": jnp.zeros((grid.ncells,), jnp.float32)}
+        ell = jnp.zeros((npk,), jnp.int32)
+        L0 = jnp.full((npk,), 1.0 / npk, jnp.float32)
+        t1 = jax.jit(run1)(key, ell, L0, t1)
+
+        mesh = slab_mesh8()
+        runm = make_migrating_lifecycle(mesh, grid, dsys, ss, instruments,
+                                        opts, 1)
+        tm = runm(key, ell, L0)
+
+        f1 = np.asarray(t1["instruments"][0]["Ftot"], np.float64)
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fm, f1, rtol=0.05)
+        l1 = np.asarray(t1["labs"], np.float64)
+        lm = np.asarray(tm["labs"], np.float64)
+        assert lm.sum() == pytest.approx(l1.sum(), rel=0.05)
+        # deposits landed in the right slabs: per-slab totals agree
+        s1 = l1.reshape(8, -1).sum(1)
+        sm = lm.reshape(8, -1).sum(1)
+        np.testing.assert_allclose(sm, s1, rtol=0.25)
+        # frame instrument too
+        i1 = np.asarray(t1["instruments"][1]["Ftot"], np.float64)
+        im = np.asarray(tm["instruments"][1]["Ftot"], np.float64)
+        np.testing.assert_allclose(im, i1, rtol=0.05)
+
+    def test_gates(self):
+        from skirt_tpu.engine.lifecycle import LifecycleOptions
+        from skirt_tpu.parallel.migrate import make_migrating_lifecycle
+        from test_slab import slab_mesh8
+
+        wg, ss, grid, dsys, instruments = self._build()
+        mesh = slab_mesh8()
+        with pytest.raises(ValueError, match="exact vector path"):
+            make_migrating_lifecycle(
+                mesh, grid, dsys, ss, instruments,
+                LifecycleOptions(fused=True, deposition="sampled"), 1)
