@@ -63,6 +63,11 @@ def main():
     base = None
     print(f"packets={n}, grid={nc}x{nc}x{nc//2} "
           f"({grid.ncells} cells x 2 lambda)")
+    exchange = os.environ.get("SCALE_EXCHANGE", "allgather")
+    if exchange == "migrate":
+        # the migrating engine needs sampled deposition
+        opts = LifecycleOptions(store_absorption=True, max_scatt_events=32,
+                                deposition="sampled", quadrature_panels=16)
     for D in (1, 2, 4, 8):
         devs = jax.devices()[:D]
         if len(devs) < D:
@@ -71,7 +76,7 @@ def main():
         mesh = Mesh(np.asarray(devs), (SLAB_AXIS,))
         run = make_slab_lifecycle(mesh, grid, dsys, ss,
                                   [SEDInstrument("sed", 3.08e23, 2)],
-                                  opts, 2)
+                                  opts, 2, exchange=exchange)
         out = run(rng.root_key(2), ell, L0)
         float(np.asarray(out["labs"]).sum())
         t0 = time.perf_counter()
@@ -80,7 +85,7 @@ def main():
         dt = time.perf_counter() - t0
         if base is None:
             base = dt
-        print(f"D={D}: {n/dt:10,.0f} packets/s  ({dt:.2f}s)  "
+        print(f"D={D} [{exchange}]: {n/dt:10,.0f} packets/s  ({dt:.2f}s)  "
               f"Labs shard = {grid.ncells*2//D} bins/device  "
               f"rel-time x{dt/base:.2f}  labs={tot:.3e}")
 

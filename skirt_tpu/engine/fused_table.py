@@ -60,9 +60,6 @@ def _validate(grid, ds, instruments, options, mueller, io_state):
 
     if ds is None or not getattr(ds, "table", False):
         bail("requires density_mode='table' (voxelized().as_table())")
-    if ds.ncomp != 1:
-        bail("single dust component only (per-panel albedo blending of "
-             "multi-component tables is not fused yet)")
     if mueller is not None:
         bail("polarization not supported")
     if io_state:
@@ -242,6 +239,153 @@ def _build_kernel(grid, options, nlambda, npanels, want_labs, arith_locate):
         oL[:] = L
         oalive[:] = alive.astype(jnp.int32)
         ons[:] = nscatt
+
+    return kern
+
+
+def _build_kernel_multi(grid, options, nlambda, npanels, want_labs):
+    """Multi-component in-VMEM event kernel: staged (ksca*rho, kext*rho)
+    panel SUMS -> per-panel albedo blending (ref: the unfused
+    non-uniform-albedo branch, lifecycle.py; PanDustSystem.cpp:304-316
+    tallies per-component).
+
+    The per-event chain through forced propagation runs in VMEM; the
+    scattering DIRECTION (component selection by ksca_h*rho_h at the
+    interaction cell + HG) and the blended peel phase weight move
+    XLA-side — they need per-component densities at one cell (H small
+    gathers) and are (N,)-sized elementwise work.  Outputs the
+    interaction cell for those gathers.
+    """
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    lo = grid._lo
+    inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
+    xi = float(options.scatt_bias)
+    min_scatt = int(options.min_scatt_events)
+    inv_minred = np.float32(1.0 / options.min_weight_reduction)
+    tiny = np.float32(1e-30)
+
+    def locate(X, Y, Z):
+        ix = jnp.floor((X - np.float32(lo[0]))
+                       * np.float32(inv[0])).astype(jnp.int32)
+        iy = jnp.floor((Y - np.float32(lo[1]))
+                       * np.float32(inv[1])).astype(jnp.int32)
+        iz = jnp.floor((Z - np.float32(lo[2]))
+                       * np.float32(inv[2])).astype(jnp.int32)
+        ok = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+              & (iz >= 0) & (iz < nz))
+        return jnp.where(ok, (ix * ny + iy) * nz + iz, -1)
+
+    def kern(*refs):
+        u_ref = refs[0]
+        kr_ref = refs[1]          # (P, tr, 128) kext*rho panel sums
+        ks_ref = refs[2]          # (P, tr, 128) ksca*rho panel sums
+        (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
+         L_r, alive_r, ns_r, ell_r, l0_r, t0_r, dt_r) = refs[3:16]
+        out = refs[16:]
+        (opx, opy, opz, oL, oalive, ocell) = out[:6]
+        if want_labs:
+            odepi, odepv = out[6], out[7]
+
+        X, Y, Z = px_r[:], py_r[:], pz_r[:]
+        DX, DY, DZ = dx_r[:], dy_r[:], dz_r[:]
+        L = L_r[:]
+        alive = alive_r[:] != 0
+        nscatt = ns_r[:]
+        ell = ell_r[:]
+        Lth = l0_r[:] * inv_minred
+        t0 = t0_r[:]
+        delta = dt_r[:]
+
+        def uget(i):
+            return u_ref[i]
+
+        # cumulative tau + per-panel absorbed-energy profile
+        cum = jnp.zeros_like(L)
+        e_prev = jnp.ones_like(L)
+        cums = []
+        Lm = jnp.where(alive, L, 0.0)
+        Lsca = jnp.zeros_like(L)
+        wdep = []                       # per-panel absorbed energy
+        cw = jnp.zeros_like(L)
+        cws = []
+        for kk in range(npanels):
+            dtau = kr_ref[kk] * delta
+            cum = cum + dtau
+            cums.append(cum)
+            e_cur = jnp.exp(-cum)
+            dE = Lm * (e_prev - e_cur)          # energy interacting here
+            alb = ks_ref[kk] / jnp.maximum(kr_ref[kk], tiny)
+            Lsca = Lsca + alb * dE
+            w = (1.0 - alb) * dE
+            cw = cw + w
+            cws.append(cw)
+            wdep.append(w)
+            e_prev = e_cur
+        taupath = cum
+
+        # -- sampled absorption deposit: panel drawn by absorbed energy --
+        if want_labs:
+            D = cw
+            target = uget(2) * D
+            i_dep = jnp.zeros(X.shape, jnp.int32)
+            for kk in range(npanels - 1):
+                i_dep = i_dep + (cws[kk] < target).astype(jnp.int32)
+            mid_dep = t0 + (i_dep.astype(jnp.float32) + 0.5) * delta
+            okd = (D > 0) & alive
+            cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
+                          Z + mid_dep * DZ)
+            okd = okd & (cell >= 0)
+            odepi[:] = jnp.where(okd, cell * nlambda + ell, -1)
+            odepv[:] = jnp.where(okd, D, 0.0)
+
+        # -- scattered-luminosity update + termination --------------------
+        L = jnp.where(alive, Lsca, L)
+        alive = alive & (L > 0) & jnp.logical_not(
+            (L <= Lth) & (nscatt >= min_scatt)) & (taupath > 0)
+
+        # -- forced propagation -------------------------------------------
+        one_m_e = 1.0 - jnp.exp(-taupath)
+        u1 = uget(0)
+        u2 = uget(1)
+        tau_exp = _expon_cutoff(u2, taupath)
+        if xi == 0.0:
+            tau = tau_exp
+        else:
+            tau = jnp.where(u1 < xi, u2 * taupath, tau_exp)
+            p = jnp.exp(-tau) / jnp.maximum(one_m_e, tiny)
+            qq = (1.0 - xi) * p + xi / jnp.maximum(taupath, tiny)
+            L = jnp.where(alive, L * (p / jnp.maximum(qq, 1e-37)), L)
+        i_hit = jnp.zeros(X.shape, jnp.int32)
+        for kk in range(npanels - 1):
+            i_hit = i_hit + (cums[kk] < tau).astype(jnp.int32)
+        cum_h = jnp.zeros_like(L)
+        cum_prev = jnp.zeros_like(L)
+        for kk in range(npanels):
+            sel = i_hit == kk
+            cum_h = jnp.where(sel, cums[kk], cum_h)
+            if kk > 0:
+                cum_prev = jnp.where(sel, cums[kk - 1], cum_prev)
+        dtau_h = cum_h - cum_prev
+        frac = jnp.clip(jnp.where(dtau_h > 0,
+                                  (tau - cum_prev)
+                                  / jnp.maximum(dtau_h, tiny), 0.0),
+                        0.0, 1.0)
+        s = t0 + (i_hit.astype(jnp.float32) + frac) * delta
+        X = jnp.where(alive, X + s * DX, X)
+        Y = jnp.where(alive, Y + s * DY, Y)
+        Z = jnp.where(alive, Z + s * DZ, Z)
+        mid_h = t0 + (i_hit.astype(jnp.float32) + 0.5) * delta
+
+        opx[:] = X
+        opy[:] = Y
+        opz[:] = Z
+        oL[:] = L
+        oalive[:] = alive.astype(jnp.int32)
+        # interaction cell (hit-panel midpoint) for the XLA-side
+        # component selection + blended peel
+        ocell[:] = jnp.where(alive, locate(px_r[:] + mid_h * DX,
+                                           py_r[:] + mid_h * DY,
+                                           pz_r[:] + mid_h * DZ), -1)
 
     return kern
 
@@ -444,8 +588,16 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
     interpret = jax.default_backend() != "tpu"
     arith_locate = bool(hasattr(grid, "_uniform") and all(grid._uniform))
 
-    kern = _build_kernel(grid, options, nlambda, npanels, want_labs,
-                         arith_locate)
+    multi = ds.ncomp > 1
+    if multi and not arith_locate:
+        raise ValueError("fused table lifecycle: multi-component mode "
+                         "needs the uniform Cartesian voxel view")
+    if multi:
+        kern = _build_kernel_multi(grid, options, nlambda, npanels,
+                                   want_labs)
+    else:
+        kern = _build_kernel(grid, options, nlambda, npanels, want_labs,
+                             arith_locate)
 
     # per-leader density-path maps: peel tau = map[cell] * kext(ell) with a
     # first-order in-cell correction (make_peel_off) — two gathers/packet
@@ -459,7 +611,7 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
     mix = ds.components[0].mix
     iter_cap = int(max_iterations if max_iterations is not None
                    else options.max_scatt_events) * K
-    n_uniform = 5
+    n_uniform = 3 if multi else 5
 
     exact_taus = (make_exact_peel(grid, ds, leaders)
                   if peel_mode == "exact" else None)
@@ -505,6 +657,32 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                             for dt in out_dtypes),
             interpret=interpret,
         )(u, kr, *state)
+
+    def call_kernel_multi(u, kr, ks, state):
+        R = state[0].shape[0]
+        tr = min(tile_rows, R)
+
+        def blk():
+            return pl.BlockSpec((tr, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        # pos3, L, alive, cell (+ deposit bins/values)
+        out_dtypes = ([jnp.float32] * 4 + [jnp.int32] * 2
+                      + ([jnp.int32, jnp.float32] if want_labs else []))
+        u_spec = pl.BlockSpec((n_uniform, tr, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        row_spec = pl.BlockSpec((npanels, tr, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(R // tr,),
+            in_specs=[u_spec, row_spec, row_spec]
+            + [blk() for _ in range(13)],
+            out_specs=tuple(blk() for _ in range(len(out_dtypes))),
+            out_shape=tuple(jax.ShapeDtypeStruct((R, 128), dt)
+                            for dt in out_dtypes),
+            interpret=interpret,
+        )(u, kr, ks, *state)
 
     def run_batch(key, ell, L0, tallies, launch_ctx=None):
         n = ell.shape[0]
@@ -584,47 +762,99 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                                             jnp.float32),
                          1e-7, 1.0 - 1e-7)
 
-            # -- stage the kappaext*rho panel rows (the gather-bound op) --
+            # -- stage the kappa*rho panel rows (the gather-bound op) -----
             dsg, _, mid = vt.panel_paths(grid, s["pos"], s["dir"], npanels)
-            kr_rows = ds.analytic_rows(s["pos"], s["dir"], mid, None,
-                                       kext_pk, want_sca=False)
             t0 = mid[:, 0] - 0.5 * dsg[:, 0]
-            kr = jnp.moveaxis(
-                jnp.pad(kr_rows, ((0, npad - n), (0, 0)))
-                if npad > n else kr_rows, 1, 0).reshape(npanels, R, 128)
 
-            state = (pack(s["pos"][:, 0]), pack(s["pos"][:, 1]),
-                     pack(s["pos"][:, 2]),
-                     pack(s["dir"][:, 0]), pack(s["dir"][:, 1]),
-                     pack(s["dir"][:, 2], 1.0),
-                     pack(s["L"]), pack(s["alive"].astype(jnp.int32)),
-                     pack(s["ns"]), ell_p, l0_p,
-                     pack(t0), pack(dsg[:, 0]), alb_p, g_p)
-            outs = call_kernel(u, kr, state)
+            def rows_to_tiles(rows):
+                return jnp.moveaxis(
+                    jnp.pad(rows, ((0, npad - n), (0, 0)))
+                    if npad > n else rows, 1, 0).reshape(npanels, R, 128)
 
             labs_c = st["labs"]
-            if want_labs and arith_locate:
-                labs_c = binned_add(labs_c, outs[9].reshape(-1),
-                                    outs[10].reshape(-1))
-            elif want_labs:
-                # locate the sampled deposit point on the (non-Cartesian)
-                # grid: one locate_batched per iteration
-                mid_dep = unpack(outs[9])
-                dval = unpack(outs[10])
-                pos_dep = s["pos"] + mid_dep[:, None] * s["dir"]
-                cell_dep = grid.locate_batched(pos_dep[:, None, :])[:, 0]
-                okd = (mid_dep >= 0) & (cell_dep >= 0)
-                bins = jnp.where(okd, cell_dep * nlambda + pack_ell_flat, -1)
-                labs_c = binned_add(labs_c, bins,
-                                    jnp.where(okd, dval, 0.0))
+            wv_h = None
+            if multi:
+                ks_rows, kr_rows = ds.analytic_rows(
+                    s["pos"], s["dir"], mid, ksca_pk, kext_pk)
+                state = (pack(s["pos"][:, 0]), pack(s["pos"][:, 1]),
+                         pack(s["pos"][:, 2]),
+                         pack(s["dir"][:, 0]), pack(s["dir"][:, 1]),
+                         pack(s["dir"][:, 2], 1.0),
+                         pack(s["L"]),
+                         pack(s["alive"].astype(jnp.int32)),
+                         pack(s["ns"]), ell_p, l0_p,
+                         pack(t0), pack(dsg[:, 0]))
+                outs = call_kernel_multi(u, rows_to_tiles(kr_rows),
+                                         rows_to_tiles(ks_rows), state)
+                if want_labs:
+                    labs_c = binned_add(labs_c, outs[6].reshape(-1),
+                                        outs[7].reshape(-1))
+                pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
+                                     unpack(outs[2])], axis=-1)
+                L_new = unpack(outs[3])
+                alive_new = unpack(outs[4]) != 0
+                cell_at = unpack(outs[5])
 
-            pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
-                                 unpack(outs[2])], axis=-1)
-            dir_new = jnp.stack([unpack(outs[3]), unpack(outs[4]),
-                                 unpack(outs[5])], axis=-1)
-            L_new = unpack(outs[6])
-            alive_new = unpack(outs[7]) != 0
-            ns_new = unpack(outs[8])
+                # XLA-side component selection + HG scatter (ref: the
+                # unfused multi-component branch; per-component densities
+                # at ONE cell — H small gathers per event)
+                safe_c = jnp.clip(cell_at, 0)
+                rho_h = [ds.rho_at(h, safe_c) for h in range(ds.ncomp)]
+                wv_h = [ksca_pk[h] * rho_h[h] for h in range(ds.ncomp)]
+                total_wv = sum(wv_h)
+                ksc = rng.event_key(k_cycle, st["it"], 11)
+                usel = jax.random.uniform(jax.random.fold_in(ksc, 0),
+                                          (n,)) \
+                    * jnp.maximum(total_wv, 1e-30)
+                g_sel = jnp.asarray(ds.g)[0, ell]
+                acc = wv_h[0]
+                for h in range(1, ds.ncomp):
+                    g_sel = jnp.where(usel > acc,
+                                      jnp.asarray(ds.g)[h, ell], g_sel)
+                    acc = acc + wv_h[h]
+                from .lifecycle import hg_costheta
+                ug = rng.uniform_open(jax.random.fold_in(ksc, 1), (n,))
+                costh = hg_costheta(g_sel, ug)
+                dir_new = rng.direction_about_axis(
+                    jax.random.fold_in(ksc, 2), s["dir"], costh)
+                dir_new = jnp.where(alive_new[:, None], dir_new, s["dir"])
+                ns_new = jnp.where(alive_new, s["ns"] + 1, s["ns"])
+            else:
+                kr_rows = ds.analytic_rows(s["pos"], s["dir"], mid, None,
+                                           kext_pk, want_sca=False)
+                state = (pack(s["pos"][:, 0]), pack(s["pos"][:, 1]),
+                         pack(s["pos"][:, 2]),
+                         pack(s["dir"][:, 0]), pack(s["dir"][:, 1]),
+                         pack(s["dir"][:, 2], 1.0),
+                         pack(s["L"]),
+                         pack(s["alive"].astype(jnp.int32)),
+                         pack(s["ns"]), ell_p, l0_p,
+                         pack(t0), pack(dsg[:, 0]), alb_p, g_p)
+                outs = call_kernel(u, rows_to_tiles(kr_rows), state)
+
+                if want_labs and arith_locate:
+                    labs_c = binned_add(labs_c, outs[9].reshape(-1),
+                                        outs[10].reshape(-1))
+                elif want_labs:
+                    # locate the sampled deposit point on the
+                    # (non-Cartesian) grid: one locate_batched/iteration
+                    mid_dep = unpack(outs[9])
+                    dval = unpack(outs[10])
+                    pos_dep = s["pos"] + mid_dep[:, None] * s["dir"]
+                    cell_dep = grid.locate_batched(pos_dep[:, None, :])[:, 0]
+                    okd = (mid_dep >= 0) & (cell_dep >= 0)
+                    bins = jnp.where(okd,
+                                     cell_dep * nlambda + pack_ell_flat, -1)
+                    labs_c = binned_add(labs_c, bins,
+                                        jnp.where(okd, dval, 0.0))
+
+                pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
+                                     unpack(outs[2])], axis=-1)
+                dir_new = jnp.stack([unpack(outs[3]), unpack(outs[4]),
+                                     unpack(outs[5])], axis=-1)
+                L_new = unpack(outs[6])
+                alive_new = unpack(outs[7]) != 0
+                ns_new = unpack(outs[8])
 
             # -- XLA-side relaunch (refill) -------------------------------
             bc = s["bc"]
@@ -653,7 +883,20 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                     cosj = (s["dir"][:, 0] * np.float32(kvec[0])
                             + s["dir"][:, 1] * np.float32(kvec[1])
                             + s["dir"][:, 2] * np.float32(kvec[2]))
-                    w = mix.phase_function(ell, cosj)
+                    if multi:
+                        # blended phase weight by ksca_h*rho_h at the
+                        # interaction cell (ref: peeloffscattering's
+                        # per-component wv mix)
+                        total_w = sum(wv_h)
+                        w = 0.0
+                        for h in range(ds.ncomp):
+                            w = w + wv_h[h] * ds.components[h].mix \
+                                .phase_function(ell, cosj)
+                        w = jnp.where(total_w > 0,
+                                      w / jnp.maximum(total_w, 1e-30),
+                                      0.0)
+                    else:
+                        w = mix.phase_function(ell, cosj)
                     if refill:
                         w = jnp.where(fresh, 1.0, w)
                     contribution = jnp.where(alive_new, L_new * w, 0.0)
