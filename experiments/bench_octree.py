@@ -123,6 +123,8 @@ def main():
                             fast_peeloff=fast_peel,
                             table_peel=os.environ.get("OCTREE_PEELMODE",
                                                       "exact"),
+                            fused_tile_rows=int(
+                                os.environ.get("OCTREE_TILEROWS", "32")),
                             refill_batches=refill,
                             fused=fused)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))

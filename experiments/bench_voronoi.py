@@ -103,6 +103,8 @@ def main():
                                 if table else None),
                             table_peel=os.environ.get("VORONOI_PEELMODE",
                                                       "exact"),
+                            fused_tile_rows=int(
+                                os.environ.get("VORONOI_TILEROWS", "32")),
                             refill_batches=refill, fused=fused)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
 

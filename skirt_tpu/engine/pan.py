@@ -89,8 +89,12 @@ class PanSimulation(OligoSimulation):
     ref: PanMonteCarloSimulation::runSelf.
     """
 
-    # the emission solve and dust re-launch are per grid cell; keep the
-    # leaf walk so Labs/emissivity stay at leaf resolution
+    # the emission solve and dust re-launch are per LEAF grid cell.  By
+    # default keep the leaf walk; with options.voxelize in (True,
+    # 'table') the TRAVERSAL runs on the uniform voxel view (the fused
+    # table kernel engages with options.fused) while the emission
+    # machinery stays at leaf resolution — absorption tallies fold
+    # voxel -> leaf after every phase (VERDICT r3 #6 / ROADMAP item 3).
     _auto_voxelize = False
 
     def __init__(self, *, self_absorption: bool = True,
@@ -104,6 +108,10 @@ class PanSimulation(OligoSimulation):
         self.emissivity_kind = emissivity
         self.dust_lib = dust_lib
         kw.setdefault("options", None)
+        _opts0 = kw.get("options")
+        if _opts0 is not None and getattr(_opts0, "voxelize", None) \
+                in (True, "table"):
+            self._auto_voxelize = True
         super().__init__(**kw)
         if self.dust_system is None:
             raise ValueError("a panchromatic simulation needs a dust system")
@@ -142,7 +150,10 @@ class PanSimulation(OligoSimulation):
         # the per-cycle luminosity CDF, which the in-kernel relauncher
         # cannot reproduce), so it is stripped here; the fused megakernel
         # itself supports launch_fn and carries over when enabled.
-        launch = make_dust_launch(self.grid, self.nlambda)
+        # launch cells/positions at LEAF resolution (the emission solve
+        # and the per-cell luminosity CDFs live on leaf cells even when
+        # the traversal runs on the voxel table)
+        launch = make_dust_launch(self.dust_system_out.grid, self.nlambda)
         from .lifecycle import LifecycleOptions as _LO
         dust_opts = _LO(**{**self.options.__dict__, "refill_batches": 0})
         self._run_dust_absorb = jax.jit(make_lifecycle(
@@ -157,9 +168,10 @@ class PanSimulation(OligoSimulation):
             scattering_peeloff=True, is_dust_emission=True,
             mueller=self._mueller), donate_argnums=(3,))
 
-        # per-cell 1/(4 pi V rho) for the absorbed-power-per-mass conversion
-        rho = self.dust_system.rho64.sum(axis=0)
-        V = self.dust_system.volumes
+        # per-cell 1/(4 pi V rho) for the absorbed-power-per-mass
+        # conversion — at LEAF resolution
+        rho = self.dust_system_out.rho64.sum(axis=0)
+        V = self.dust_system_out.volumes
         with np.errstate(divide="ignore"):
             inv = 1.0 / (4.0 * np.pi * V * rho)
         self._inv4pivrho = np.asarray(
@@ -213,7 +225,7 @@ class PanSimulation(OligoSimulation):
         by density, DustLib.cpp:57-195).  J is approximated per cell by the
         mixture-mean (exact for a single component).
         """
-        ds = self.dust_system
+        ds = self.dust_system_out
         # component absorption weights per cell: rho_h * <kappaabs_h>
         kabs_mean = [float(np.mean(c.mix.kappaabs64)) for c in ds.components]
         w = jnp.stack([ds.rho[h] * kabs_mean[h] for h in range(ds.ncomp)])
@@ -242,7 +254,7 @@ class PanSimulation(OligoSimulation):
         entry (ref: Dim1DustLib — bins by ISRF strength, DustLib.cpp:57-195
         with the mean ISRF per entry from EmissionCalculator).
         """
-        ds = self.dust_system
+        ds = self.dust_system_out
         dlam = self.wavelength_grid.dlambdav
         V = ds.volumes
         # mixture absorption coefficient per (cell, lambda): the radiation
@@ -356,7 +368,8 @@ class PanSimulation(OligoSimulation):
                 acc = host
             else:
                 acc = jax.tree.map(lambda a, b_: a + b_, acc, host)
-        return acc
+        # voxel-resolution absorption folds back onto leaf cells
+        return self._fold_acc(acc)
 
     # ------------------------------------------------------------------
 
@@ -392,7 +405,10 @@ class PanSimulation(OligoSimulation):
     def run(self):
         key = rng.root_key(self.seed)
         ds = self.dust_system
-        ncl = self.grid.ncells
+        # the emission/checkpoint arrays live at LEAF resolution; the
+        # lifecycle's labs template at traversal (voxel) resolution
+        ncl = self.dust_system_out.grid.ncells
+        ncl_trav = self.grid.ncells
 
         ck = self._load_pan_ckpt()
         if ck is not None:
@@ -428,7 +444,8 @@ class PanSimulation(OligoSimulation):
 
         def zero_with_labs():
             return {"instruments": [ins.zero_tallies() for ins in self.instruments],
-                    "labs": jnp.zeros((ncl * self.nlambda,), jnp.float32)}
+                    "labs": jnp.zeros((ncl_trav * self.nlambda,),
+                                      jnp.float32)}
 
         def save_cycle(stage, cycle):
             payload = {"labs_stellar": labs_stellar, "labs_dust": labs_dust,

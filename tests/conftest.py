@@ -27,6 +27,11 @@ jax.config.update("jax_platforms", "cpu")
 # ---------------------------------------------------------------------------
 
 _SLOW_TESTS = {
+    ("test_pan.py", "test_table_energy_conservation_and_leaf_resolution"),
+    ("test_pan.py", "test_table_matches_leaf_walk"),
+    ("test_poly.py", "test_refill_normalization"),
+    ("test_fused_table.py", "test_two_component_refill"),
+    ("test_migrate.py", "test_parity_vs_single_device"),
     ("test_golden.py", "test_reference_exact_outputs_pinned"),
     ("test_fused.py", "test_refill_with_lam_inputs"),
     ("test_polarization_multi.py", "test_mixed_polarized_unpolarized_runs"),

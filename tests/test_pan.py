@@ -225,3 +225,74 @@ class TestPanFused:
                             quadrature_panels=8, max_scatt_events=24,
                             refill_batches=2)
         assert sim._run_dust_emit is not None
+
+
+class TestPanOnTable:
+    """Pan phases on tree grids via the voxel table (VERDICT r3 #6):
+    options.voxelize='table' + fused runs the fused table kernel through
+    the stellar AND dust phases while the emission solve, launch CDFs,
+    and checkpoint arrays stay at leaf resolution (labs fold voxel ->
+    leaf after every phase).  ref: PanMonteCarloSimulation.cpp:106-183."""
+
+    def _octree_sim(self, **opt_kw):
+        from skirt_tpu.grids.octree import OctreeGrid
+
+        nlambda = 24
+        wg = LogWavelengthGrid(0.1e-6, 1000e-6, nlambda)
+        star = StellarComponent(PointGeometry(), BlackBodySED(wg, 6000.0),
+                                BolometricLuminosityNormalization(100.0))
+        ss = StellarSystem([star])
+        half = 1.0
+        R = 0.9 * half
+        sphere = UniformSphereGeometry(R)
+
+        def rho_np(pos):
+            return np.asarray(sphere.density(pos))
+
+        grid = OctreeGrid((-half, -half, -half, half, half, half), rho_np,
+                          min_level=2, max_level=3)
+        kappa = np.where(wg.lambdav < 1e-6, 3.0, 0.003)
+        from skirt_tpu.media.mix import DustMix
+        mix = DustMix(wg, kappa, np.zeros(nlambda), np.zeros(nlambda))
+        volume = 4.0 / 3.0 * np.pi * R ** 3
+        mass = 2.0 / (3.0 * R) * volume
+        comp = DustComponent(sphere, mix, DustMassNormalization(mass))
+        dsys = DustSystem(grid, [comp], samples_per_cell=8)
+        ins = SEDInstrument("sed", 1e4, nlambda, inclination=0.7,
+                            azimuth=0.3)
+        return PanSimulation(
+            stellar_system=ss, instruments=[ins], dust_system=dsys,
+            packets=2000, self_absorption=False, log=SilentLog(),
+            batch_size=1 << 14,
+            options=LifecycleOptions(store_absorption=True,
+                                     deposition="sampled", **opt_kw))
+
+    def test_table_energy_conservation_and_leaf_resolution(self):
+        sim = self._octree_sim(voxelize="table", fused=True,
+                               quadrature_panels=16, table_peel="exact")
+        # the traversal grid is the voxel view; emission stays on leaves
+        leaf = sim.dust_system_out.grid
+        assert sim.grid is not leaf
+        assert getattr(sim.dust_system, "table", False)
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        assert float(F.sum()) == pytest.approx(100.0, rel=0.06)
+        # folded absorption arrays are leaf-sized
+        assert acc["labs_stellar"].shape[0] == leaf.ncells
+        T = sim.cell_temperatures(acc)
+        assert T.shape[0] == leaf.ncells
+        assert T.max() > 20.0
+
+    def test_table_matches_leaf_walk(self):
+        sim_t = self._octree_sim(voxelize="table", fused=True,
+                                 quadrature_panels=16, table_peel="exact")
+        acc_t = sim_t.run()
+        sim_l = self._octree_sim()
+        acc_l = sim_l.run()
+        Ft = np.asarray(acc_t["instruments"][0]["Ftot"], np.float64)
+        Fl = np.asarray(acc_l["instruments"][0]["Ftot"], np.float64)
+        assert Ft.sum() == pytest.approx(Fl.sum(), rel=0.05)
+        # absorbed totals agree (leaf resolution both)
+        at = float(np.asarray(acc_t["labs_stellar"]).sum())
+        al = float(np.asarray(acc_l["labs_stellar"]).sum())
+        assert at == pytest.approx(al, rel=0.05)
