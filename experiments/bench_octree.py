@@ -104,9 +104,10 @@ def main():
               f"peel={fast_peel}): {n / dt:,.0f} packets/s "
               f"({dt:.2f}s per {n} packets)", flush=True)
         return
+    poly = os.environ.get("OCTREE_POLY", "1") == "1"
     refill = int(os.environ.get("OCTREE_REFILL",
-                                 "128" if table else "0"))
-    poly = os.environ.get("OCTREE_POLY", "0") == "1"
+                                 ("256" if poly else "128")
+                                 if table else "0"))
     opts = LifecycleOptions(store_absorption=store_abs, max_scatt_events=64,
                             polychromatic=poly,
                             deposition=("sampled" if dmode in ("analytic",

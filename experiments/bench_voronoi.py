@@ -87,9 +87,10 @@ def main():
     ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
     fused = os.environ.get("VORONOI_FUSED",
                            "1" if table else "0") == "1"
+    poly = os.environ.get("VORONOI_POLY", "1") == "1"
     refill = int(os.environ.get("VORONOI_REFILL",
-                                 "128" if table else "0"))
-    poly = os.environ.get("VORONOI_POLY", "0") == "1"
+                                 ("256" if poly else "128")
+                                 if table else "0"))
     opts = LifecycleOptions(store_absorption=True, max_scatt_events=64,
                             polychromatic=poly,
                             deposition=("sampled" if (table or mode ==

@@ -579,10 +579,15 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
         peel_mode = "staged"
     refill = options.refill_batches > 1
     K = int(options.refill_batches) if refill else 1
-    if refill and launch_fn is not None:
-        raise ValueError("fused table lifecycle: refill requires the "
-                         "stellar launch (no launch_fn)")
-    if refill and not stellar_system.is_isotropic:
+    # refill relaunches run XLA-side through the full launch machinery,
+    # so a custom launch_fn refills too — but only when its emission is
+    # isotropic (the merged peel gives fresh lanes unit weight): the
+    # dust-emission launch qualifies (ref: dodustemissionchunk samples
+    # an isotropic direction)
+    if refill and launch_fn is not None and not is_dust_emission:
+        raise ValueError("fused table lifecycle: refill with launch_fn "
+                         "requires isotropic emission (dust phases)")
+    if refill and launch_fn is None and not stellar_system.is_isotropic:
         raise ValueError("fused table lifecycle: refill requires an "
                          "isotropic stellar system (emission peel weight)")
     interpret = jax.default_backend() != "tpu"
@@ -862,7 +867,12 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
             if refill:
                 eligible = jnp.logical_not(alive_new) & (bc < K)
                 kre = rng.event_key(k_cycle, st["it"], 7)
-                pos_l, dir_l, L_l, _ = stellar_system.launch(kre, ell, L0)
+                if launch_fn is not None:
+                    pos_l, dir_l, L_l = launch_fn(kre, ell, L0,
+                                                  launch_ctx)
+                else:
+                    pos_l, dir_l, L_l, _ = stellar_system.launch(kre, ell,
+                                                                 L0)
                 pos_new = jnp.where(eligible[:, None], pos_l, pos_new)
                 dir_new = jnp.where(eligible[:, None], dir_l, dir_new)
                 L_new = jnp.where(eligible, L_l, L_new)

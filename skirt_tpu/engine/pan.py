@@ -155,7 +155,17 @@ class PanSimulation(OligoSimulation):
         # the traversal runs on the voxel table)
         launch = make_dust_launch(self.dust_system_out.grid, self.nlambda)
         from .lifecycle import LifecycleOptions as _LO
-        dust_opts = _LO(**{**self.options.__dict__, "refill_batches": 0})
+        # the fused TABLE path relaunches XLA-side through launch_fn, so
+        # dust phases keep persistent-lane refill there; the in-kernel
+        # relauncher of the analytic megakernel cannot reproduce the
+        # per-cycle CDF launch, so refill is stripped otherwise
+        _table_path = (self.options.fused
+                       and getattr(self.dust_system, "table", False))
+        self._dust_refill = (max(int(self.options.refill_batches), 1)
+                             if _table_path else 1)
+        dust_opts = _LO(**{**self.options.__dict__,
+                           "refill_batches": (self.options.refill_batches
+                                              if _table_path else 0)})
         self._run_dust_absorb = jax.jit(make_lifecycle(
             self.grid, self.dust_system, None, self.instruments, dust_opts,
             self.nlambda, launch_fn=launch, emission_peeloff=False,
@@ -345,14 +355,18 @@ class PanSimulation(OligoSimulation):
     def _dust_batches(self, packets, Ltot_np):
         nl = self.nlambda
         per_batch = max(self.batch_size // nl, 1)
-        nbatches = int(np.ceil(packets / per_batch))
+        # persistent-lane refill: each lane launches k packets (table
+        # path only; see __init__) — L0 stays Ltot/packets, so a batch
+        # covers count*k packets at exact normalization
+        k = getattr(self, "_dust_refill", 1)
+        nbatches = int(np.ceil(packets / (per_batch * k)))
         launched = 0
         for b in range(nbatches):
-            count = min(per_batch, packets - launched)
+            count = min(per_batch, -(-(packets - launched) // k))
             ell_np = np.repeat(np.arange(nl, dtype=np.int32), count)
             L0 = (Ltot_np[ell_np] / packets).astype(np.float32)
             yield b, jnp.asarray(ell_np), jnp.asarray(L0), count
-            launched += count
+            launched += count * k
 
     def _run_dust_phase(self, key, run_fn, packets, ctx, tallies_template,
                         phase_tag):

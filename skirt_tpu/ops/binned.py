@@ -139,3 +139,120 @@ def binned_add(tally, idx, values):
     binned = _mxu_bincount(safe_idx, safe_val,
                            nbins_padded=Q * R, R=R, Q=Q)
     return tally + binned[:nbins]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nlambda", "Q", "R", "rows_pb"))
+def _mxu_bincount_blocked(cell, val, *, nlambda, Q, R, rows_pb):
+    """Per-wavelength-block bincount over CELLS for lambda-BLOCKED lanes.
+
+    The round-3 lambda-blocked experiment failed on the Mosaic small-dot
+    floor because each block ran its own tiny contraction chain.  This
+    formulation keeps ONE one-hot build pass (identical op count to the
+    lambda-minor kernel) and issues one (Q, GR*128)x(GR*128, R) dot per
+    GR-row group — each group lies entirely inside one lambda block, so
+    the group's dot lands in that block's (Q, R) output slice directly.
+    The contraction cost is Ncells MACs/element, INDEPENDENT of nlambda
+    (the lambda-minor kernel pays Ncells*nlambda), which is what breaks
+    the (Ncells x nlambda)-bin tally wall at production wavelength
+    counts.
+
+    cell: (N,) int32 cell ids, lanes ordered in nlambda equal contiguous
+    blocks by wavelength; rows_pb = rows (of 128 lanes) per block, must
+    be a multiple of GR=8.  Returns (nlambda, Q, R) partial tallies.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    GR = 8
+    n = cell.shape[0]
+    idx2 = cell.reshape(-1, 128)
+    val2 = val.reshape(-1, 128)
+    nrows = idx2.shape[0]
+    assert nrows == nlambda * rows_pb and rows_pb % GR == 0
+    # blocks per tile: keep tiles at <= _TILE_ROWS rows
+    bpt = max(1, min(nlambda, _TILE_ROWS // rows_pb))
+    tile_rows = bpt * rows_pb
+    ntiles = nrows // tile_rows
+
+    def kern(idx_ref, val_ref, out_ref):
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Q, 128), 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        groups_pb = rows_pb // GR
+        for b in range(bpt):
+            acc = jnp.zeros((Q, R), jnp.float32)
+            for gg in range(groups_pb):
+                Eqs = []
+                Ervs = []
+                for t in range(GR):
+                    j = b * rows_pb + gg * GR + t
+                    sl = pl.ds(j, 1)
+                    c = idx_ref[sl, :]
+                    q = c // R
+                    r = c - q * R
+                    v = val_ref[sl, :]
+                    Eqs.append((qi == q).astype(jnp.float32))
+                    Ervs.append(jnp.where(ri == r, v, 0.0))
+                Eq = jnp.concatenate(Eqs, axis=1)
+                Erv = jnp.concatenate(Ervs, axis=1)
+                acc = acc + jax.lax.dot_general(
+                    Eq, Erv, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out_ref[b] = acc
+
+    return pl.pallas_call(
+        kern,
+        interpret=jax.default_backend() != "tpu",
+        out_shape=jax.ShapeDtypeStruct((nlambda, Q, R), jnp.float32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bpt, Q, R), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(idx2, val2)
+
+
+def blocked_layout(nlambda: int, ncells: int, n: int):
+    """Geometry of the lambda-blocked tally: returns (Q, R, rows_pb) or
+    None when the layout does not apply (lanes not divisible into
+    128*GR-aligned equal blocks)."""
+    GR = 8
+    if n % nlambda:
+        return None
+    per = n // nlambda
+    if per % (128 * GR):
+        return None
+    R = 128 if ncells <= 128 * 128 else 256
+    Q = _ceil_to(-(-ncells // R), 8)
+    return Q, R, per // 128
+
+
+def binned_add_lm(tally_lm, cell_idx, values, *, nlambda, ncells):
+    """Lambda-major tally update for lambda-BLOCKED lanes.
+
+    tally_lm: flat (nlambda * Q * R) lambda-major padded tally (see
+    `blocked_layout` / `lm_to_cell_major`); cell_idx: (N,) per-lane CELL
+    ids (< ncells; negative = drop), lanes in nlambda contiguous
+    wavelength blocks.  Falls back to a cell-major scatter shape error —
+    callers must check `blocked_layout` first.
+    """
+    lay = blocked_layout(nlambda, ncells, cell_idx.shape[0])
+    assert lay is not None, "lanes not lambda-blocked-alignable"
+    Q, R, rows_pb = lay
+    ok = (cell_idx >= 0) & (cell_idx < ncells)
+    safe = jnp.where(ok, cell_idx, 0)
+    vals = jnp.where(ok, values, 0.0)
+    binned = _mxu_bincount_blocked(safe, vals, nlambda=nlambda, Q=Q, R=R,
+                                   rows_pb=rows_pb)
+    return tally_lm + binned.reshape(-1)
+
+
+def lm_to_cell_major(tally_lm, *, nlambda, ncells):
+    """(nlambda, Q*R) lambda-major padded tally -> flat cell-major
+    (ncells * nlambda) in the engine's labs layout."""
+    t = tally_lm.reshape(nlambda, -1)[:, :ncells]
+    return t.T.reshape(-1)

@@ -63,3 +63,46 @@ class TestMxuBincountInterpret:
                                          R=R, Q=Q))[:nbins]
         want = np.bincount(np.arange(n) % nbins, minlength=nbins)
         np.testing.assert_allclose(got, want)
+
+
+class TestBlockedTally:
+    """Lambda-blocked MXU tally (ops/binned.py binned_add_lm): the
+    contraction cost is Ncells MACs/element independent of nlambda —
+    the fix for the (Ncells x nlambda)-bin labs wall at production
+    wavelength counts."""
+
+    def test_matches_bincount(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from skirt_tpu.ops.binned import (binned_add_lm, blocked_layout,
+                                          lm_to_cell_major)
+
+        nl, ncells = 8, 1000
+        n = nl * 128 * 8 * 2          # 2 groups of 8 rows per block
+        lay = blocked_layout(nl, ncells, n)
+        assert lay is not None
+        Q, R, rows_pb = lay
+        rs = np.random.default_rng(5)
+        cells = rs.integers(-1, ncells, size=n).astype(np.int32)
+        vals = rs.uniform(0, 1, size=n).astype(np.float32)
+        tally = jnp.zeros((nl * Q * R,), jnp.float32)
+        out = binned_add_lm(tally, jnp.asarray(cells), jnp.asarray(vals),
+                            nlambda=nl, ncells=ncells)
+        cm = np.asarray(lm_to_cell_major(out, nlambda=nl, ncells=ncells))
+
+        # reference: numpy bincount per lambda block
+        ref = np.zeros((ncells, nl))
+        per = n // nl
+        for b in range(nl):
+            c = cells[b * per:(b + 1) * per]
+            v = vals[b * per:(b + 1) * per]
+            ok = c >= 0
+            np.add.at(ref[:, b], c[ok], v[ok])
+        np.testing.assert_allclose(cm.reshape(ncells, nl), ref,
+                                   rtol=2e-2, atol=1e-5)
+
+    def test_layout_gates(self):
+        from skirt_tpu.ops.binned import blocked_layout
+        assert blocked_layout(8, 1000, 8 * 1024) is not None
+        assert blocked_layout(8, 1000, 8 * 1024 + 1) is None
+        assert blocked_layout(7, 1000, 8 * 1024) is None
