@@ -1,0 +1,97 @@
+"""Polarized flagship throughput: fused megakernel vs the vector path.
+
+The round-3 engine ran Mueller physics only on the unfused vector path
+(forfeiting the 30-60x fused gain); round 4 puts the Stokes machinery
+XLA-side around the unchanged fused kernel.  Flagship-style dusty disc
+with a polarizing (Thomson) mix, FullInstrument with polarization.
+
+POL_FUSED=0/1, POL_LOG2N (17), POL_REFILL (64 fused / 0 vector).
+"""
+
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, "/root/repo")
+
+from skirt_tpu import rng
+from skirt_tpu.constants import KPC
+from skirt_tpu.engine.lifecycle import LifecycleOptions, make_lifecycle
+from skirt_tpu.geometry import ExpDiskGeometry
+from skirt_tpu.grids import CartesianGrid
+from skirt_tpu.instruments import FullInstrument, SEDInstrument
+from skirt_tpu.media import (DustComponent, DustSystem,
+                             OpticalDepthNormalization, SimpleOligoDustMix)
+from skirt_tpu.media.polarization import thomson_mueller
+from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                       StellarSystem)
+from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+
+def _sync(o):
+    return float(np.asarray(jax.tree.leaves(o)[0]).ravel()[:4].sum())
+
+
+def main():
+    fused = os.environ.get("POL_FUSED", "1") == "1"
+    n = 1 << int(os.environ.get("POL_LOG2N", "17"))
+    refill = int(os.environ.get("POL_REFILL", "64" if fused else "0"))
+
+    wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+    ss = StellarSystem([LuminosityStellarComponent(
+        ExpDiskGeometry(4 * KPC, 0.35 * KPC), wg, [1e36, 1e36])])
+    half = 12 * KPC
+    b = np.linspace(-half, half, 33)
+    bz = np.linspace(-2 * KPC, 2 * KPC, 17)
+    grid = CartesianGrid(b, b, bz)
+    mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
+    comp = DustComponent(ExpDiskGeometry(4 * KPC, 0.2 * KPC), mix,
+                         OpticalDepthNormalization("z", wg.lambdav[0], 1.0))
+    dsys = DustSystem(grid, [comp], density_mode="analytic")
+    mueller = thomson_mueller(2)
+    ins = [FullInstrument("pol", 3.08e23, 2, 16, 16, fov_x=26 * KPC,
+                          fov_y=26 * KPC, inclination=1.2,
+                          polarization=True),
+           SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+
+    opts = LifecycleOptions(max_scatt_events=64, deposition="sampled",
+                            quadrature_panels=32, peel_panels=8,
+                            fused=fused, refill_batches=refill)
+    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2,
+                                 mueller=mueller))
+    K = max(refill, 1)
+    npackets = n
+    nl = n // K
+    ell = jnp.asarray(np.arange(nl, dtype=np.int32) % 2)
+    L0 = jnp.full((nl,), 1e36 / npackets, jnp.float32)
+
+    def tallies():
+        return {"instruments": [i.zero_tallies() for i in ins]}
+
+    key = rng.root_key(4357)
+    out = run(key, ell, L0, tallies())
+    _sync(out)
+    dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = run(jax.random.fold_in(key, 1 + rep), ell, L0, tallies())
+        _sync(out)
+        dt = min(dt, time.perf_counter() - t0)
+    t = out["instruments"][0]
+    F = float(np.asarray(t["Ftot"]).sum())
+    P = np.hypot(float(np.asarray(t["FQ"])[0]),
+                 float(np.asarray(t["FU"])[0]))
+    print(f"polarized flagship fused={fused} refill={refill}: "
+          f"{npackets / dt:,.0f} packets/s ({dt:.2f}s per {npackets}); "
+          f"Ftot={F:.4e} |P0|={P:.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -155,7 +155,15 @@ def _validate(grid, ds, instruments, options, nlambda, mueller, io_state,
         bail("table (gathered) densities are not supported in-kernel; "
              "use the XLA panel path (fused=False)")
     if mueller is not None:
-        bail("polarization not supported")
+        ms = (list(mueller) if isinstance(mueller, (list, tuple))
+              else [mueller])
+        if ds is not None and ds.ncomp != 1:
+            bail("polarized fused path supports a single dust component "
+                 "(multi-component polarization runs the vector path)")
+        if ms[0] is None:
+            bail("polarized fused path needs a Mueller table")
+        if max(int(getattr(options, "tally_flush", 1) or 1), 1) != 1:
+            bail("polarized fused path requires tally_flush=1")
     if io_state:
         bail("io_state not supported")
     if options.continuous_scattering:
@@ -605,6 +613,19 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
     peels = [make_peel_off(grid, ds, ins) for ins in instruments]
     mix = ds.components[0].mix
     nlead = len(leaders)
+    # polarized mode: the kernel is UNCHANGED — its per-leader (cos, tau)
+    # outputs feed an XLA-side Mueller peel, and the scattering direction
+    # it wrote is overridden by the XLA-side Mueller sample (the Stokes
+    # ratios + reference normal ride as XLA loop state).  The kernel's
+    # expensive part (3 x panels analytic density evaluations per event)
+    # is shared; the Mueller table lookups are (lambda, theta) gathers
+    # that stay XLA-side like every other gather in this engine.
+    # ref: DustMix.cpp:584-620 scatteringDirectionAndPolarization +
+    # peeloffscattering's polarized branch (lifecycle.py mirrors it).
+    mt0 = (mueller[0] if isinstance(mueller, (list, tuple)) else mueller)
+    pol_mode = mt0 is not None
+    if pol_mode:
+        from ..media import polarization as pol
     iter_cap = int(max_iterations if max_iterations is not None
                    else options.max_scatt_events) * K
     minred = float(options.min_weight_reduction)
@@ -743,6 +764,9 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                 b["ns"] = jnp.zeros((T, n), jnp.int32)
                 b["con"] = jnp.zeros((T, len(peels), n), jnp.float32)
                 b["tau"] = jnp.zeros((T, nlead, n), jnp.float32)
+                if pol_mode:
+                    b["stk"] = jnp.zeros((T, len(peels), 3, n),
+                                         jnp.float32)
             return b
 
         def flush(ins_list, labs_c, bufs):
@@ -755,9 +779,14 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                           "is_dust": dust_tiled}
                 ins_list = list(ins_list)
                 for i, peel in enumerate(peels):
+                    tg = tags_f
+                    if pol_mode:
+                        tg = dict(tags_f, stokes=tuple(
+                            bufs["stk"][:, i, c].reshape(-1)
+                            for c in range(3)))
                     ins_list[i] = peel(
                         ins_list[i], pos_f, ell_tiled,
-                        bufs["con"][:, i].reshape(-1), tags_f,
+                        bufs["con"][:, i].reshape(-1), tg,
                         tau=bufs["tau"][:, lead_of[i]].reshape(-1))
             return ins_list, labs_c
 
@@ -766,6 +795,13 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                  "labs": labs if labs is not None
                  else jnp.zeros((1,), jnp.float32),
                  "bufs": zero_bufs()}
+        if pol_mode:
+            # normalized Stokes ratios + reference normal (packets launch
+            # unpolarized; a zero normal means "no reference yet")
+            carry["stq"] = jnp.zeros(n, jnp.float32)
+            carry["stu"] = jnp.zeros(n, jnp.float32)
+            carry["stv"] = jnp.zeros(n, jnp.float32)
+            carry["stn"] = jnp.zeros((n, 3), jnp.float32)
 
         def unpack(a):
             return a.reshape(-1)[:n]
@@ -806,6 +842,69 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                 new_state = new_state + (outs[k],)
                 fresh = outs[k + 1]
 
+            pol_upd = {}
+            if pol_mode:
+                # ---- XLA-side Mueller scatter + polarized peel ----------
+                # pre-event state (the peel uses the PRE-scatter Stokes
+                # and direction, exactly like the vector path)
+                dir_old = jnp.stack([unpack(st["state"][3]),
+                                     unpack(st["state"][4]),
+                                     unpack(st["state"][5])], axis=-1)
+                alive_new = unpack(outs[7]) != 0
+                fresh_f = (unpack(fresh) != 0 if fresh is not None
+                           else jnp.zeros(n, bool))
+                q0, u0, v0 = st["stq"], st["stu"], st["stv"]
+                nrm0_raw = st["stn"]
+                pdeg = jnp.sqrt(q0 ** 2 + u0 ** 2)
+                pang = 0.5 * jnp.arctan2(u0, q0)
+                kpol = rng.event_key(k_cycle, st["it"], 13)
+                have_n = jnp.linalg.norm(nrm0_raw, axis=-1) > 1e-6
+                default_n = rng.isotropic_direction(
+                    jax.random.fold_in(kpol, 2), (n,))
+                default_n = default_n - dir_old * jnp.sum(
+                    default_n * dir_old, axis=-1, keepdims=True)
+                default_n = default_n / jnp.maximum(
+                    jnp.linalg.norm(default_n, axis=-1, keepdims=True),
+                    1e-30)
+                nrm0 = jnp.where(have_n[:, None], nrm0_raw, default_n)
+
+                # scatter (ref: scatteringDirectionAndPolarization)
+                theta_s = mt0.sample_theta(jax.random.fold_in(kpol, 0),
+                                           ell)
+                phi_s = mt0.sample_phi(jax.random.fold_in(kpol, 1), ell,
+                                       theta_s, pdeg, pang)
+                qr_s, ur_s = pol.rotate_stokes(q0, u0, phi_s)
+                nrm_s = pol.rotate_normal(nrm0, dir_old, phi_s)
+                S11, S12, S33, S34 = mt0.lookup(ell, theta_s)
+                _, qn, un, vn = pol.apply_mueller(qr_s, ur_s, v0,
+                                                  S11, S12, S33, S34)
+                nd = (dir_old * jnp.cos(theta_s)[:, None]
+                      + jnp.cross(nrm_s, dir_old)
+                      * jnp.sin(theta_s)[:, None])
+                nd = nd / jnp.maximum(
+                    jnp.linalg.norm(nd, axis=-1, keepdims=True), 1e-30)
+                scat = alive_new & jnp.logical_not(fresh_f)
+                dir_out = jnp.stack([unpack(outs[3]), unpack(outs[4]),
+                                     unpack(outs[5])], axis=-1)
+                dir_fin = jnp.where(scat[:, None], nd, dir_out)
+                # repack the overridden direction into the lane state
+                ns_list = list(new_state)
+                ns_list[3] = pack(dir_fin[:, 0])
+                ns_list[4] = pack(dir_fin[:, 1])
+                ns_list[5] = pack(dir_fin[:, 2], 1.0)
+                new_state = tuple(ns_list)
+                pol_upd = {
+                    "stq": jnp.where(scat, qn,
+                                     jnp.where(fresh_f, 0.0, q0)),
+                    "stu": jnp.where(scat, un,
+                                     jnp.where(fresh_f, 0.0, u0)),
+                    "stv": jnp.where(scat, vn,
+                                     jnp.where(fresh_f, 0.0, v0)),
+                    "stn": jnp.where(scat[:, None], nrm_s,
+                                     jnp.where(fresh_f[:, None], 0.0,
+                                               nrm0_raw)),
+                }
+
             if scattering_peeloff:
                 pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
                                      unpack(outs[2])], axis=-1)
@@ -813,13 +912,53 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                 alive_new = unpack(outs[7]) != 0
                 ns_new = unpack(outs[8])
                 cons = []
+                stks = []
                 for i in range(len(peels)):
-                    if multi:
+                    if pol_mode:
+                        # polarized peel weight + Stokes toward observer
+                        # (ref: peeloffscattering's polarized branch)
+                        cosa = unpack(coss[lead_of[i]])
+                        theta_p = jnp.arccos(jnp.clip(cosa, -1.0, 1.0))
+                        kobs = jnp.broadcast_to(jnp.asarray(
+                            np.asarray(leaders[lead_of[i]], np.float32)),
+                            pos_new.shape)
+                        phi_p = pol.angle_between_planes(nrm0, dir_old,
+                                                         kobs)
+                        qr_p, ur_p = pol.rotate_stokes(q0, u0, phi_p)
+                        S11p, S12p, S33p, S34p = mt0.lookup(ell, theta_p)
+                        w = jnp.asarray(mt0.pfnorm)[ell] * (
+                            S11p + pdeg * S12p
+                            * jnp.cos(2.0 * (phi_p - pang)))
+                        _, qh, uh, vh = pol.apply_mueller(
+                            qr_p, ur_p, v0, S11p, S12p, S33p, S34p)
+                        # rotate into the instrument frame
+                        nrm_i = jnp.cross(dir_old, kobs)
+                        nn_i = jnp.linalg.norm(nrm_i, axis=-1,
+                                               keepdims=True)
+                        nrm_i = jnp.where(nn_i > 1e-20,
+                                          nrm_i / jnp.maximum(nn_i, 1e-30),
+                                          nrm0)
+                        ky = (jnp.broadcast_to(
+                            jnp.asarray(instruments[i].ky, jnp.float32),
+                            pos_new.shape)
+                            if hasattr(instruments[i], "ky") else nrm_i)
+                        cosal = jnp.sum(nrm_i * ky, axis=-1)
+                        sinal = jnp.sum(jnp.cross(nrm_i, ky) * kobs,
+                                        axis=-1)
+                        alpha = jnp.arctan2(sinal, cosal)
+                        q3, u3 = pol.rotate_stokes(qh, uh, alpha)
+                        if fresh is not None:
+                            w = jnp.where(fresh_f, 1.0, w)
+                            q3 = jnp.where(fresh_f, 0.0, q3)
+                            u3 = jnp.where(fresh_f, 0.0, u3)
+                            vh = jnp.where(fresh_f, 0.0, vh)
+                        stks.append(jnp.stack([q3, u3, vh]))
+                    elif multi:
                         # blended in-kernel (DustSystem.phase_value form)
                         w = unpack(ows[lead_of[i]])
                     else:
                         w = mix.phase_function(ell, unpack(coss[lead_of[i]]))
-                    if fresh is not None:
+                    if fresh is not None and not pol_mode:
                         # relaunched lanes: emission peel-off (isotropic —
                         # unit direction weight), same quadrature
                         w = jnp.where(unpack(fresh) != 0, 1.0, w)
@@ -833,9 +972,15 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                 bufs["tau"] = jax.lax.dynamic_update_index_in_dim(
                     bufs["tau"],
                     jnp.stack([unpack(t) for t in taus]), slot, 0)
+                if pol_mode:
+                    bufs["stk"] = jax.lax.dynamic_update_index_in_dim(
+                        bufs["stk"], jnp.stack(stks), slot, 0)
 
-            return {"it": st["it"] + 1, "state": new_state,
-                    "ins": st["ins"], "labs": st["labs"], "bufs": bufs}
+            out_c = {"it": st["it"] + 1, "state": new_state,
+                     "ins": st["ins"], "labs": st["labs"], "bufs": bufs}
+            if pol_mode:
+                out_c.update(pol_upd)
+            return out_c
 
         def body(st):
             # one flush WINDOW: T event iterations buffering their tally
