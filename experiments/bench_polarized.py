@@ -67,10 +67,9 @@ def main():
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2,
                                  mueller=mueller))
     K = max(refill, 1)
-    npackets = n
-    nl = n // K
-    ell = jnp.asarray(np.arange(nl, dtype=np.int32) % 2)
-    L0 = jnp.full((nl,), 1e36 / npackets, jnp.float32)
+    npackets = n * K
+    ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+    L0 = jnp.full((n,), 1e36 / npackets, jnp.float32)
 
     def tallies():
         return {"instruments": [i.zero_tallies() for i in ins]}

@@ -120,6 +120,25 @@ class MuellerTables:
         self.pfnorm = np.asarray(
             2.0 / np.maximum(total[:, 0], 1e-300), np.float32)
 
+        # inverse-CDF quantile table for theta sampling: theta(u) at NQ+1
+        # uniform u-knots per wavelength — sampling costs 2 flat gathers
+        # + a lerp instead of a per-lane (ntheta,) CDF row gather + a
+        # one-hot search (the gather-free launch-sampler trick; same
+        # piecewise-linear accuracy class as the CDF-bin inversion)
+        NQ = 512
+        self.nq = NQ
+        uq = np.linspace(0.0, 1.0, NQ + 1)
+        qt = np.empty((S11.shape[0], NQ + 1), np.float64)
+        for l in range(S11.shape[0]):
+            qt[l] = np.interp(uq, self.theta_cdf[l].astype(np.float64),
+                              self.thetav64)
+        self.theta_quantile = np.asarray(qt, np.float32)
+        # packed S-matrix rows: ONE 4-wide row gather per (ell, theta)
+        # lookup instead of four scalar gathers
+        self.S_packed = np.ascontiguousarray(
+            np.stack([self.S11, self.S12, self.S33, self.S34],
+                     axis=-1).reshape(-1, 4))
+
     def theta_index(self, theta):
         """ref: DustMix.cpp indexForTheta."""
         dt = np.pi / (self.ntheta - 1)
@@ -127,18 +146,20 @@ class MuellerTables:
         return jnp.clip(t, 0, self.ntheta - 1)
 
     def sample_theta(self, key, ell):
-        """Sample theta from the S11 sin(theta) distribution per packet."""
+        """Sample theta from the S11 sin(theta) distribution per packet.
+
+        Inverse-CDF quantile table: 2 flat gathers + a lerp per packet
+        (the per-lane CDF-row search cost ~(ntheta,) gathers + compares
+        and dominated the polarized event loop)."""
         u = rng.uniform_open(key, ell.shape)
-        rows = jnp.asarray(self.theta_cdf)[ell]       # (N, ntheta)
-        i = jnp.clip(jnp.sum((rows <= u[:, None]).astype(jnp.int32), axis=1) - 1,
-                     0, self.ntheta - 2)
-        sel0 = jnp.arange(rows.shape[1])[None, :] == i[:, None]
-        sel1 = jnp.arange(rows.shape[1])[None, :] == (i + 1)[:, None]
-        c0 = jnp.sum(jnp.where(sel0, rows, 0), axis=1)
-        c1 = jnp.sum(jnp.where(sel1, rows, 0), axis=1)
-        t = (u - c0) / jnp.maximum(c1 - c0, 1e-30)
-        tv = jnp.asarray(self.thetav)
-        return tv[i] + t * (tv[i + 1] - tv[i])
+        x = u * np.float32(self.nq)
+        i = jnp.clip(x.astype(jnp.int32), 0, self.nq - 1)
+        frac = x - i.astype(jnp.float32)
+        qt = jnp.asarray(self.theta_quantile).reshape(-1)
+        base = ell * (self.nq + 1) + i
+        q0 = qt[base]
+        q1 = qt[base + 1]
+        return q0 + frac * (q1 - q0)
 
     def sample_phi(self, key, ell, theta, pol_degree, pol_angle):
         """Sample phi from 1 + p (S12/S11) cos(2(phi - gamma)) by Newton
@@ -172,9 +193,10 @@ class MuellerTables:
         return 0.5 * (lo + hi)
 
     def lookup(self, ell, theta):
+        """One packed 4-wide row gather per (ell, theta) pair."""
         t = self.theta_index(theta)
-        return (jnp.asarray(self.S11)[ell, t], jnp.asarray(self.S12)[ell, t],
-                jnp.asarray(self.S33)[ell, t], jnp.asarray(self.S34)[ell, t])
+        rows = jnp.asarray(self.S_packed)[ell * self.ntheta + t]  # (N, 4)
+        return rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
 
 
 def thomson_mueller(nlambda: int, ntheta: int = 181) -> MuellerTables:
