@@ -913,15 +913,17 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                 ns_new = unpack(outs[8])
                 cons = []
                 stks = []
-                for i in range(len(peels)):
-                    if pol_mode:
-                        # polarized peel weight + Stokes toward observer
-                        # (ref: peeloffscattering's polarized branch)
-                        cosa = unpack(coss[lead_of[i]])
+                pol_lead = {}
+                if pol_mode:
+                    # per-LEADER Mueller peel, shared by every instrument
+                    # with that observer direction (ref:
+                    # peeloffscattering's polarized branch)
+                    for j in sorted(set(lead_of)):
+                        cosa = unpack(coss[j])
                         theta_p = jnp.arccos(jnp.clip(cosa, -1.0, 1.0))
                         kobs = jnp.broadcast_to(jnp.asarray(
-                            np.asarray(leaders[lead_of[i]], np.float32)),
-                            pos_new.shape)
+                            np.asarray(leaders[j], np.float32)),
+                            (n, 3))
                         phi_p = pol.angle_between_planes(nrm0, dir_old,
                                                          kobs)
                         qr_p, ur_p = pol.rotate_stokes(q0, u0, phi_p)
@@ -931,28 +933,33 @@ def make_fused_lifecycle(grid, dust_system, stellar_system, instruments,
                             * jnp.cos(2.0 * (phi_p - pang)))
                         _, qh, uh, vh = pol.apply_mueller(
                             qr_p, ur_p, v0, S11p, S12p, S33p, S34p)
-                        # rotate into the instrument frame
                         nrm_i = jnp.cross(dir_old, kobs)
                         nn_i = jnp.linalg.norm(nrm_i, axis=-1,
                                                keepdims=True)
                         nrm_i = jnp.where(nn_i > 1e-20,
                                           nrm_i / jnp.maximum(nn_i, 1e-30),
                                           nrm0)
+                        pol_lead[j] = (w, qh, uh, vh, nrm_i, kobs)
+                for i in range(len(peels)):
+                    if pol_mode:
+                        w, qh, uh, vh, nrm_i, kobs = pol_lead[lead_of[i]]
+                        # rotate into THIS instrument's frame
                         ky = (jnp.broadcast_to(
                             jnp.asarray(instruments[i].ky, jnp.float32),
-                            pos_new.shape)
+                            (n, 3))
                             if hasattr(instruments[i], "ky") else nrm_i)
                         cosal = jnp.sum(nrm_i * ky, axis=-1)
                         sinal = jnp.sum(jnp.cross(nrm_i, ky) * kobs,
                                         axis=-1)
                         alpha = jnp.arctan2(sinal, cosal)
                         q3, u3 = pol.rotate_stokes(qh, uh, alpha)
+                        v3 = vh
                         if fresh is not None:
                             w = jnp.where(fresh_f, 1.0, w)
                             q3 = jnp.where(fresh_f, 0.0, q3)
                             u3 = jnp.where(fresh_f, 0.0, u3)
-                            vh = jnp.where(fresh_f, 0.0, vh)
-                        stks.append(jnp.stack([q3, u3, vh]))
+                            v3 = jnp.where(fresh_f, 0.0, v3)
+                        stks.append(jnp.stack([q3, u3, v3]))
                     elif multi:
                         # blended in-kernel (DustSystem.phase_value form)
                         w = unpack(ows[lead_of[i]])
