@@ -63,7 +63,13 @@ def main():
     comp = DustComponent(torus, mix,
                          OpticalDepthNormalization("x", 0.55e-6, 5.0))
     dsys = DustSystem(grid, [comp], samples_per_cell=8)
-    ins = [SEDInstrument("sed", 3.08e23, nlambda, inclination=1.2)]
+    # azimuth off the lattice plane: a point source at the exact grid
+    # center with an azimuth-0 observer makes the direct-flux peel ray
+    # ride the y=0 lattice plane, where octree vs Cartesian locate
+    # tie-break to opposite sides of the MC-sampled field (measured
+    # 14% tau knife-edge; ROADMAP round-4 item B)
+    ins = [SEDInstrument("sed", 3.08e23, nlambda, inclination=1.2,
+                         azimuth=0.7)]
 
     if table:
         opts = LifecycleOptions(store_absorption=True,
