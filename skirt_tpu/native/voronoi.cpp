@@ -148,6 +148,24 @@ bool clip(Poly& p, const Vec3& o, const Vec3& n, int64_t id) {
 
     p.faces = std::move(new_faces);
     p.face_ids = std::move(new_ids);
+
+    // compact: drop vertices no longer referenced by any face.  Without
+    // this the vertex list keeps the ORIGINAL BOX CORNERS forever, the
+    // security-radius checks (max |v - site| over p.verts) never shrink,
+    // their early-exit breaks never fire, and the build degrades to
+    // O(N^2) — measured 4.3x time per 2x sites before the fix.
+    std::vector<int> remap(p.verts.size(), -1);
+    std::vector<Vec3> nverts;
+    nverts.reserve(64);
+    for (auto& face : p.faces)
+        for (int& v : face) {
+            if (remap[v] < 0) {
+                remap[v] = (int)nverts.size();
+                nverts.push_back(p.verts[v]);
+            }
+            v = remap[v];
+        }
+    p.verts = std::move(nverts);
     return !p.faces.empty();
 }
 
