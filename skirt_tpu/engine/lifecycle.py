@@ -205,6 +205,33 @@ def terminate_alive(alive, L, taupath, Lthreshold, nscatt, min_scatt):
     return alive & (taupath > 0)
 
 
+def make_lifecycle_with_fallback(*args, log=None, **kwargs):
+    """make_lifecycle, retrying without the fused fast path on ValueError.
+
+    The fused kernels gate narrow configurations (analytic/table density,
+    distant instruments, ...) by raising; driver code that enables
+    `options.fused` opportunistically (ski --fast) uses this wrapper so
+    an ineligible model falls back to the general path instead of
+    crashing."""
+    options = args[4] if len(args) > 4 else kwargs["options"]
+    try:
+        return make_lifecycle(*args, **kwargs)
+    except ValueError as e:
+        if not getattr(options, "fused", False):
+            raise
+        if log is not None:
+            log.info(f"fused fast path unavailable ({e}); using the "
+                     "general estimators")
+        from dataclasses import replace
+        slow = replace(options, fused=False, refill_batches=0,
+                       polychromatic=False)
+        if len(args) > 4:
+            args = args[:4] + (slow,) + args[5:]
+        else:
+            kwargs["options"] = slow
+        return make_lifecycle(*args, **kwargs)
+
+
 def make_multibatch(run_batch, nbatches: int, key_fn=None):
     """Fold `nbatches` lifecycle batches into ONE jittable dispatch.
 

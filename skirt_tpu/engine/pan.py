@@ -120,10 +120,12 @@ class PanSimulation(OligoSimulation):
         if not self.options.store_absorption:
             self.options = LifecycleOptions(
                 **{**self.options.__dict__, "store_absorption": True})
-            self._run_batch = jax.jit(make_lifecycle(
+            from .lifecycle import make_lifecycle_with_fallback
+            self._run_batch = jax.jit(make_lifecycle_with_fallback(
                 self.grid, self.dust_system, self.stellar_system,
                 self.instruments, self.options, self.nlambda,
-                mueller=self._mueller), donate_argnums=(3,))
+                mueller=self._mueller, log=self.log),
+                donate_argnums=(3,))
         self.self_absorption = bool(self_absorption)
         self.emission_boost = float(emission_boost)
         self.emission_bias = float(emission_bias)
@@ -166,17 +168,18 @@ class PanSimulation(OligoSimulation):
         dust_opts = _LO(**{**self.options.__dict__,
                            "refill_batches": (self.options.refill_batches
                                               if _table_path else 0)})
-        self._run_dust_absorb = jax.jit(make_lifecycle(
+        from .lifecycle import make_lifecycle_with_fallback
+        self._run_dust_absorb = jax.jit(make_lifecycle_with_fallback(
             self.grid, self.dust_system, None, self.instruments, dust_opts,
             self.nlambda, launch_fn=launch, emission_peeloff=False,
             scattering_peeloff=False, is_dust_emission=True,
-            mueller=self._mueller), donate_argnums=(3,))
+            mueller=self._mueller, log=self.log), donate_argnums=(3,))
         final_opts = _LO(**{**dust_opts.__dict__, "store_absorption": False})
-        self._run_dust_emit = jax.jit(make_lifecycle(
+        self._run_dust_emit = jax.jit(make_lifecycle_with_fallback(
             self.grid, self.dust_system, None, self.instruments, final_opts,
             self.nlambda, launch_fn=launch, emission_peeloff=True,
             scattering_peeloff=True, is_dust_emission=True,
-            mueller=self._mueller), donate_argnums=(3,))
+            mueller=self._mueller, log=self.log), donate_argnums=(3,))
 
         # per-cell 1/(4 pi V rho) for the absorbed-power-per-mass
         # conversion — at LEAF resolution

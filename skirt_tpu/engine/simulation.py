@@ -120,9 +120,11 @@ class OligoSimulation:
                          if dust_system is not None else None)
         self._run_batch = None
         if grid is not None or True:
-            self._lifecycle = make_lifecycle(
+            from .lifecycle import make_lifecycle_with_fallback
+            self._lifecycle = make_lifecycle_with_fallback(
                 grid, dust_system, stellar_system, self.instruments,
-                self.options, self.nlambda, mueller=self._mueller)
+                self.options, self.nlambda, mueller=self._mueller,
+                log=self.log)
             self._run_batch = jax.jit(self._lifecycle, donate_argnums=(3,))
 
         # fold several launch batches into one compiled dispatch: the fixed

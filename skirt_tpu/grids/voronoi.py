@@ -296,18 +296,27 @@ class VoronoiGrid:
         """
         if hasattr(self, "_blk_cand_np"):
             return
-        # ~4 sites per block on average (ref uses nb = 3 N^(1/3) with
-        # per-block kd-trees, VoronoiMesh.cpp:314; flat candidate tables
-        # want fewer, fatter blocks)
-        nb = int(np.clip(round((self.ncells / 4.0) ** (1.0 / 3.0)), 2, 512))
+        # ~1 site per block (ref uses nb = 3 N^(1/3) with per-block
+        # kd-trees, VoronoiMesh.cpp:314); finer blocks shrink each
+        # block's candidate ball — the lookup cost is the K site
+        # gathers per point, so K is the figure of merit
+        nb = int(np.clip(round(self.ncells ** (1.0 / 3.0)), 2, 512))
         lo, hi = self._lo, self._hi
         bsize = (hi - lo) / nb
         ax = [lo[k] + (np.arange(nb) + 0.5) * bsize[k] for k in range(3)]
         centers = np.stack(np.meshgrid(*ax, indexing="ij"),
                            axis=-1).reshape(-1, 3)
-        dnn, _ = self._tree.query(centers, workers=-1)
         r = 0.5 * float(np.linalg.norm(bsize))
-        radius = dnn + 2.0 * r
+        # tight bound: for p in the block, the nearest site is within
+        # min over the block corners c of (dnn(c) + |p - c|) <=
+        # min_c dnn(c) + 2r; a site can be the answer only if it lies
+        # within that of p, i.e. within min_c dnn(c) + 3r of the center
+        offs = np.stack(np.meshgrid(*([[-0.5, 0.5]] * 3),
+                                    indexing="ij"), axis=-1).reshape(-1, 3)
+        corners = centers[:, None, :] + offs[None, :, :] * bsize[None, None, :]
+        dcorn, _ = self._tree.query(corners.reshape(-1, 3), workers=-1)
+        dnn_min = dcorn.reshape(-1, 8).min(axis=1)
+        radius = dnn_min + 3.0 * r
         # clustered site distributions can inflate a sparse-region block's
         # candidate ball to ~all sites; probe the row lengths first and
         # refuse to build a table past the memory budget (the caller then
@@ -347,15 +356,35 @@ class VoronoiGrid:
         ib = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nb - 1)
         blk = (ib[:, 0] * nb + ib[:, 1]) * nb + ib[:, 2]
         cand = jnp.asarray(self._blk_cand_np)[blk]          # (M, K)
-        cs = jnp.asarray(self._sites_np)[jnp.maximum(cand, 0)]  # (M, K, 3)
-        d = jnp.sum((p2[:, None, :] - cs) ** 2, axis=-1)
-        d = jnp.where(cand >= 0, d, jnp.inf)
-        k = jnp.argmin(d, axis=1)
-        # one-hot masked pick: take_along_axis lowers to a slow per-lane
-        # gather on TPU (vector_traversal.masked_row_pick rationale)
-        sel = jnp.arange(cand.shape[1], dtype=jnp.int32)[None, :] \
-            == k[:, None]
-        best = jnp.sum(jnp.where(sel, cand, 0), axis=1)
+        K = cand.shape[1]
+        # chunk the candidate axis: clustered meshes can push the max
+        # row length into the hundreds, and materializing (M, K, 3)
+        # site gathers at panel-batch M OOMs HBM — a running best over
+        # 64-wide chunks keeps the working set (M, 64, 3)
+        CK = 64
+        Kpad = -(-K // CK) * CK
+        if Kpad > K:
+            cand = jnp.pad(cand, ((0, 0), (0, Kpad - K)),
+                           constant_values=-1)
+        sites_d = jnp.asarray(self._sites_np)
+        cand_c = cand.reshape(-1, Kpad // CK, CK).swapaxes(0, 1)
+
+        def body(carry, cc):
+            best_d, best_i = carry
+            cs = sites_d[jnp.maximum(cc, 0)]                # (M, CK, 3)
+            d = jnp.sum((p2[:, None, :] - cs) ** 2, axis=-1)
+            d = jnp.where(cc >= 0, d, jnp.inf)
+            k = jnp.argmin(d, axis=1)
+            dmin = jnp.min(d, axis=1)
+            sel = jnp.arange(CK, dtype=jnp.int32)[None, :] == k[:, None]
+            ci = jnp.sum(jnp.where(sel, cc, 0), axis=1)
+            better = dmin < best_d
+            return (jnp.where(better, dmin, best_d),
+                    jnp.where(better, ci, best_i)), None
+
+        init = (jnp.full((p2.shape[0],), jnp.inf, jnp.float32),
+                jnp.full((p2.shape[0],), -1, jnp.int32))
+        (_, best), _ = jax.lax.scan(body, init, cand_c)
         return best.reshape(shape)
 
     def locate_batched(self, points):

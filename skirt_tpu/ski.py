@@ -1022,14 +1022,26 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
     # --fast on a model WITHOUT closed-form densities (imports, clumpy
     # decorators): panel-sample the gridded density table instead
     # (voxelizing tree/Voronoi grids first) — the capability-3/4 fast
-    # path (DustSystem.as_table; octree 22.7x, Voronoi 11x, BASELINE.md).
-    # Pan keeps the exact leaf walk: its emission solve is per leaf cell.
-    want_table = (fast_path and not is_pan and dsys is not None
+    # path (DustSystem.as_table).  Pan models compose too: the traversal
+    # runs on the voxel table while the emission solve stays at leaf
+    # resolution (engine/pan.py, round 4).
+    want_table = (fast_path and dsys is not None
                   and not dsys.analytic
                   and (getattr(dsys.grid, "voxelize_exact", False)
                        or hasattr(dsys.grid, "voxelize")
                        or (hasattr(dsys.grid, "_uniform")
                            and all(dsys.grid._uniform))))
+    # fused event kernels: opportunistic under --fast — the lifecycle
+    # builder falls back to the general estimators when the model is
+    # outside the fused envelope (make_lifecycle_with_fallback), so the
+    # only host-side gates are the ones that would silently change
+    # physics semantics (polarization keeps the vector path for
+    # multi-component mixes; handled inside the builder).
+    distant_ok = all(not hasattr(i, "observer_distance")
+                     and hasattr(i, "kobs") for i in instruments)
+    fused_ok = (fast_path and dsys is not None and distant_ok
+                and (dsys.analytic or want_table))
+    refill_ok = fused_ok and ss.is_isotropic
     options = LifecycleOptions(
         min_weight_reduction=sim_node.scalar("minWeightReduction", 1e4),
         min_scatt_events=int(sim_node.scalar("minScattEvents", 0)),
@@ -1039,7 +1051,10 @@ def build_simulation(sim_node: Node, *, out_dir: str = ".",
                                  and (dsys.analytic or want_table))
         else "path",
         voxelize="table" if want_table else None,
-        quadrature_panels=32 if want_table else None,
+        quadrature_panels=(16 if want_table else 32) if fused_ok
+        else (32 if want_table else None),
+        fused=fused_ok,
+        refill_batches=64 if refill_ok else 0,
     )
 
     npackets = packets if packets is not None else sim_node.scalar("packages", 1e6)

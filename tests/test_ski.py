@@ -400,8 +400,10 @@ class TestFastTableFromSki:
         # MC noise at 3000 packets + voxel-scale quadrature
         np.testing.assert_allclose(Ff, Fr, rtol=0.15)
 
-    def test_fast_pan_keeps_leaf_walk(self, tmp_path):
-        # pan simulations keep the exact leaf walk (emission is per cell)
+    def test_fast_pan_rides_table_with_leaf_emission(self, tmp_path):
+        # round 4: --fast pan models trace the voxel TABLE (the fused
+        # kernel engages) while the emission solve/launch/checkpoint
+        # arrays stay at LEAF resolution (labs fold voxel -> leaf)
         text = CLUMPY_OCTREE_SKI.replace("OligoMonteCarloSimulation",
                                          "PanMonteCarloSimulation") \
             .replace("OligoDustSystem", "PanDustSystem") \
@@ -426,4 +428,10 @@ class TestFastTableFromSki:
         from skirt_tpu.log import SilentLog
         sim = load_ski(str(p), out_dir=str(tmp_path), log=SilentLog(),
                        fast_path=True)
-        assert not getattr(sim.dust_system, "table", False)
+        assert getattr(sim.dust_system, "table", False)
+        assert sim.options.fused
+        # emission machinery stays at leaf (tree) resolution
+        leaf = sim.dust_system_out.grid
+        assert sim.grid is not leaf
+        assert sim._labs_fold is not None
+        assert sim._inv4pivrho.shape[0] == leaf.ncells
