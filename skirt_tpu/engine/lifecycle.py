@@ -405,6 +405,16 @@ def make_lifecycle(grid, dust_system, stellar_system, instruments,
             scattering_peeloff=scattering_peeloff,
             is_dust_emission=is_dust_emission, mueller=mueller,
             io_state=io_state, max_iterations=max_iterations)
+    if (options.fused and options.polychromatic and ds is not None
+            and getattr(ds, "analytic", False)):
+        from . import fused_poly as _fp
+        return _fp.make_fused_poly_lifecycle(
+            grid, dust_system, stellar_system, instruments, options,
+            nlambda, launch_fn=launch_fn,
+            emission_peeloff=emission_peeloff,
+            scattering_peeloff=scattering_peeloff,
+            is_dust_emission=is_dust_emission, mueller=mueller,
+            io_state=io_state, max_iterations=max_iterations)
     if options.fused and ds is not None and getattr(ds, "table", False):
         from . import fused_table as _ft
         return _ft.make_fused_table_lifecycle(

@@ -118,3 +118,103 @@ class TestPolyGates:
         with pytest.raises(ValueError, match="single dust component"):
             make_fused_table_poly_lifecycle(tds.grid, FakeDS(), ss, ins,
                                             opts, 2)
+
+
+class TestPolyAnalytic:
+    """Polychromatic lanes on the fused ANALYTIC megakernel
+    (engine/fused_poly.py): one set of panel density evaluations serves
+    every wavelength.  Parity vs the monochromatic fused kernel at
+    matched per-wavelength launch totals."""
+
+    def _setup(self):
+        from skirt_tpu.constants import KPC
+        from skirt_tpu.geometry import ExpDiskGeometry, PointGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.media import (DustComponent, DustSystem,
+                                     OpticalDepthNormalization,
+                                     SimpleOligoDustMix)
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+        ss = StellarSystem([LuminosityStellarComponent(
+            PointGeometry(), wg, [1e36, 1e36])])
+        half = 12 * 3.086e19
+        b = np.linspace(-half, half, 33)
+        bz = np.linspace(-half / 6, half / 6, 17)
+        grid = CartesianGrid(b, b, bz)
+        mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4],
+                                 [0.4, 0.2])
+        comp = DustComponent(ExpDiskGeometry(half / 3, half / 60), mix,
+                             OpticalDepthNormalization("z", 0.55e-6, 1.0))
+        dsys = DustSystem(grid, [comp], density_mode="analytic")
+        ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2,
+                             azimuth=0.7)]
+        return wg, ss, grid, dsys, ins
+
+    def test_matches_mono_fused(self):
+        wg, ss, grid, dsys, ins = self._setup()
+        n = 1 << 13
+        opts_m = LifecycleOptions(store_absorption=True,
+                                  deposition="sampled",
+                                  quadrature_panels=24, peel_panels=8,
+                                  max_scatt_events=48, fused=True)
+        run_m = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts_m, 2))
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+        tm = run_m(rng.root_key(4357), ell, L0, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)})
+
+        opts_p = LifecycleOptions(store_absorption=True,
+                                  deposition="sampled",
+                                  quadrature_panels=24, peel_panels=8,
+                                  max_scatt_events=48, fused=True,
+                                  polychromatic=True)
+        run_p = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts_p, 2))
+        npl = n // 2
+        L0p = jnp.full((npl, 2), 5e35 / npl, jnp.float32)
+        tp = run_p(rng.root_key(4357), jnp.zeros(npl, jnp.int32), L0p, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)})
+
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        fp = np.asarray(tp["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fp, fm, rtol=0.06)
+        lm = float(np.asarray(tm["labs"]).sum())
+        lp = float(np.asarray(tp["labs"]).sum())
+        assert lp == pytest.approx(lm, rel=0.06)
+        for t in (tm, tp):
+            for leaf in jax.tree.leaves(t):
+                assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_refill_normalization(self):
+        wg, ss, grid, dsys, ins = self._setup()
+        n = 1 << 13
+        opts_p = LifecycleOptions(store_absorption=True,
+                                  deposition="sampled",
+                                  quadrature_panels=24, peel_panels=8,
+                                  max_scatt_events=48, fused=True,
+                                  polychromatic=True)
+        run_p = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts_p, 2))
+        npl = n // 2
+        L0p = jnp.full((npl, 2), 5e35 / npl, jnp.float32)
+        tp = run_p(rng.root_key(4357), jnp.zeros(npl, jnp.int32), L0p, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)})
+
+        opts_r = LifecycleOptions(store_absorption=True,
+                                  deposition="sampled",
+                                  quadrature_panels=24, peel_panels=8,
+                                  max_scatt_events=48, fused=True,
+                                  polychromatic=True, refill_batches=4)
+        run_r = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts_r, 2))
+        npr = npl // 4
+        L0r = jnp.full((npr, 2), 5e35 / npl, jnp.float32)
+        tr = run_r(rng.root_key(4357), jnp.zeros(npr, jnp.int32), L0r, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)})
+        fp = np.asarray(tp["instruments"][0]["Ftot"], np.float64)
+        fr = np.asarray(tr["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fr, fp, rtol=0.08)
