@@ -81,6 +81,35 @@ def main():
               f"({time.perf_counter()-t0:.1f}s)", flush=True)
         return F, labs
 
+    if os.environ.get("ACC_DIRECT", "0") == "1":
+        # direct-table mode validation: candidates run the panel
+        # quadrature on the EXACT tessellation, so the reference is the
+        # exact bisector-plane crossing walk on the same field (not the
+        # rasterized voxel view)
+        Fr, lr = run_chain(dsys, grid,
+                           LifecycleOptions(store_absorption=True,
+                                            max_scatt_events=64,
+                                            deposition="path"),
+                           "exact tessellation walk (path est.)")
+        tdir = dsys.as_table()
+        for P in [int(p) for p in
+                  os.environ.get("ACC_PANELS", "16").split(",")]:
+            for poly in (False, True):
+                Ff, lf = run_chain(
+                    tdir, grid,
+                    LifecycleOptions(store_absorption=True,
+                                     max_scatt_events=64,
+                                     deposition="sampled",
+                                     quadrature_panels=P, peel_panels=32,
+                                     fused=True, polychromatic=poly,
+                                     table_peel="staged"),
+                    f"{'poly' if poly else 'mono'} DIRECT P={P}",
+                    poly=poly)
+                dF = np.abs(Ff / Fr - 1.0)
+                print(f"  DIRECT P={P} poly={poly}: SED rel delta = {dF},"
+                      f" labs delta = {abs(lf/lr-1):.4%}", flush=True)
+        return
+
     Fr, lr = run_chain(vds, vds.grid,
                        LifecycleOptions(store_absorption=True,
                                         max_scatt_events=64,

@@ -41,13 +41,16 @@ def _sync(o):
 
 def main():
     nsites = int(os.environ.get("VORONOI_SITES", "4096"))
+    direct_mode = os.environ.get("VORONOI_DIRECT", "0") == "1"
     # headline default: table mode rides the voxelized GRIDDED density
     mode = os.environ.get("VORONOI_MODE",
                           "gridded" if os.environ.get("VORONOI_TABLE",
                                                       "1") == "1"
                           else "analytic")
     n = 1 << int(os.environ.get("VORONOI_LOG2N",
-                                "17" if os.environ.get("VORONOI_TABLE", "1") == "1"
+                                ("16" if direct_mode else "17")
+                                if os.environ.get("VORONOI_TABLE",
+                                                  "1") == "1"
                                 else "15"))
 
     half = 2.0 * KPC
@@ -60,11 +63,20 @@ def main():
           f"(native={grid.used_native}), max_steps={grid.max_steps}",
           flush=True)
 
-    wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+    # VORONOI_NLAM>2 (direct-table poly production regime): log-spaced
+    # wavelengths with power-law-interpolated optical properties — the
+    # gather budget is lambda-independent, so per-lambda packets ride
+    # free on the same panel/locate descriptors
+    nlam = int(os.environ.get("VORONOI_NLAM", "2"))
+    lams = np.geomspace(0.55e-6, 2.2e-6, nlam)
+    f = np.log(lams / 0.55e-6) / np.log(2.2 / 0.55)
+    wg = OligoWavelengthGrid(list(lams))
     ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
-                                                   [1e36, 1e36])])
+                                                   [1e36] * nlam)])
     sphere = UniformSphereGeometry(1.8 * KPC)
-    mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
+    mix = SimpleOligoDustMix(wg, list(2600.0 * (600.0 / 2600.0) ** f),
+                             list(0.5 + (0.4 - 0.5) * f),
+                             list(0.4 + (0.2 - 0.4) * f))
     mass = 2.0 / (2600.0) * (4 / 3 * np.pi * (1.8 * KPC) ** 3) / (1.8 * KPC)
     comp = DustComponent(sphere, mix, DustMassNormalization(mass))
     dsys = DustSystem(grid, [comp], density_mode=mode)
@@ -84,12 +96,16 @@ def main():
         # point location at panel midpoints), no rasterization
         dsys = dsys.as_table()
         mode = "table-direct" if direct else "table"
-    ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+    ins = [SEDInstrument("sed", 3.08e23, nlam, inclination=1.2)]
     fused = os.environ.get("VORONOI_FUSED",
                            "1" if table else "0") == "1"
+    # direct mode runs the EXACT tessellation; poly lanes ride it too
+    # (the kernel emits deposit distance+wavelength, the lifecycle
+    # locates the bin on the tessellation)
     poly = os.environ.get("VORONOI_POLY", "1") == "1"
     refill = int(os.environ.get("VORONOI_REFILL",
-                                 ("256" if poly else "128")
+                                 ("32" if direct else
+                                  "256" if poly else "128")
                                  if table else "0"))
     opts = LifecycleOptions(store_absorption=True, max_scatt_events=64,
                             polychromatic=poly,
@@ -107,20 +123,20 @@ def main():
                             fused_tile_rows=int(
                                 os.environ.get("VORONOI_TILEROWS", "32")),
                             refill_batches=refill, fused=fused)
-    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
+    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, nlam))
 
     if poly:
-        npackets = n * max(refill, 1) * 2
+        npackets = n * max(refill, 1) * nlam
         ell = jnp.zeros((n,), jnp.int32)
-        L0 = jnp.full((n, 2), 1e36 / (n * max(refill, 1)), jnp.float32)
+        L0 = jnp.full((n, nlam), 1e36 / (n * max(refill, 1)), jnp.float32)
     else:
         npackets = n * max(refill, 1)
-        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % nlam)
         L0 = jnp.full((n,), 1e36 / npackets, jnp.float32)
 
     def tallies():
         return {"instruments": [i.zero_tallies() for i in ins],
-                "labs": jnp.zeros((grid.ncells * 2,), jnp.float32)}
+                "labs": jnp.zeros((grid.ncells * nlam,), jnp.float32)}
 
     key = rng.root_key(4357)
     out = run(key, ell, L0, tallies())

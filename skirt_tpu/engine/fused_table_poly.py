@@ -82,24 +82,30 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
     if stellar_system.ncomp != 1 or not stellar_system.is_isotropic:
         bail("requires a single isotropic stellar component (the launch "
              "position must be wavelength-independent)")
-    if not (hasattr(grid, "_uniform") and all(grid._uniform)):
-        bail("requires the uniform Cartesian voxel view")
+    if not (hasattr(grid, "ray_span") and hasattr(grid, "locate_batched")):
+        bail("requires a grid with ray_span + locate_batched (uniform "
+             "Cartesian voxel view, or a direct-table grid such as the "
+             "exact Voronoi tessellation)")
     for ins in instruments:
         if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
             bail("requires distant (constant-direction) instruments")
 
 
 def _build_kernel(grid, options, W, npanels, want_labs,
-                  kext_w, albedo_w, g_w):
+                  kext_w, albedo_w, g_w, arith_locate=True):
     """The in-VMEM polychromatic event kernel.
 
     kext_w / albedo_w / g_w are python float tuples of length W — the
     single-mix optical properties are compile-time constants, not
-    per-lane gathers.
+    per-lane gathers.  arith_locate=False (direct-table grids, e.g. the
+    exact Voronoi tessellation): the deposit bin cannot be computed
+    in-kernel, so the kernel emits (wavelength, value, distance) and the
+    caller locates pos + mid_dep*dir with grid.locate_batched.
     """
-    nx, ny, nz = grid.nx, grid.ny, grid.nz
-    lo = grid._lo
-    inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
+    if arith_locate:
+        nx, ny, nz = grid.nx, grid.ny, grid.nz
+        lo = grid._lo
+        inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
     xi = float(options.scatt_bias)
     min_scatt = int(options.min_scatt_events)
     inv_minred = np.float32(1.0 / options.min_weight_reduction)
@@ -138,6 +144,7 @@ def _build_kernel(grid, options, W, npanels, want_labs,
         oLp = out[9]             # (W, tr, 128) peel luminosities
         if want_labs:
             odepi, odepv = out[10], out[11]
+            odepd = None if arith_locate else out[12]
 
         X, Y, Z = px_r[:], py_r[:], pz_r[:]
         DX, DY, DZ = dx_r[:], dy_r[:], dz_r[:]
@@ -188,11 +195,18 @@ def _build_kernel(grid, options, W, npanels, want_labs,
                 i_dep = i_dep + (cums[kk] < I_dep).astype(jnp.int32)
             mid_dep = t0 + (i_dep.astype(jnp.float32) + 0.5) * delta
             okd = (Dsum > 0) & alive
-            cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
-                          Z + mid_dep * DZ)
-            okd = okd & (cell >= 0)
-            odepi[:] = jnp.where(okd, cell * W + wsel, -1)
-            odepv[:] = jnp.where(okd, Dsum, 0.0)
+            if arith_locate:
+                cell = locate(X + mid_dep * DX, Y + mid_dep * DY,
+                              Z + mid_dep * DZ)
+                okd = okd & (cell >= 0)
+                odepi[:] = jnp.where(okd, cell * W + wsel, -1)
+                odepv[:] = jnp.where(okd, Dsum, 0.0)
+            else:
+                # bin = cell*W + wsel is finished XLA-side after a
+                # locate_batched of pos + mid_dep*dir
+                odepi[:] = jnp.where(okd, wsel, -1)
+                odepv[:] = jnp.where(okd, Dsum, 0.0)
+                odepd[:] = jnp.where(okd, mid_dep, -1.0)
 
         # -- scattered luminosity (absorption split) ----------------------
         Lab_w = [albedo_w[w] * Lm_w[w] * ome_w[w] for w in range(W)]
@@ -355,6 +369,15 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
     if peel_mode == "taumap":
         raise ValueError("polychromatic table lifecycle: table_peel="
                          "'taumap' is per-wavelength; use 'exact'")
+    arith_locate = bool(hasattr(grid, "_uniform") and all(grid._uniform))
+    if peel_mode == "exact" and not arith_locate:
+        import warnings
+        warnings.warn(
+            "table_peel='exact' needs a uniform Cartesian (voxel) grid; "
+            f"downgrading to 'staged' on {type(grid).__name__} — peel "
+            "flux carries a panel quadrature bias (use >=32 panels)",
+            stacklevel=2)
+        peel_mode = "staged"
     refill = options.refill_batches > 1
     K = int(options.refill_batches) if refill else 1
     interpret = jax.default_backend() != "tpu"
@@ -366,7 +389,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
     g_w = [float(np.asarray(mix.g)[w]) for w in range(W)]
 
     kern, n_uniform = _build_kernel(grid, options, W, npanels, want_labs,
-                                    kext_w, albedo_w, g_w)
+                                    kext_w, albedo_w, g_w, arith_locate)
 
     # lambda-independent peel rho-integrals: ONE column-DDA (or staged
     # quadrature) per leader serves every wavelength
@@ -478,6 +501,10 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                 out_shapes += [jax.ShapeDtypeStruct((R, 128), jnp.int32),
                                jax.ShapeDtypeStruct((R, 128), jnp.float32)]
                 out_specs += [blk(), blk()]
+                if not arith_locate:     # deposit distance for XLA locate
+                    out_shapes += [jax.ShapeDtypeStruct((R, 128),
+                                                        jnp.float32)]
+                    out_specs += [blk()]
             return pl.pallas_call(
                 kern,
                 grid=(R // tile_rows,),
@@ -514,10 +541,22 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             outs = call_kernel(u, r, packW(s["L"]), state)
 
             labs_c = st["labs"]
-            if want_labs:
+            if want_labs and arith_locate:
                 odepi, odepv = outs[10], outs[11]
                 labs_c = binned_add(labs_c, odepi.reshape(-1),
                                     odepv.reshape(-1))
+            elif want_labs:
+                # direct-table grid: locate the sampled deposit point
+                # (one locate_batched per iteration, lambda-independent)
+                wsel = unpack(outs[10])
+                dval = unpack(outs[11])
+                mid_dep = unpack(outs[12])
+                pos_dep = s["pos"] + mid_dep[:, None] * s["dir"]
+                cell_dep = grid.locate_batched(pos_dep[:, None, :])[:, 0]
+                okd = (mid_dep >= 0) & (wsel >= 0) & (cell_dep >= 0)
+                bins = jnp.where(okd, cell_dep * W + wsel, -1)
+                labs_c = binned_add(labs_c, bins,
+                                    jnp.where(okd, dval, 0.0))
 
             pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
                                  unpack(outs[2])], axis=-1)

@@ -294,98 +294,112 @@ class VoronoiGrid:
         candidate list "all sites within dnn(c) + 2r of c" therefore
         contains the true nearest site of every point in the block.
         """
-        if hasattr(self, "_blk_cand_np"):
+        if hasattr(self, "_blk_flat_np"):
             return
-        # ~1 site per block (ref uses nb = 3 N^(1/3) with per-block
-        # kd-trees, VoronoiMesh.cpp:314); finer blocks shrink each
-        # block's candidate ball — the lookup cost is the K site
-        # gathers per point, so K is the figure of merit
-        nb = int(np.clip(round(self.ncells ** (1.0 / 3.0)), 2, 512))
+        # Finer blocks than sites (ref uses nb = 3 N^(1/3) with per-block
+        # kd-trees, VoronoiMesh.cpp:314): the block's candidate-ball
+        # radius is dnn + O(block size) while dnn stays at the SITE
+        # spacing, so smaller blocks shrink K — the width of the single
+        # row gather a locate costs.  The candidate table is baked as one
+        # flat f32 row per block, [X(K) | Y(K) | Z(K) | I(K)]: a locate
+        # is then ONE contiguous 2D row gather + a VPU distance argmin
+        # (~23 ns/point measured, K-independent to 64 —
+        # experiments/microbench_rowgather.py), vs ~K serial element
+        # gathers for an index-only table (~430 ns/point at K=64).
+        if self.ncells >= (1 << 24):   # f32 can't hold the site index
+            self._blk_flat_np = None
+            return
+        # the axon remote-compile tunnel serializes the table with the
+        # program (HTTP 413 past a few hundred MB), so keep it well under
+        # that; coarser blocks trade K (free to ~64 per the rowgather
+        # microbench) for row count
+        budget_bytes = 96 << 20
         lo, hi = self._lo, self._hi
-        bsize = (hi - lo) / nb
-        ax = [lo[k] + (np.arange(nb) + 0.5) * bsize[k] for k in range(3)]
-        centers = np.stack(np.meshgrid(*ax, indexing="ij"),
-                           axis=-1).reshape(-1, 3)
-        r = 0.5 * float(np.linalg.norm(bsize))
-        # tight bound: for p in the block, the nearest site is within
-        # min over the block corners c of (dnn(c) + |p - c|) <=
-        # min_c dnn(c) + 2r; a site can be the answer only if it lies
-        # within that of p, i.e. within min_c dnn(c) + 3r of the center
-        offs = np.stack(np.meshgrid(*([[-0.5, 0.5]] * 3),
-                                    indexing="ij"), axis=-1).reshape(-1, 3)
-        corners = centers[:, None, :] + offs[None, :, :] * bsize[None, None, :]
-        dcorn, _ = self._tree.query(corners.reshape(-1, 3), workers=-1)
-        dnn_min = dcorn.reshape(-1, 8).min(axis=1)
-        radius = dnn_min + 3.0 * r
-        # clustered site distributions can inflate a sparse-region block's
-        # candidate ball to ~all sites; probe the row lengths first and
-        # refuse to build a table past the memory budget (the caller then
-        # falls back to the exact MXU scan — slower, never wrong)
-        counts = self._tree.query_ball_point(centers, radius, workers=-1,
-                                             return_length=True)
-        kc = int(np.max(counts))
-        budget_bytes = 256 << 20
-        if nb ** 3 * kc * 4 > budget_bytes:
+        for mult in (3.0, 2.0, 1.5, 1.0, 0.75):
+            nb = int(np.clip(round(mult * self.ncells ** (1.0 / 3.0)),
+                             2, 256))
+            bsize = (hi - lo) / nb
+            ax = [lo[k] + (np.arange(nb) + 0.5) * bsize[k]
+                  for k in range(3)]
+            centers = np.stack(np.meshgrid(*ax, indexing="ij"),
+                               axis=-1).reshape(-1, 3)
+            r = 0.5 * float(np.linalg.norm(bsize))
+            # bound: for p in the block, the nearest site is within
+            # min over the block corners c of (dnn(c) + |p - c|) <=
+            # min_c dnn(c) + 2r; a site can be the answer only if it
+            # lies within that of p, i.e. within min_c dnn(c) + 3r of
+            # the center
+            offs = np.stack(np.meshgrid(*([[-0.5, 0.5]] * 3),
+                                        indexing="ij"),
+                            axis=-1).reshape(-1, 3)
+            corners = (centers[:, None, :]
+                       + offs[None, :, :] * bsize[None, None, :])
+            dcorn, _ = self._tree.query(corners.reshape(-1, 3), workers=-1)
+            dnn_min = dcorn.reshape(-1, 8).min(axis=1)
+            dcent, _ = self._tree.query(centers, workers=-1)
+            # two valid bounds, take the tighter per block: from the
+            # center c, dnn(p) <= dnn(c) + |p-c| <= dnn(c) + r, so the
+            # nearest site lies within dnn(c) + 2r of c; from the
+            # corners, within min_corner dnn + 3r of c
+            radius = np.minimum(dcent + 2.0 * r, dnn_min + 3.0 * r)
+            counts = self._tree.query_ball_point(centers, radius,
+                                                 workers=-1,
+                                                 return_length=True)
+            # pad K so the 4K-wide row is lane-aligned (multiple of 128)
+            kc = max(int(np.max(counts)), 1)
+            kpad = -(-kc // 32) * 32
+            if nb ** 3 * 4 * kpad * 4 <= budget_bytes:
+                break
+        else:
             import warnings
             warnings.warn(
-                f"VoronoiGrid: block-candidate table would need "
-                f"{nb**3 * kc * 4 / 1e9:.1f} GB (kc={kc}; clustered "
-                "sites); falling back to the MXU distance scan for point "
-                "location")
-            self._blk_cand_np = None
+                f"VoronoiGrid: block-candidate table exceeds the "
+                f"{budget_bytes >> 20} MB budget at every block "
+                "resolution (clustered sites); falling back to the MXU "
+                "distance scan for point location")
+            self._blk_flat_np = None
             return
         cand = self._tree.query_ball_point(centers, radius, workers=-1)
-        table = np.full((nb ** 3, kc), -1, np.int32)
+        flat = np.empty((nb ** 3, 4 * kpad), np.float32)
+        flat[:, 0 * kpad:3 * kpad] = 1e9    # pad coords: never nearest
+        flat[:, 3 * kpad:] = 0.0
+        sites = self._sites_np              # scaled f32 coordinates
         for i, c in enumerate(cand):
-            table[i, :len(c)] = c
+            n = len(c)
+            flat[i, 0 * kpad:0 * kpad + n] = sites[c, 0]
+            flat[i, 1 * kpad:1 * kpad + n] = sites[c, 1]
+            flat[i, 2 * kpad:2 * kpad + n] = sites[c, 2]
+            flat[i, 3 * kpad:3 * kpad + n] = np.asarray(c, np.float32)
         self._blk_nb = nb
-        self._blk_cand_np = table
+        self._blk_k = kpad
+        # numpy on purpose (inlined HLO literal): captured device arrays
+        # poison axon dispatch (grids/cartesian.py note), and literals
+        # past the remote-compile request cap 413 — hence the byte budget
+        self._blk_flat_np = flat
         inv = 1.0 / self.scale
         self._blk_lo_np = np.asarray(lo * inv, np.float32)
         self._blk_inv_np = np.asarray(1.0 / (bsize * inv), np.float32)
 
     def _nearest_blocks(self, p):
         self._ensure_blocks()
-        if self._blk_cand_np is None:   # table over budget: exact fallback
+        if self._blk_flat_np is None:   # table over budget: exact fallback
             return self._nearest_scan(p)
         shape = p.shape[:-1]
         p2 = p.reshape(-1, 3)
         nb = self._blk_nb
+        K = self._blk_k
         rel = (p2 - jnp.asarray(self._blk_lo_np)) \
             * jnp.asarray(self._blk_inv_np)
         ib = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nb - 1)
         blk = (ib[:, 0] * nb + ib[:, 1]) * nb + ib[:, 2]
-        cand = jnp.asarray(self._blk_cand_np)[blk]          # (M, K)
-        K = cand.shape[1]
-        # chunk the candidate axis: clustered meshes can push the max
-        # row length into the hundreds, and materializing (M, K, 3)
-        # site gathers at panel-batch M OOMs HBM — a running best over
-        # 64-wide chunks keeps the working set (M, 64, 3)
-        CK = 64
-        Kpad = -(-K // CK) * CK
-        if Kpad > K:
-            cand = jnp.pad(cand, ((0, 0), (0, Kpad - K)),
-                           constant_values=-1)
-        sites_d = jnp.asarray(self._sites_np)
-        cand_c = cand.reshape(-1, Kpad // CK, CK).swapaxes(0, 1)
-
-        def body(carry, cc):
-            best_d, best_i = carry
-            cs = sites_d[jnp.maximum(cc, 0)]                # (M, CK, 3)
-            d = jnp.sum((p2[:, None, :] - cs) ** 2, axis=-1)
-            d = jnp.where(cc >= 0, d, jnp.inf)
-            k = jnp.argmin(d, axis=1)
-            dmin = jnp.min(d, axis=1)
-            sel = jnp.arange(CK, dtype=jnp.int32)[None, :] == k[:, None]
-            ci = jnp.sum(jnp.where(sel, cc, 0), axis=1)
-            better = dmin < best_d
-            return (jnp.where(better, dmin, best_d),
-                    jnp.where(better, ci, best_i)), None
-
-        init = (jnp.full((p2.shape[0],), jnp.inf, jnp.float32),
-                jnp.full((p2.shape[0],), -1, jnp.int32))
-        (_, best), _ = jax.lax.scan(body, init, cand_c)
-        return best.reshape(shape)
+        r = jnp.asarray(self._blk_flat_np)[blk]             # (M, 4K) row
+        d = ((p2[:, 0:1] - r[:, :K]) ** 2
+             + (p2[:, 1:2] - r[:, K:2 * K]) ** 2
+             + (p2[:, 2:3] - r[:, 2 * K:3 * K]) ** 2)
+        k = jnp.argmin(d, axis=1)
+        sel = jnp.arange(K, dtype=jnp.int32)[None, :] == k[:, None]
+        best = jnp.sum(jnp.where(sel, r[:, 3 * K:], 0.0), axis=1)
+        return best.astype(jnp.int32).reshape(shape)
 
     def locate_batched(self, points):
         """Flat cell ids for arbitrary-shaped point batches (-1 outside).

@@ -30,6 +30,7 @@ _SLOW_TESTS = {
     ("test_pan.py", "test_table_energy_conservation_and_leaf_resolution"),
     ("test_pan.py", "test_table_matches_leaf_walk"),
     ("test_poly.py", "test_refill_normalization"),
+    ("test_poly.py", "test_matches_mono_direct"),
     ("test_fused_table.py", "test_two_component_refill"),
     ("test_migrate.py", "test_parity_vs_single_device"),
     ("test_golden.py", "test_reference_exact_outputs_pinned"),
