@@ -4,6 +4,7 @@ The octree uses the streaming traversal sweep (top-down re-descend per
 step) — gather-bound.  This records the honest number for BASELINE.md.
 """
 
+import os
 import time
 
 import numpy as np
@@ -44,13 +45,15 @@ def main():
     def rho_np(pos):
         return np.asarray(torus.density(pos))
 
-    grid = OctreeGrid(extent, rho_np, min_level=2, max_level=5)
+    # OCTREE_WALK=neighbor: the reference's Neighbor search method (baked
+    # face rows, one row gather per step) instead of the root re-descend
+    grid = OctreeGrid(extent, rho_np, min_level=2, max_level=5,
+                      traversal=os.environ.get("OCTREE_WALK", "redescend"))
     print(f"octree: {grid.ncells} cells, max_steps={grid.max_steps}",
           flush=True)
     mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
     comp = DustComponent(torus, mix,
                          OpticalDepthNormalization("x", wg.lambdav[0], 5.0))
-    import os
     # Defaults are the ACCURACY-VALIDATED headline configuration measured
     # in BASELINE.md (fused table kernel, P_prop=16, exact column-DDA
     # peel, refill K=128, absorption on): plain `python bench_octree.py`

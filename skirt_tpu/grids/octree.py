@@ -9,10 +9,24 @@ et al. 2013).
 TPU re-design: construction is host-side NumPy (setup-time, as in the
 reference); the tree is frozen into flat arrays (child base index + box
 extents + leaf cell ids).  Traversal is a lockstep walk: exit the current
-leaf box (Cartesian slab arithmetic), nudge past the wall, and re-descend
-from the root with a bounded fori loop of octant comparisons — the
-re-descend variant is branch-arithmetic (gathers + compares), the best fit
-for SIMD lanes (no neighbor lists, no pointer chasing).
+leaf box (Cartesian slab arithmetic), nudge past the wall, and find the
+next leaf by one of two schemes (the reference's TopDown and Neighbor
+search methods, TreeDustGrid.cpp:390-560):
+
+- 'redescend' (ref TopDown): re-descend from the root with a bounded
+  fori loop of octant comparisons — ~2 gathers per tree level.
+- 'neighbor' (ref Neighbor, its ski default): per-(leaf, face) neighbor
+  lists baked host-side into ONE flat f32 row each
+  [lo3 | hi3 | node](K) so a step costs one contiguous row gather + a
+  VPU containment argmax (the same row-flat trick as the Voronoi
+  block-candidate locate).  Corner/edge-adjacent leaves are included in
+  each face list, so diagonal wall crossings resolve without fallback.
+
+The reference's third walk (Bookkeeping, Saftly et al. arithmetic
+neighbor computation on fully-refined trees) maps to the voxelized
+Cartesian DDA here (voxelize(): leaves of a midpoint tree are unions of
+finest-level voxels and the walk is pure index arithmetic) — that is
+the production fast path for table mode.
 """
 
 from __future__ import annotations
@@ -38,12 +52,14 @@ class OctreeGrid:
 
     dimension = 3
     voxelize_exact = True      # leaves are unions of finest-level voxels
+    _traversal = "redescend"   # next-leaf search: 'redescend' | 'neighbor'
 
     def __init__(self, extent, density_fn=None, *, min_level: int = 2,
                  max_level: int = 6, max_mass_fraction: float = 1e-6,
                  samples_per_node: int = 100, seed: int = 9157,
                  max_dens_disp_fraction: float = 0.0,
-                 subdivision: str = "midpoint"):
+                 subdivision: str = "midpoint",
+                 traversal: str = "redescend"):
         """extent: (xmin, ymin, zmin, xmax, ymax, zmax) in meters.
 
         density_fn(pos: (n,3) float64) -> density (host callable); nodes
@@ -61,6 +77,10 @@ class OctreeGrid:
         if subdivision not in ("midpoint", "barycentric"):
             raise ValueError("subdivision must be 'midpoint' or "
                              "'barycentric'")
+        if traversal not in ("redescend", "neighbor"):
+            raise ValueError("traversal must be 'redescend' (ref "
+                             "TopDown) or 'neighbor' (ref Neighbor)")
+        self._traversal = traversal
         self.subdivision = subdivision
         if subdivision == "barycentric":
             self.voxelize_exact = False
@@ -378,17 +398,157 @@ class OctreeGrid:
         t_exit = jnp.maximum(t_exit, t)
         ds = jnp.maximum(t_exit - t, 0.0)
 
-        # nudge past the wall relative to the local box size, then re-descend
+        # nudge past the wall relative to the local box size; then FORCE
+        # the exit-axis coordinate strictly beyond the wall — when the
+        # direction component along the exit axis is tiny, eps*dir
+        # vanishes under f32 rounding and the probe lands back ON the
+        # wall, stalling the walk at ds=0 forever (observed on a
+        # barycentric BinTree knife edge)
         span = jnp.min(bhi - blo, axis=-1)
         eps = 1e-4 * span
         probe = origin + (t_exit + eps)[..., None] * direction
-        nxt = self.descend(probe)
+        axis = jnp.argmin(t_axis, axis=-1)
+        dsel = jnp.take_along_axis(direction, axis[..., None], -1)[..., 0]
+        go_pos = dsel > 0
+        wall_hi = jnp.take_along_axis(bhi, axis[..., None], -1)[..., 0]
+        wall_lo = jnp.take_along_axis(blo, axis[..., None], -1)[..., 0]
+        forced = jnp.where(go_pos, wall_hi + eps, wall_lo - eps)
+        onehot = jnp.arange(3, dtype=jnp.int32) == axis[..., None]
+        probe = jnp.where(onehot, forced[..., None], probe)
+
+        use_nbr = self._traversal == "neighbor"
+        if use_nbr:
+            self._ensure_face_table()
+            use_nbr = self._face_rows_np is not None
+        if use_nbr:
+            nxt = self._neighbor_next(safe, axis, go_pos, probe)
+        else:
+            nxt = self.descend(probe)
 
         new_state = OctreeState(
             jnp.where(inside, nxt, node),
             jnp.where(inside, t_exit, t),
         )
         return jnp.where(inside, ds, 0.0), new_state
+
+    # -- neighbor-list walk (ref Neighbor search method) --------------------
+
+    _FACE_KMAX = 64    # bail to re-descend past this (pathologically
+                       # ungraded trees: one coarse face vs >64 fine leaves)
+
+    def _ensure_face_table(self):
+        """Host build of the per-(leaf, face) neighbor rows.
+
+        Row (cellnum*6 + face) -> [lo3 | hi3 | node](K) f32: each face's
+        candidate leaves' boxes and node ids baked into one contiguous
+        row, so the device step costs a single 2D row gather + a VPU
+        containment argmax (the Voronoi block-candidate row-flat trick).
+        Edge/corner-touching leaves are included (closed-interval overlap
+        test), so a probe nudged diagonally past two walls still finds
+        its leaf without a re-descend fallback.
+
+        ref: TreeDustGrid.cpp:460-560 (Neighbor search: per-wall sorted
+        neighbor lists, walked linearly); the containment test over a
+        fixed-width row replaces the data-dependent linear search.
+        """
+        if hasattr(self, "_face_rows_np"):
+            return
+        leaves = self.leaf_nodes
+        L = int(leaves.size)
+        lo = self.lo64[leaves]
+        hi = self.hi64[leaves]
+        span = float(np.max(self.hi64[0] - self.lo64[0]))
+        tol = 1e-9 * span
+        nbr = [[[] for _ in range(6)] for _ in range(L)]
+        for ax in range(3):
+            o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+            planes: dict = {}
+            for i, k in enumerate(np.round(hi[:, ax] / tol).astype(np.int64)):
+                planes.setdefault(int(k), ([], []))[0].append(i)
+            for i, k in enumerate(np.round(lo[:, ax] / tol).astype(np.int64)):
+                planes.setdefault(int(k), ([], []))[1].append(i)
+            for _k, (A, B) in planes.items():
+                if not A or not B:
+                    continue
+                A = np.asarray(A)
+                B = np.asarray(B)
+                ov = ((lo[A][:, None, o1] <= hi[B][None, :, o1] + tol)
+                      & (hi[A][:, None, o1] >= lo[B][None, :, o1] - tol)
+                      & (lo[A][:, None, o2] <= hi[B][None, :, o2] + tol)
+                      & (hi[A][:, None, o2] >= lo[B][None, :, o2] - tol))
+                ii, jj = np.nonzero(ov)
+                for a, b in zip(A[ii], B[jj]):
+                    nbr[a][2 * ax + 1].append(b)    # a's +ax face sees b
+                    nbr[b][2 * ax].append(a)        # b's -ax face sees a
+        kmax = max((len(v) for row in nbr for v in row), default=1)
+        if kmax > self._FACE_KMAX or self.nnodes >= (1 << 24):
+            import warnings
+            warnings.warn(
+                f"{type(self).__name__}: neighbor-list walk disabled "
+                f"(face fan-out {kmax} > {self._FACE_KMAX} or node ids "
+                "exceed f32 range); stepping falls back to re-descend")
+            self._face_rows_np = None
+            return
+        K = max(kmax, 1)
+        rows = np.empty((L * 6, 7 * K), np.float32)
+        rows[:, 0:3 * K] = 1e30      # pad lo: containment always fails
+        rows[:, 3 * K:6 * K] = -1e30
+        rows[:, 6 * K:] = -1.0
+        # round the baked boxes OUTWARD by 2 ulp: non-dyadic (barycentric)
+        # walls don't round-trip f64->f32 exactly, and a probe just
+        # inside the true box must not fail the f32 containment test
+        lof = lo.astype(np.float32)
+        lof = np.nextafter(np.nextafter(lof, -np.inf), -np.inf)
+        hif = hi.astype(np.float32)
+        hif = np.nextafter(np.nextafter(hif, np.inf), np.inf)
+        nodef = leaves.astype(np.float32)
+        for i in range(L):
+            base = i * 6
+            for f in range(6):
+                c = nbr[i][f]
+                if not c:
+                    continue
+                c = np.asarray(c)
+                m = c.size
+                r = rows[base + f]
+                for a in range(3):
+                    r[a * K:a * K + m] = lof[c, a]
+                    r[(3 + a) * K:(3 + a) * K + m] = hif[c, a]
+                r[6 * K:6 * K + m] = nodef[c]
+        self._face_k = K
+        self._face_rows_np = rows
+
+    def _neighbor_next(self, safe, axis, go_pos, probe):
+        """Next leaf via the exit face's baked neighbor row.
+
+        Corner-case gap (shared with the reference's Neighbor method): a
+        probe nudged diagonally past TWO walls can land in a COARSER
+        leaf that spans the exit plane without owning a face on it — it
+        is absent from the face list.  Those (rare) misses fall back to
+        a root re-descend behind a lax.cond, so the descent only
+        executes on iterations where some lane actually missed.
+        """
+        face = axis * 2 + go_pos.astype(jnp.int32)
+        cell = self.cellnum[safe]
+        K = self._face_k
+        rows = jnp.asarray(self._face_rows_np)[cell * 6 + face]  # (N, 7K)
+        ok = jnp.ones(rows.shape[:-1] + (K,), bool)
+        for a in range(3):
+            ok = (ok & (probe[..., a:a + 1] >= rows[..., a * K:(a + 1) * K])
+                  & (probe[..., a:a + 1] <= rows[..., (3 + a) * K:
+                                                 (4 + a) * K]))
+        k = jnp.argmax(ok, axis=-1)
+        found = jnp.any(ok, axis=-1)
+        sel = jnp.arange(K, dtype=jnp.int32) == k[..., None]
+        nid = jnp.sum(jnp.where(sel, rows[..., 6 * K:], 0.0), axis=-1)
+        nxt = jnp.where(found, nid.astype(jnp.int32), -1)
+        in_root = jnp.all((probe >= self.lo[0]) & (probe <= self.hi[0]),
+                          axis=-1)
+        miss = jnp.logical_not(found) & in_root
+        return jax.lax.cond(
+            jnp.any(miss),
+            lambda _: jnp.where(miss, self.descend(probe), nxt),
+            lambda _: nxt, None)
 
 
 class BinTreeGrid(OctreeGrid):
@@ -405,7 +565,8 @@ class BinTreeGrid(OctreeGrid):
                  max_level: int = 18, max_mass_fraction: float = 1e-6,
                  samples_per_node: int = 100, seed: int = 9157,
                  max_dens_disp_fraction: float = 0.0,
-                 subdivision: str = "midpoint"):
+                 subdivision: str = "midpoint",
+                 traversal: str = "redescend"):
         """Levels count binary splits: 3 binary levels = 1 octree level
         (reference defaults scale the same way).  subdivision
         'barycentric' = the reference's directionMethod "Barycenter"
@@ -417,6 +578,10 @@ class BinTreeGrid(OctreeGrid):
         if subdivision not in ("midpoint", "barycentric"):
             raise ValueError("subdivision must be 'midpoint' or "
                              "'barycentric'")
+        if traversal not in ("redescend", "neighbor"):
+            raise ValueError("traversal must be 'redescend' (ref "
+                             "TopDown) or 'neighbor' (ref Neighbor)")
+        self._traversal = traversal
         self.subdivision = subdivision
         lo = self.extent[:3]
         hi = self.extent[3:]

@@ -227,10 +227,12 @@ class VoronoiGrid:
 
     # site-count threshold between the two point-location schemes: below,
     # an MXU distance scan (zero gathers, traffic N*C*8 bytes); above, the
-    # block-candidate tables (K gathers/point, independent of C).  The
-    # crossover on the serial gather unit (~8.7 ns/elem) vs HBM (~0.8 TB/s)
-    # sits around C ~ 1e4-1e5.
-    _SCAN_MAX_SITES = 32768
+    # row-flat block-candidate tables (ONE row gather/point, independent
+    # of C).  Measured on TPU v5e (2^20 points): blocks win already at
+    # 4096 sites (31 vs 66 ns/pt) and stay ~flat while the scan grows
+    # linearly in C (197 ns/pt at 16k) — the scan remains only for tiny
+    # meshes where the table build isn't worth it.
+    _SCAN_MAX_SITES = 2048
 
     def nearest_site(self, p_scaled):
         """Nearest site index for scaled points (..., 3) — exact.

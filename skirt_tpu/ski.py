@@ -565,6 +565,18 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357,
         rb = _mesh_from(node.child("meshR")).scaled(0.0, s("maxR"))
         tb = _mesh_from(node.child("meshTheta"), 9).scaled(0.0, math.pi)
         return Sphere2DGrid(rb, tb)
+    def _tree_walk(default="TopDown"):
+        # ref: TreeDustGrid.hpp:44-52 — searchMethod enum (TopDown |
+        # Neighbor | Bookkeeping; the ski default is Neighbor).  TopDown
+        # maps to the re-descend walk; Neighbor to the baked face-row
+        # walk; Bookkeeping (arithmetic walk on fully-refined trees) to
+        # re-descend here, since its role — an index-arithmetic
+        # traversal — is filled by the voxelized Cartesian DDA.
+        meth = str(node.get("searchMethod", default)).lower()
+        if meth not in ("topdown", "neighbor", "bookkeeping"):
+            raise SkiParseError(f"unknown searchMethod '{meth}'")
+        return "neighbor" if meth == "neighbor" else "redescend"
+
     if n == "OctTreeDustGrid":
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
                   s("maxZ"))
@@ -575,7 +587,8 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357,
                           samples_per_node=int(s("sampleCount", 100)),
                           subdivision=("barycentric"
                                        if node.boolean("barycentric")
-                                       else "midpoint"))
+                                       else "midpoint"),
+                          traversal=_tree_walk())
     if n == "BinTreeDustGrid":
         from .grids.octree import BinTreeGrid
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
@@ -590,7 +603,8 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357,
                            samples_per_node=int(s("sampleCount", 100)),
                            subdivision=("barycentric"
                                         if dmeth == "barycenter"
-                                        else "midpoint"))
+                                        else "midpoint"),
+                           traversal=_tree_walk())
     if n == "VoronoiDustGrid":
         extent = (s("minX"), s("minY"), s("minZ"), s("maxX"), s("maxY"),
                   s("maxZ"))
