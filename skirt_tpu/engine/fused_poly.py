@@ -61,8 +61,9 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
                                          and all(grid._uniform)):
         bail("absorption tallies require a uniform Cartesian grid "
              "(in-kernel arithmetic locate)")
-    if nlambda > 8:
-        bail("nlambda <= 8 (per-lane wavelength vector lives in VMEM)")
+    if nlambda > 128:
+        bail("nlambda <= 128 (per-lane wavelength vector lives in VMEM; "
+             "split wider grids into blocks of <= 128 wavelengths)")
     if launch_fn is not None:
         bail("launch_fn not supported")
     if stellar_system.ncomp != 1 or not stellar_system.is_isotropic:
@@ -101,6 +102,15 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, W,
     tiny = np.float32(1e-30)
     # uniforms: u1, u2, u_dep, u_g, u_phi, u_c, u_pick (+ refill draws)
     n_uniform = 7 + (nu_pos + 2 if refill else 0)
+    # per-wavelength optical constants ride in as one (3, W, 128) input
+    # (Pallas forbids captured array constants); every per-wavelength
+    # quantity below is ONE (W, tr, 128) vector op so nlambda scales to
+    # production panchromatic widths without unrolling
+    oc_np = np.broadcast_to(
+        np.stack([np.asarray(kextm_w, np.float32),
+                  np.asarray(albedo_w, np.float32),
+                  np.asarray(g_w, np.float32)])[:, :, None],
+        (3, W, 128)).copy()
 
     def rho_s(X, Y, Z):
         return geom.density_scaled_xyz(X * invL, Y * invL, Z * invL,
@@ -110,13 +120,24 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, W,
         t = 1.0 + g * g - 2.0 * g * cosa
         return (1.0 - g) * (1.0 + g) / jnp.sqrt(t * t * t)
 
+    def cumsum_w(x):
+        """Inclusive prefix sum over the leading (W) axis via log2(W)
+        shifted adds."""
+        s = 1
+        while s < W:
+            x = x + jnp.concatenate(
+                [jnp.zeros((s,) + x.shape[1:], x.dtype), x[:-s]], axis=0)
+            s *= 2
+        return x
+
     def kern(*refs):
         u_ref = refs[0]
-        L_ref = refs[1]          # (W, tr, 128)
-        l0_ref = refs[2]         # (W, tr, 128)
+        oc_ref = refs[1]         # (3, W, 128): kext*m/L3 / albedo / g
+        L_ref = refs[2]          # (W, tr, 128)
+        l0_ref = refs[3]         # (W, tr, 128)
         (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
-         alive_r, ns_r) = refs[3:11]
-        nin = 11
+         alive_r, ns_r) = refs[4:12]
+        nin = 12
         if refill:
             bc_r = refs[nin]
             nin += 1
@@ -154,30 +175,28 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, W,
             cums.append(cum)
         I_tot = cum
 
-        tau_w = [kextm_w[w] * I_tot for w in range(W)]
-        ome_w = [1.0 - jnp.exp(-tau_w[w]) for w in range(W)]
-        Lm_w = [jnp.where(alive, L_ref[w], 0.0) for w in range(W)]
+        kext = oc_ref[0][:, None, :]                     # (W, 1, 128)
+        alb = oc_ref[1][:, None, :]
+        gw = oc_ref[2][:, None, :]
+        wi = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 128), 0)
+        tau = kext * I_tot[None]                         # (W, tr, 128)
+        ome = 1.0 - jnp.exp(-tau)
+        Lm = jnp.where(alive[None], L_ref[:], 0.0)
 
         # -- absorption deposit: one sampled wavelength per event ---------
         if want_labs:
-            D_w = [(1.0 - albedo_w[w]) * Lm_w[w] * ome_w[w]
-                   for w in range(W)]
-            Dsum = D_w[0]
-            for w in range(1, W):
-                Dsum = Dsum + D_w[w]
+            D = (1.0 - alb) * Lm * ome
+            Dsum = jnp.sum(D, axis=0)
             target = uget(6) * Dsum
-            accd = jnp.zeros_like(Dsum)
-            wsel = jnp.zeros(X.shape, jnp.int32)
-            for w in range(W - 1):
-                accd = accd + D_w[w]
-                wsel = wsel + (accd <= target).astype(jnp.int32)
-            tau_sel = tau_w[0]
-            kinv_sel = jnp.full(X.shape, np.float32(1.0 / kextm_w[0]))
-            for w in range(1, W):
-                sel = wsel == w
-                tau_sel = jnp.where(sel, tau_w[w], tau_sel)
-                kinv_sel = jnp.where(sel, np.float32(1.0 / kextm_w[w]),
-                                     kinv_sel)
+            if W > 1:
+                cumD = cumsum_w(D)
+                wsel = jnp.sum((cumD[:W - 1] <= target[None])
+                               .astype(jnp.int32), axis=0)
+            else:
+                wsel = jnp.zeros(X.shape, jnp.int32)
+            ohw = wi == wsel[None]
+            tau_sel = jnp.sum(jnp.where(ohw, tau, 0.0), axis=0)
+            kinv_sel = 1.0 / jnp.sum(jnp.where(ohw, kext, 0.0), axis=0)
             tau_dep = _expon_cutoff(uget(2), tau_sel)
             I_dep = tau_dep * kinv_sel
             i_dep = jnp.zeros(X.shape, jnp.int32)
@@ -191,18 +210,14 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, W,
             odepi[:] = jnp.where(okd, cell * W + wsel, -1)
             odepv[:] = jnp.where(okd, Dsum, 0.0)
 
-        Lab_w = [albedo_w[w] * Lm_w[w] * ome_w[w] for w in range(W)]
+        Lab = alb * Lm * ome
 
         # -- mixture-driver forced propagation ----------------------------
         c = jnp.minimum((uget(5) * np.float32(W)).astype(jnp.int32), W - 1)
-        tau_c = tau_w[0]
-        kinv_c = jnp.full(X.shape, np.float32(1.0 / kextm_w[0]))
-        g_c = jnp.full(X.shape, g_w[0])
-        for w in range(1, W):
-            sel = c == w
-            tau_c = jnp.where(sel, tau_w[w], tau_c)
-            kinv_c = jnp.where(sel, np.float32(1.0 / kextm_w[w]), kinv_c)
-            g_c = jnp.where(sel, g_w[w], g_c)
+        ohc = wi == c[None]
+        tau_c = jnp.sum(jnp.where(ohc, tau, 0.0), axis=0)
+        kinv_cc = 1.0 / jnp.sum(jnp.where(ohc, kext, 0.0), axis=0)
+        g_cc = jnp.sum(jnp.where(ohc, gw, 0.0), axis=0)
         u1 = uget(0)
         u2 = uget(1)
         tau_exp = _expon_cutoff(u2, tau_c)
@@ -210,7 +225,7 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, W,
             tau_smp = tau_exp
         else:
             tau_smp = jnp.where(u1 < xi, u2 * tau_c, tau_exp)
-        I_s = tau_smp * kinv_c
+        I_s = tau_smp * kinv_cc
 
         i_hit = jnp.zeros(X.shape, jnp.int32)
         for kk in range(npanels - 1):
@@ -233,48 +248,34 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, W,
         Z = jnp.where(alive, Z + s * DZ, Z)
 
         # -- per-wavelength mixture ratios --------------------------------
-        F_w = [kextm_w[w] * jnp.exp(-kextm_w[w] * I_s)
-               / jnp.maximum(ome_w[w], tiny) for w in range(W)]
+        F = kext * jnp.exp(-kext * I_s[None]) / jnp.maximum(ome, tiny)
         if xi == 0.0:
-            Q_w = F_w
+            Q = F
         else:
-            Q_w = [(1.0 - xi) * F_w[w]
-                   + np.float32(xi) * kextm_w[w]
-                   / jnp.maximum(tau_w[w], tiny) for w in range(W)]
-        Qmix = Q_w[0]
-        for w in range(1, W):
-            Qmix = Qmix + Q_w[w]
-        Qmix = Qmix * np.float32(1.0 / W)
+            Q = ((1.0 - xi) * F
+                 + np.float32(xi) * kext / jnp.maximum(tau, tiny))
+        Qmix = jnp.sum(Q, axis=0) * np.float32(1.0 / W)
 
         u_g = uget(3)
         u_phi = uget(4)
-        f = (1.0 - g_c) * (1.0 + g_c) / (1.0 - g_c + 2.0 * g_c * u_g)
-        small_g = jnp.abs(g_c) < 1e-6
-        cos_hg = (1.0 + g_c * g_c - f * f) / (2.0
-                                              * jnp.where(small_g, 1.0,
-                                                          g_c))
+        f = (1.0 - g_cc) * (1.0 + g_cc) / (1.0 - g_cc + 2.0 * g_cc * u_g)
+        small_g = jnp.abs(g_cc) < 1e-6
+        cos_hg = (1.0 + g_cc * g_cc - f * f) / (2.0
+                                                * jnp.where(small_g, 1.0,
+                                                            g_cc))
         costheta = jnp.where(small_g, 2.0 * u_g - 1.0,
                              jnp.clip(cos_hg, -1.0, 1.0))
-        HG_w = [hg(g_w[w], costheta) for w in range(W)]
-        QHmix = Q_w[0] * HG_w[0]
-        for w in range(1, W):
-            QHmix = QHmix + Q_w[w] * HG_w[w]
-        QHmix = QHmix * np.float32(1.0 / W)
+        HG = hg(gw, costheta[None])                      # (W, tr, 128)
+        QHmix = jnp.sum(Q * HG, axis=0) * np.float32(1.0 / W)
 
-        Lp_w = [Lab_w[w] * F_w[w] / jnp.maximum(Qmix, tiny)
-                for w in range(W)]
-        Ln_w = [Lab_w[w] * F_w[w] * HG_w[w] / jnp.maximum(QHmix, tiny)
-                for w in range(W)]
+        Lp = Lab * F / jnp.maximum(Qmix[None], tiny)
+        Ln = Lab * F * HG / jnp.maximum(QHmix[None], tiny)
 
         past_min = nscatt >= min_scatt
-        any_next = jnp.zeros(X.shape, bool)
-        for w in range(W):
-            Lth = l0_ref[w] * inv_minred
-            kill = (Ln_w[w] <= Lth) & past_min
-            Lp_w[w] = jnp.where(kill, 0.0, Lp_w[w])
-            Ln_w[w] = jnp.where(kill, 0.0, Ln_w[w])
-            any_next = any_next | (Ln_w[w] > 0)
-        alive = alive & any_next & (I_tot > tiny)
+        kill = (Ln <= l0_ref[:] * inv_minred) & past_min[None]
+        Lp = jnp.where(kill, 0.0, Lp)
+        Ln = jnp.where(kill, 0.0, Ln)
+        alive = alive & jnp.any(Ln > 0, axis=0) & (I_tot > tiny)
 
         # -- persistent-lane relaunch (in-kernel, fused.py pattern) -------
         fresh = jnp.zeros(X.shape, bool)
@@ -291,9 +292,8 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, W,
             DX = jnp.where(eligible, st_ * jnp.cos(ph2), DX)
             DY = jnp.where(eligible, st_ * jnp.sin(ph2), DY)
             DZ = jnp.where(eligible, ct, DZ)
-            for w in range(W):
-                Ln_w[w] = jnp.where(eligible, l0_ref[w], Ln_w[w])
-                Lp_w[w] = jnp.where(eligible, 0.0, Lp_w[w])
+            Ln = jnp.where(eligible[None], l0_ref[:], Ln)
+            Lp = jnp.where(eligible[None], 0.0, Lp)
             nscatt = jnp.where(eligible, 0, nscatt)
             bcount = bcount + eligible.astype(jnp.int32)
             fresh = eligible
@@ -353,11 +353,10 @@ def _build_kernel(grid, ds, leaders, npanels, np_peel, options, W,
         odz[:] = DZ
         oalive[:] = alive.astype(jnp.int32)
         ons[:] = nscatt
-        for w in range(W):
-            oLn[w] = jnp.where(alive, Ln_w[w], 0.0)
-            oLp[w] = jnp.where(alive, Lp_w[w], 0.0)
+        oLn[:] = jnp.where(alive[None], Ln, 0.0)
+        oLp[:] = jnp.where(alive[None], Lp, 0.0)
 
-    return kern, n_uniform, [float(k) for k in kextm_w], \
+    return kern, n_uniform, oc_np, [float(k) for k in kextm_w], \
         [float(g) for g in g_w]
 
 
@@ -387,13 +386,16 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
     leaders, lead_of = _group_leaders(instruments)
     nlead = len(leaders)
     tile_rows = int(getattr(options, "fused_tile_rows", 32))
+    # VMEM budget: ~a dozen live (W, tile_rows, 128) f32 temporaries;
+    # keep W * tile_rows <= 1024 (<= ~8 MB of live VMEM) at wide W
+    tile_rows = min(tile_rows, max(8, (1024 // W) // 8 * 8))
     refill = options.refill_batches > 1
     K = int(options.refill_batches) if refill else 1
     sampler = (stellar_system.components[0].geometry.device_sampler_xyz()
                if refill else None)
     interpret = jax.default_backend() != "tpu"
 
-    kern, n_uniform, kextm_w, g_w = _build_kernel(
+    kern, n_uniform, oc_np, kextm_w, g_w = _build_kernel(
         grid, ds, leaders, npanels, np_peel, options, W, want_labs,
         scattering_peeloff, sampler)
     peels = [make_peel_off(grid, ds, ins) for ins in instruments]
@@ -402,6 +404,8 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
                    else options.max_scatt_events) * K
 
     n_state = 8 + (1 if refill else 0)
+
+    oc_dev = oc_np
 
     def call_kernel(u, Lw, l0w, state):
         R = state[0].shape[0]
@@ -414,6 +418,9 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
         def blkW(lead):
             return pl.BlockSpec((lead, tr, 128), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
+
+        oc_spec = pl.BlockSpec((3, W, 128), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
 
         out_shapes = [jax.ShapeDtypeStruct((R, 128), dt)
                       for dt in [jnp.float32] * 6 + [jnp.int32] * 2]
@@ -433,12 +440,12 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
         return pl.pallas_call(
             kern,
             grid=(R // tr,),
-            in_specs=[blkW(n_uniform), blkW(W), blkW(W)]
+            in_specs=[blkW(n_uniform), oc_spec, blkW(W), blkW(W)]
             + [blk() for _ in range(n_state)],
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(u, Lw, l0w, *state)
+        )(u, jnp.asarray(oc_dev), Lw, l0w, *state)
 
     def run_batch(key, ell, L0, tallies, launch_ctx=None):
         del ell, launch_ctx
@@ -454,7 +461,9 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
         L = L0.T
         alive = jnp.any(L > 0, axis=0)
         dust_flags = jnp.full(n, bool(is_dust_emission))
-        ell_w = [jnp.full(n, w, jnp.int32) for w in range(W)]
+        wls = np.arange(W, dtype=np.int32)
+        kext_col = jnp.asarray(np.asarray(kextm_w, np.float32))[:, None]
+        g_col = np.asarray(g_w, np.float32)[:, None]
 
         # -- pack ---------------------------------------------------------
         tile = tile_rows * 128
@@ -477,8 +486,12 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
         labs = tallies.get("labs")
         l0_p = packW(L0.T)
 
+        kext_t_col = jnp.asarray(
+            np.asarray(ds.kappaext, np.float32)[0, :W])[:, None]
+
         def detect_emission(ins_list, pos_p, Lw, ns_p):
-            # emission peel: XLA quadrature toward each leader once
+            # emission peel: XLA quadrature toward each leader once;
+            # Lw is (W, N), one vectorized detect per instrument
             from . import vector_traversal as vt
             tags = {"nscatt": ns_p, "is_dust": dust_flags}
             Ipe = []
@@ -487,30 +500,23 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
                     jnp.asarray(np.asarray(kvec, np.float32)), pos_p.shape)
                 dsg, _, midp = vt.panel_paths(grid, pos_p, kobs, np_peel)
                 ones = [jnp.ones(n, jnp.float32)]
+                # with unit weights analytic_rows returns the kg/m^3
+                # density rows -> tau_w = kappaext_w * integral
                 rows = ds.analytic_rows(pos_p, kobs, midp, None, ones,
                                         want_sca=False)
-                # analytic_rows folds mass/L^3 via _mass_over_L3? it
-                # multiplies kext_pk * rho_kgm3; with ones it returns the
-                # kg/m^3 density rows -> tau_w = kappaext_w * integral
                 Ipe.append(jnp.sum(rows * dsg, axis=1))
-            kext_t = np.asarray(ds.kappaext, np.float64)[0]
             out = list(ins_list)
             for i, ins in enumerate(instruments):
-                t = out[i]
-                for w in range(W):
-                    cw = jnp.where(alive, Lw[w], 0.0)
-                    extincted = cw * jnp.exp(
-                        -np.float32(kext_t[w]) * Ipe[lead_of[i]])
-                    t = ins.detect(t, pos_p, ell_w[w], extincted,
-                                   dict(tags, transparent=cw))
-                out[i] = t
+                cw = jnp.where(alive[None], Lw, 0.0)
+                ext = cw * jnp.exp(-kext_t_col * Ipe[lead_of[i]][None])
+                out[i] = ins.detect_poly(out[i], pos_p, wls, ext,
+                                         dict(tags, transparent=cw))
             return out
 
         ins0 = tallies["instruments"]
         if emission_peeloff:
-            ins0 = detect_emission(
-                list(ins0), pos, [L[w] for w in range(W)],
-                jnp.zeros(n, jnp.int32))
+            ins0 = detect_emission(list(ins0), pos, L,
+                                   jnp.zeros(n, jnp.int32))
 
         state0 = {"pos": pos, "dir": direction, "L": L, "alive": alive,
                   "ns": jnp.zeros(n, jnp.int32)}
@@ -565,18 +571,18 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
                 for i, ins_obj in enumerate(instruments):
                     Ii = unpack(Ips[lead_of[i]])
                     cosj = unpack(coss[lead_of[i]])
-                    t = ins[i]
-                    for w in range(W):
-                        pw = hg_np(g_w[w], cosj)
-                        cw = Lp[w] * pw
-                        if fresh is not None:
-                            cw = jnp.where(fresh, Ln[w], cw)
-                        cw = jnp.where(alive_new, cw, 0.0)
-                        extincted = cw * jnp.exp(
-                            -np.float32(kextm_w[w]) * Ii)
-                        t = ins_obj.detect(t, pos_new, ell_w[w], extincted,
-                                           dict(tags2, transparent=cw))
-                    ins[i] = t
+                    # HG phase weights for all wavelengths at once
+                    tq = 1.0 + g_col * g_col - 2.0 * g_col * cosj[None]
+                    pw = ((1.0 - g_col) * (1.0 + g_col)
+                          / jnp.sqrt(tq * tq * tq))
+                    cw = Lp * pw
+                    if fresh is not None:
+                        cw = jnp.where(fresh[None], Ln, cw)
+                    cw = jnp.where(alive_new[None], cw, 0.0)
+                    ext = cw * jnp.exp(-kext_col * Ii[None])
+                    ins[i] = ins_obj.detect_poly(
+                        ins[i], pos_new, wls, ext,
+                        dict(tags2, transparent=cw))
             return {"it": st["it"] + 1, "s": s_new, "ins": ins,
                     "labs": labs_c}
 
@@ -592,9 +598,5 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
         if labs is not None:
             out["labs"] = final["labs"]
         return out
-
-    def hg_np(g, cosa):
-        t = 1.0 + g * g - 2.0 * np.float32(g) * cosa
-        return np.float32((1.0 - g) * (1.0 + g)) / jnp.sqrt(t * t * t)
 
     return run_batch

@@ -73,9 +73,9 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
         bail("continuous_scattering not supported")
     if options.store_absorption and options.deposition != "sampled":
         bail("absorption tallies require deposition='sampled'")
-    if nlambda > 8:
-        bail("nlambda <= 8 (per-lane wavelength vector lives in VMEM; "
-             "use wavelength blocks / the monochromatic kernel above)")
+    if nlambda > 128:
+        bail("nlambda <= 128 (per-lane wavelength vector lives in VMEM; "
+             "split wider grids into blocks of <= 128 wavelengths)")
     if launch_fn is not None:
         bail("launch_fn not supported (dust-emission phases launch with "
              "per-cell lambda spectra; use the monochromatic kernel)")
@@ -109,10 +109,22 @@ def _build_kernel(grid, options, W, npanels, want_labs,
     xi = float(options.scatt_bias)
     min_scatt = int(options.min_scatt_events)
     inv_minred = np.float32(1.0 / options.min_weight_reduction)
-    kext_w = [np.float32(k) for k in kext_w]
-    albedo_w = [np.float32(a) for a in albedo_w]
-    g_w = [np.float32(g) for g in g_w]
+    # per-wavelength optical constants ride in as ONE tiny (3, W, 128)
+    # input (Pallas forbids captured array constants): every
+    # per-wavelength quantity is ONE (W, tr, 128) vector op, so nlambda
+    # scales to production panchromatic widths (24-128) without unrolling
     tiny = np.float32(1e-30)
+
+    def cumsum_w(x):
+        """Inclusive prefix sum over the leading (W) axis: log2(W)
+        shifted adds (Mosaic has no native cumsum over sublane-major
+        leading dims)."""
+        s = 1
+        while s < W:
+            x = x + jnp.concatenate(
+                [jnp.zeros((s,) + x.shape[1:], x.dtype), x[:-s]], axis=0)
+            s *= 2
+        return x
 
     def locate(X, Y, Z):
         ix = jnp.floor((X - np.float32(lo[0]))
@@ -134,11 +146,12 @@ def _build_kernel(grid, options, W, npanels, want_labs,
     def kern(*refs):
         u_ref = refs[0]
         r_ref = refs[1]          # (P, tr, 128) raw rho panels
-        L_ref = refs[2]          # (W, tr, 128)
-        l0_ref = refs[3]         # (W, tr, 128)
+        oc_ref = refs[2]         # (3, W, 128): kext / albedo / g rows
+        L_ref = refs[3]          # (W, tr, 128)
+        l0_ref = refs[4]         # (W, tr, 128)
         (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
-         alive_r, ns_r, t0_r, dt_r) = refs[4:14]
-        out = refs[14:]
+         alive_r, ns_r, t0_r, dt_r) = refs[5:15]
+        out = refs[15:]
         opx, opy, opz, odx, ody, odz, oalive, ons = out[:8]
         oLn = out[8]             # (W, tr, 128) onward luminosities
         oLp = out[9]             # (W, tr, 128) peel luminosities
@@ -164,30 +177,28 @@ def _build_kernel(grid, options, W, npanels, want_labs,
             cums.append(cum)
         I_tot = cum
 
-        tau_w = [kext_w[w] * I_tot for w in range(W)]
-        ome_w = [1.0 - jnp.exp(-tau_w[w]) for w in range(W)]
-        Lm_w = [jnp.where(alive, L_ref[w], 0.0) for w in range(W)]
+        kext = oc_ref[0][:, None, :]                     # (W, 1, 128)
+        alb = oc_ref[1][:, None, :]
+        gw = oc_ref[2][:, None, :]
+        wi = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 128), 0)
+        tau = kext * I_tot[None]                         # (W, tr, 128)
+        ome = 1.0 - jnp.exp(-tau)
+        Lm = jnp.where(alive[None], L_ref[:], 0.0)
 
         # -- absorption deposit: one sampled wavelength per event ---------
         if want_labs:
-            D_w = [(1.0 - albedo_w[w]) * Lm_w[w] * ome_w[w]
-                   for w in range(W)]
-            Dsum = D_w[0]
-            for w in range(1, W):
-                Dsum = Dsum + D_w[w]
+            D = (1.0 - alb) * Lm * ome                   # (W, tr, 128)
+            Dsum = jnp.sum(D, axis=0)
             target = uget(6) * Dsum
-            accd = jnp.zeros_like(Dsum)
-            wsel = jnp.zeros(X.shape, jnp.int32)
-            for w in range(W - 1):
-                accd = accd + D_w[w]
-                wsel = wsel + (accd <= target).astype(jnp.int32)
-            tau_sel = tau_w[0]
-            kinv_sel = jnp.full(X.shape, np.float32(1.0 / kext_w[0]))
-            for w in range(1, W):
-                sel = wsel == w
-                tau_sel = jnp.where(sel, tau_w[w], tau_sel)
-                kinv_sel = jnp.where(sel, np.float32(1.0 / kext_w[w]),
-                                     kinv_sel)
+            if W > 1:
+                cumD = cumsum_w(D)
+                wsel = jnp.sum((cumD[:W - 1] <= target[None])
+                               .astype(jnp.int32), axis=0)
+            else:
+                wsel = jnp.zeros(X.shape, jnp.int32)
+            ohw = wi == wsel[None]
+            tau_sel = jnp.sum(jnp.where(ohw, tau, 0.0), axis=0)
+            kinv_sel = 1.0 / jnp.sum(jnp.where(ohw, kext, 0.0), axis=0)
             tau_dep = _expon_cutoff(uget(2), tau_sel)
             I_dep = tau_dep * kinv_sel
             i_dep = jnp.zeros(X.shape, jnp.int32)
@@ -209,19 +220,15 @@ def _build_kernel(grid, options, W, npanels, want_labs,
                 odepd[:] = jnp.where(okd, mid_dep, -1.0)
 
         # -- scattered luminosity (absorption split) ----------------------
-        Lab_w = [albedo_w[w] * Lm_w[w] * ome_w[w] for w in range(W)]
+        Lab = alb * Lm * ome
 
         # -- mixture-driver forced propagation ----------------------------
         # driver wavelength c uniform in [0, W)
         c = jnp.minimum((uget(5) * np.float32(W)).astype(jnp.int32), W - 1)
-        tau_c = tau_w[0]
-        kinv_c = jnp.full(X.shape, np.float32(1.0 / kext_w[0]))
-        g_c = jnp.full(X.shape, g_w[0])
-        for w in range(1, W):
-            sel = c == w
-            tau_c = jnp.where(sel, tau_w[w], tau_c)
-            kinv_c = jnp.where(sel, np.float32(1.0 / kext_w[w]), kinv_c)
-            g_c = jnp.where(sel, g_w[w], g_c)
+        ohc = wi == c[None]
+        tau_c = jnp.sum(jnp.where(ohc, tau, 0.0), axis=0)
+        kinv_cc = 1.0 / jnp.sum(jnp.where(ohc, kext, 0.0), axis=0)
+        g_cc = jnp.sum(jnp.where(ohc, gw, 0.0), axis=0)
         u1 = uget(0)
         u2 = uget(1)
         tau_exp = _expon_cutoff(u2, tau_c)
@@ -229,7 +236,7 @@ def _build_kernel(grid, options, W, npanels, want_labs,
             tau_smp = tau_exp
         else:
             tau_smp = jnp.where(u1 < xi, u2 * tau_c, tau_exp)
-        I_s = tau_smp * kinv_c          # I(s) at the interaction point
+        I_s = tau_smp * kinv_cc         # I(s) at the interaction point
 
         # panel inversion in I space (cums are lambda-independent)
         i_hit = jnp.zeros(X.shape, jnp.int32)
@@ -253,52 +260,38 @@ def _build_kernel(grid, options, W, npanels, want_labs,
         Z = jnp.where(alive, Z + s * DZ, Z)
 
         # -- per-wavelength mixture ratios (arithmetic in I_s) ------------
-        F_w = [kext_w[w] * jnp.exp(-kext_w[w] * I_s)
-               / jnp.maximum(ome_w[w], tiny) for w in range(W)]
+        F = kext * jnp.exp(-kext * I_s[None]) / jnp.maximum(ome, tiny)
         if xi == 0.0:
-            Q_w = F_w
+            Q = F
         else:
-            Q_w = [(1.0 - xi) * F_w[w]
-                   + np.float32(xi) * kext_w[w]
-                   / jnp.maximum(tau_w[w], tiny) for w in range(W)]
-        Qmix = Q_w[0]
-        for w in range(1, W):
-            Qmix = Qmix + Q_w[w]
-        Qmix = Qmix * np.float32(1.0 / W)
+            Q = ((1.0 - xi) * F
+                 + np.float32(xi) * kext / jnp.maximum(tau, tiny))
+        Qmix = jnp.sum(Q, axis=0) * np.float32(1.0 / W)
 
         # -- Henyey-Greenstein scatter with the driver's g ----------------
         u_g = uget(3)
         u_phi = uget(4)
-        f = (1.0 - g_c) * (1.0 + g_c) / (1.0 - g_c + 2.0 * g_c * u_g)
-        small_g = jnp.abs(g_c) < 1e-6
-        cos_hg = (1.0 + g_c * g_c - f * f) / (2.0
-                                              * jnp.where(small_g, 1.0,
-                                                          g_c))
+        f = (1.0 - g_cc) * (1.0 + g_cc) / (1.0 - g_cc + 2.0 * g_cc * u_g)
+        small_g = jnp.abs(g_cc) < 1e-6
+        cos_hg = (1.0 + g_cc * g_cc - f * f) / (2.0
+                                                * jnp.where(small_g, 1.0,
+                                                            g_cc))
         costheta = jnp.where(small_g, 2.0 * u_g - 1.0,
                              jnp.clip(cos_hg, -1.0, 1.0))
-        HG_w = [hg(g_w[w], costheta) for w in range(W)]
-        QHmix = Q_w[0] * HG_w[0]
-        for w in range(1, W):
-            QHmix = QHmix + Q_w[w] * HG_w[w]
-        QHmix = QHmix * np.float32(1.0 / W)
+        HG = hg(gw, costheta[None])                      # (W, tr, 128)
+        QHmix = jnp.sum(Q * HG, axis=0) * np.float32(1.0 / W)
 
         # peel luminosity: s-marginal weight; onward: joint weight
-        Lp_w = [Lab_w[w] * F_w[w] / jnp.maximum(Qmix, tiny)
-                for w in range(W)]
-        Ln_w = [Lab_w[w] * F_w[w] * HG_w[w] / jnp.maximum(QHmix, tiny)
-                for w in range(W)]
+        Lp = Lab * F / jnp.maximum(Qmix[None], tiny)
+        Ln = Lab * F * HG / jnp.maximum(QHmix[None], tiny)
 
         # per-wavelength termination (weight-reduction cutoff,
         # ref: MonteCarloSimulation.cpp:44-50)
         past_min = nscatt >= min_scatt
-        any_next = jnp.zeros(X.shape, bool)
-        for w in range(W):
-            Lth = l0_ref[w] * inv_minred
-            kill = (Ln_w[w] <= Lth) & past_min
-            Lp_w[w] = jnp.where(kill, 0.0, Lp_w[w])
-            Ln_w[w] = jnp.where(kill, 0.0, Ln_w[w])
-            any_next = any_next | (Ln_w[w] > 0)
-        alive = alive & any_next & (I_tot > tiny)
+        kill = (Ln <= l0_ref[:] * inv_minred) & past_min[None]
+        Lp = jnp.where(kill, 0.0, Lp)
+        Ln = jnp.where(kill, 0.0, Ln)
+        alive = alive & jnp.any(Ln > 0, axis=0) & (I_tot > tiny)
 
         phi = np.float32(2.0 * np.pi) * u_phi
         sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
@@ -331,9 +324,8 @@ def _build_kernel(grid, options, W, npanels, want_labs,
         odz[:] = DZ
         oalive[:] = alive.astype(jnp.int32)
         ons[:] = nscatt
-        for w in range(W):
-            oLn[w] = jnp.where(alive, Ln_w[w], 0.0)
-            oLp[w] = jnp.where(alive, Lp_w[w], 0.0)
+        oLn[:] = jnp.where(alive[None], Ln, 0.0)
+        oLp[:] = jnp.where(alive[None], Lp, 0.0)
 
     return kern, n_uniform
 
@@ -365,6 +357,9 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
     leaders, lead_of = _group_leaders(instruments)
     nlead = len(leaders)
     tile_rows = int(getattr(options, "fused_tile_rows", 32))
+    # VMEM budget: ~a dozen live (W, tile_rows, 128) f32 temporaries;
+    # keep W * tile_rows <= 1024 (<= ~8 MB of live VMEM) at wide W
+    tile_rows = min(tile_rows, max(8, (1024 // W) // 8 * 8))
     peel_mode = getattr(options, "table_peel", "exact")
     if peel_mode == "taumap":
         raise ValueError("polychromatic table lifecycle: table_peel="
@@ -429,29 +424,26 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
         alive = jnp.any(L > 0, axis=0)
 
         dust_flags = jnp.full(n, bool(is_dust_emission))
-        ell_w = [jnp.full(n, w, jnp.int32) for w in range(W)]
+        wls = np.arange(W, dtype=np.int32)
+        kext_col = jnp.asarray(np.asarray(kext_w, np.float32))[:, None]
+        g_col = np.asarray(g_w, np.float32)[:, None]
 
-        def detect_all(ins_list, pos_p, contrib_w, nscatt_p, Ipeel):
-            # one shared I per leader; per-lambda extinction + detect
+        def detect_all(ins_list, pos_p, contrib, nscatt_p, Ipeel):
+            # contrib (W, N); one shared I per leader, per-lambda
+            # extinction + ONE vectorized detect per instrument
             tags = {"nscatt": nscatt_p, "is_dust": dust_flags}
             out = list(ins_list)
             for i, ins in enumerate(instruments):
-                Ii = Ipeel[lead_of[i]]
-                t = out[i]
-                for w in range(W):
-                    extincted = contrib_w[w] * jnp.exp(
-                        -np.float32(kext_w[w]) * Ii)
-                    t = ins.detect(t, pos_p, ell_w[w], extincted,
-                                   dict(tags, transparent=contrib_w[w]))
-                out[i] = t
+                ext = contrib * jnp.exp(-kext_col * Ipeel[lead_of[i]][None])
+                out[i] = ins.detect_poly(out[i], pos_p, wls, ext,
+                                         dict(tags, transparent=contrib))
             return out
 
         ins0 = tallies["instruments"]
         if emission_peeloff:
             Ipeel0 = peel_I(pos)
             ins0 = detect_all(list(ins0), pos,
-                              [jnp.where(alive, L[w], 0.0)
-                               for w in range(W)],
+                              jnp.where(alive[None], L, 0.0),
                               jnp.zeros(n, jnp.int32), Ipeel0)
 
         # -- pack the lane state into (R, 128) tiles ----------------------
@@ -481,6 +473,12 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                  "labs": labs if labs is not None
                  else jnp.zeros((1,), jnp.float32)}
 
+        oc = jnp.asarray(np.broadcast_to(
+            np.stack([np.asarray(kext_w, np.float32),
+                      np.asarray(albedo_w, np.float32),
+                      np.asarray(g_w, np.float32)])[:, :, None],
+            (3, W, 128)).copy())
+
         def call_kernel(u, r, Lw, state):
             def blk():
                 return pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
@@ -490,6 +488,9 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                 return pl.BlockSpec((lead, tile_rows, 128),
                                     lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM)
+
+            oc_spec = pl.BlockSpec((3, W, 128), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
 
             out_dtypes = ([jnp.float32] * 6 + [jnp.int32] * 2)
             out_shapes = [jax.ShapeDtypeStruct((R * 128 // 128, 128), dt)
@@ -508,12 +509,13 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             return pl.pallas_call(
                 kern,
                 grid=(R // tile_rows,),
-                in_specs=[blkW(n_uniform), blkW(npanels), blkW(W), blkW(W)]
+                in_specs=[blkW(n_uniform), blkW(npanels), oc_spec,
+                          blkW(W), blkW(W)]
                 + [blk() for _ in range(10)],
                 out_specs=tuple(out_specs),
                 out_shape=tuple(out_shapes),
                 interpret=interpret,
-            )(u, r, Lw, l0_p, *state)
+            )(u, r, oc, Lw, l0_p, *state)
 
         def body(st):
             s = st["s"]
@@ -595,22 +597,22 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                     cosj = (s["dir"][:, 0] * np.float32(kvec[0])
                             + s["dir"][:, 1] * np.float32(kvec[1])
                             + s["dir"][:, 2] * np.float32(kvec[2]))
-                    Ii = Ipeel[lead_of[i]]
-                    t = ins[i]
-                    for w in range(W):
-                        pw = mix.phase_function(ell_w[w], cosj)
-                        cw = jnp.where(fresh, Ln[w], Lp[w] * pw)
-                        cw = jnp.where(alive_new, cw, 0.0)
-                        extincted = cw * jnp.exp(
-                            -np.float32(kext_w[w]) * Ii)
-                        t = ins_obj.detect(t, pos_new, ell_w[w], extincted,
-                                           dict(tags2, transparent=cw))
-                    ins[i] = t
+                    # HG phase weights for all wavelengths at once
+                    # (ref: DustMix.cpp:648-671 phaseFunctionValue)
+                    tq = 1.0 + g_col * g_col - 2.0 * g_col * cosj[None]
+                    pw = ((1.0 - g_col) * (1.0 + g_col)
+                          / jnp.sqrt(tq * tq * tq))
+                    cw = jnp.where(fresh[None], Ln, Lp * pw)
+                    cw = jnp.where(alive_new[None], cw, 0.0)
+                    ext = cw * jnp.exp(-kext_col * Ipeel[lead_of[i]][None])
+                    ins[i] = ins_obj.detect_poly(
+                        ins[i], pos_new, wls, ext,
+                        dict(tags2, transparent=cw))
             elif refill and emission_peeloff:
                 Ipeel = peel_I(pos_new)
                 ins = detect_all(ins, pos_new,
-                                 [jnp.where(fresh, Ln[w], 0.0)
-                                  for w in range(W)], ns_new, Ipeel)
+                                 jnp.where(fresh[None], Ln, 0.0),
+                                 ns_new, Ipeel)
 
             s_new = {"pos": pos_new, "dir": dir_new, "L": Ln,
                      "alive": alive_new, "ns": ns_new, "bc": bc}

@@ -76,6 +76,24 @@ class DistantInstrument:
         yp = spa * xpp + cpa * ypp
         return xp, yp
 
+    def detect_poly(self, tallies, pos, wls, contrib, tags=None):
+        """Polychromatic detect: contrib is (W, N) — row i carries
+        wavelength index wls[i] (a static numpy int array) for the SAME
+        positions.  Default implementation loops; SED/Frame subclasses
+        override with one vectorized tally update per stream (the
+        polychromatic lifecycles call this once per event instead of W
+        scalar detects).  `tags['transparent']`, if present, is (W, N).
+        """
+        n = contrib.shape[1]
+        for i, w in enumerate(np.asarray(wls)):
+            t = dict(tags) if tags else None
+            if t is not None and "transparent" in t:
+                t["transparent"] = tags["transparent"][i]
+            tallies = self.detect(tallies, pos,
+                                  jnp.full((n,), int(w), jnp.int32),
+                                  contrib[i], t)
+        return tallies
+
 
 def _bin_sum(values, ell, nlambda, mask=None):
     """Per-wavelength-bin sum as a matvec (tree reduction).
@@ -110,6 +128,14 @@ class SEDInstrument(DistantInstrument):
         tallies = dict(tallies)
         tallies["Ftot"] = tallies["Ftot"] + _bin_sum(contribution, ell,
                                                      self.nlambda)
+        return tallies
+
+    def detect_poly(self, tallies, pos, wls, contrib, tags=None):
+        # per-row wavelength index is constant: the per-bin sum is a plain
+        # row reduction + one W-element scatter (vs W one-hot matvecs)
+        tallies = dict(tallies)
+        tallies["Ftot"] = tallies["Ftot"].at[jnp.asarray(
+            np.asarray(wls, np.int32))].add(contrib.sum(axis=1))
         return tallies
 
     # -- output ------------------------------------------------------------
@@ -160,6 +186,20 @@ class FrameInstrument(DistantInstrument):
         tallies["ftot"] = binned_add(tallies["ftot"], idx, contribution)
         return tallies
 
+    def _poly_idx(self, pos, wls):
+        """(W, N) flat cube bins sharing ONE pixel projection per lane."""
+        pix = self.pixel(pos)
+        wcol = jnp.asarray(np.asarray(wls, np.int32))[:, None]
+        return jnp.where(pix[None, :] >= 0,
+                         wcol * (self.nx * self.ny) + pix[None, :], -1)
+
+    def detect_poly(self, tallies, pos, wls, contrib, tags=None):
+        tallies = dict(tallies)
+        idx = self._poly_idx(pos, wls)
+        tallies["ftot"] = binned_add(tallies["ftot"], idx.reshape(-1),
+                                     contrib.reshape(-1))
+        return tallies
+
     def write(self, accumulated, wavelength_grid, units: Units, out_dir: str,
               prefix: str):
         _write_cube(self, {"total": accumulated["ftot"]}, wavelength_grid,
@@ -180,6 +220,12 @@ class SimpleInstrument(FrameInstrument):
         tallies = super().detect(tallies, pos, ell, contribution, tags)
         tallies["Ftot"] = tallies["Ftot"] + _bin_sum(contribution, ell,
                                                      self.nlambda)
+        return tallies
+
+    def detect_poly(self, tallies, pos, wls, contrib, tags=None):
+        tallies = super().detect_poly(tallies, pos, wls, contrib, tags)
+        tallies["Ftot"] = tallies["Ftot"].at[jnp.asarray(
+            np.asarray(wls, np.int32))].add(contrib.sum(axis=1))
         return tallies
 
     def write(self, accumulated, wavelength_grid, units: Units, out_dir: str,
@@ -270,6 +316,62 @@ class FullInstrument(SimpleInstrument):
                 val = contribution * ratio
                 t[key_f] = binned_add(t[key_f], idx, val)
                 t[key_F] = t[key_F] + _bin_sum(val, ell, self.nlambda)
+        return t
+
+    def detect_poly(self, tallies, pos, wls, contrib, tags=None):
+        t = super().detect_poly(tallies, pos, wls, contrib, tags)
+        if tags is None:
+            return t
+        nscatt = tags["nscatt"]
+        is_dust = tags.get("is_dust")
+        transparent = tags.get("transparent")          # (W, N) or None
+        idx = self._poly_idx(pos, wls)                 # (W, N)
+        wl_i = jnp.asarray(np.asarray(wls, np.int32))
+        npix = self.nx * self.ny
+
+        direct = nscatt == 0
+        if is_dust is None:
+            is_dust = jnp.zeros_like(direct)
+
+        def add(t, key_f, key_F, mask, value):
+            t[key_f] = binned_add(t[key_f],
+                                  jnp.where(mask[None], idx, -1).reshape(-1),
+                                  value.reshape(-1))
+            t[key_F] = t[key_F].at[wl_i].add(
+                jnp.where(mask[None], value, 0.0).sum(axis=1))
+            return t
+
+        t = dict(t)
+        t = add(t, "fdirstel", "Fdirstel", direct & ~is_dust, contrib)
+        t = add(t, "fscastel", "Fscastel", ~direct & ~is_dust, contrib)
+        t = add(t, "fdirdust", "Fdirdust", direct & is_dust, contrib)
+        t = add(t, "fscadust", "Fscadust", ~direct & is_dust, contrib)
+        if transparent is not None:
+            t = add(t, "ftra", "Ftra", direct & ~is_dust, transparent)
+        if self.nscatt_levels > 0:
+            lev = jnp.clip(nscatt - 1, 0, self.nscatt_levels - 1)
+            in_lev = (nscatt >= 1) & (nscatt <= self.nscatt_levels)
+            level_idx = jnp.where(in_lev[None] & (idx >= 0),
+                                  lev[None] * (self.nlambda * npix) + idx,
+                                  -1)
+            t["fscatlev"] = binned_add(
+                t["fscatlev"].reshape(-1), level_idx.reshape(-1),
+                contrib.reshape(-1)).reshape(self.nscatt_levels, -1)
+            Fidx = jnp.where(in_lev[None],
+                             lev[None] * self.nlambda + wl_i[:, None], -1)
+            t["Fscatlev"] = binned_add(
+                t["Fscatlev"].reshape(-1), Fidx.reshape(-1),
+                contrib.reshape(-1)).reshape(self.nscatt_levels, -1)
+        if self.polarization and tags.get("stokes") is not None:
+            # stokes ratios broadcast against (W, N): per-lane (N,) for
+            # lambda-independent Mueller matrices, (W, N) otherwise
+            q, u, v = tags["stokes"]
+            for key_f, key_F, ratio in (("fQ", "FQ", q), ("fU", "FU", u),
+                                        ("fV", "FV", v)):
+                val = jnp.broadcast_to(contrib * ratio, contrib.shape)
+                t[key_f] = binned_add(t[key_f], idx.reshape(-1),
+                                      val.reshape(-1))
+                t[key_F] = t[key_F].at[wl_i].add(val.sum(axis=1))
         return t
 
     def write(self, accumulated, wavelength_grid, units: Units, out_dir: str,

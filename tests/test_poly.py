@@ -220,6 +220,84 @@ class TestPolyAnalytic:
         np.testing.assert_allclose(fr, fp, rtol=0.08)
 
 
+class TestPolyWide:
+    """Production-width wavelength vectors (nlambda > 8): the W axis is
+    a vectorized leading array dimension in both poly kernels, so the
+    old per-lane unroll cap is gone.  Parity vs the monochromatic fused
+    kernel at matched per-wavelength launch totals, with per-lambda
+    VARYING optical properties (catches W-axis indexing errors)."""
+
+    W = 12
+
+    def _setup(self):
+        from skirt_tpu.geometry import ExpDiskGeometry, PointGeometry
+        from skirt_tpu.grids import CartesianGrid
+        from skirt_tpu.media import (DustComponent, DustSystem,
+                                     OpticalDepthNormalization,
+                                     SimpleOligoDustMix)
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from skirt_tpu.wavelengths import OligoWavelengthGrid
+
+        W = self.W
+        wg = OligoWavelengthGrid(list(np.linspace(0.4e-6, 2.4e-6, W)))
+        ss = StellarSystem([LuminosityStellarComponent(
+            PointGeometry(), wg, [1e36] * W)])
+        half = 12 * 3.086e19
+        b = np.linspace(-half, half, 17)
+        bz = np.linspace(-half / 6, half / 6, 9)
+        grid = CartesianGrid(b, b, bz)
+        fac = np.linspace(1.0, 0.25, W)
+        mix = SimpleOligoDustMix(wg, list(2600.0 * fac),
+                                 list(0.6 * np.linspace(1.0, 0.5, W)),
+                                 list(0.5 * np.linspace(1.0, 0.3, W)))
+        comp = DustComponent(ExpDiskGeometry(half / 3, half / 60), mix,
+                             OpticalDepthNormalization("z", 0.4e-6, 1.5))
+        dsys = DustSystem(grid, [comp], density_mode="analytic")
+        ins = [SEDInstrument("sed", 3.08e23, W, inclination=1.2,
+                             azimuth=0.7)]
+        return wg, ss, grid, dsys, ins
+
+    def test_wide_matches_mono(self):
+        wg, ss, grid, dsys, ins = self._setup()
+        W = self.W
+        n = 6 * 1024
+        common = dict(store_absorption=True, deposition="sampled",
+                      quadrature_panels=16, peel_panels=8,
+                      max_scatt_events=32, fused=True)
+        run_m = jax.jit(make_lifecycle(
+            grid, dsys, ss, ins, LifecycleOptions(**common), W))
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % W)
+        L0 = jnp.full((n,), W * 1e36 / n, jnp.float32)
+        tm = run_m(rng.root_key(4357), ell, L0, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((grid.ncells * W,), jnp.float32)})
+
+        run_p = jax.jit(make_lifecycle(
+            grid, dsys, ss, ins,
+            LifecycleOptions(polychromatic=True, **common), W))
+        # the sampled single-deposit stream splits ~n_events deposits
+        # over W wavelengths: keep the lane count high enough that the
+        # per-wavelength split is measured above MC noise
+        npl = 4096
+        L0p = jnp.full((npl, W), 1e36 / npl, jnp.float32)
+        tp = run_p(rng.root_key(4357), jnp.zeros(npl, jnp.int32), L0p, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((grid.ncells * W,), jnp.float32)})
+
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        fp = np.asarray(tp["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fp, fm, rtol=0.15)
+        lm = np.asarray(tm["labs"], np.float64).reshape(-1, W).sum(0)
+        lp = np.asarray(tp["labs"], np.float64).reshape(-1, W).sum(0)
+        # per-wavelength absorption split stays unbiased at wide W
+        np.testing.assert_allclose(lp.sum(), lm.sum(), rtol=0.05)
+        np.testing.assert_allclose(lp, lm, rtol=0.2)
+        for t in (tm, tp):
+            for leaf in jax.tree.leaves(t):
+                assert np.isfinite(np.asarray(leaf)).all()
+
+
 class TestPolyDirect:
     """Polychromatic lanes on a DIRECT-table grid (the exact Voronoi
     tessellation, no voxel rasterization): the kernel emits the deposit
