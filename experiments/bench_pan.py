@@ -64,6 +64,8 @@ def main():
                             quadrature_panels=32, max_scatt_events=64,
                             peel_panels=int(os.environ.get("PAN_PEEL", "8"))
                             or None,
+                            polychromatic=os.environ.get(
+                                "PAN_POLY", "1") == "1",
                             refill_batches=refill, fused=fused)
     sim = PanSimulation(stellar_system=ss, instruments=ins,
                         dust_system=dsys, packets=packets,

@@ -76,6 +76,8 @@ def main():
                                 deposition="sampled", fused=True,
                                 voxelize="table", quadrature_panels=16,
                                 table_peel="exact", max_scatt_events=64,
+                                polychromatic=os.environ.get(
+                                    "PANO_POLY", "1") == "1",
                                 refill_batches=int(
                                     os.environ.get("PANO_REFILL", "64")))
     else:

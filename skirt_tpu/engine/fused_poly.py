@@ -65,13 +65,17 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
         bail("nlambda <= 128 (per-lane wavelength vector lives in VMEM; "
              "split wider grids into blocks of <= 128 wavelengths)")
     if launch_fn is not None:
-        bail("launch_fn not supported")
-    if stellar_system.ncomp != 1 or not stellar_system.is_isotropic:
+        # poly launch_fn contract: (key, ell0, L0 (N, W), ctx) ->
+        # (pos, dir, L (W, N)); emission must be isotropic.  Refill for
+        # launch_fn lanes runs XLA-side between kernel invocations (the
+        # in-kernel relauncher samples closed-form device geometries only)
+        pass
+    elif stellar_system.ncomp != 1 or not stellar_system.is_isotropic:
         bail("requires a single isotropic stellar component")
     for ins in instruments:
         if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
             bail("requires distant (constant-direction) instruments")
-    if options.refill_batches > 1:
+    if options.refill_batches > 1 and launch_fn is None:
         geom = stellar_system.components[0].geometry
         if geom.device_sampler_xyz() is None:
             bail(f"refill: {type(geom).__name__} has no closed-form "
@@ -390,9 +394,14 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
     # keep W * tile_rows <= 1024 (<= ~8 MB of live VMEM) at wide W
     tile_rows = min(tile_rows, max(8, (1024 // W) // 8 * 8))
     refill = options.refill_batches > 1
+    # in-kernel relaunch for the stellar (closed-form sampler) launch;
+    # XLA-side relaunch between kernel invocations for launch_fn lanes
+    # (dust-emission phases sample per-cycle alias tables)
+    refill_kernel = refill and launch_fn is None
+    refill_xla = refill and launch_fn is not None
     K = int(options.refill_batches) if refill else 1
     sampler = (stellar_system.components[0].geometry.device_sampler_xyz()
-               if refill else None)
+               if refill_kernel else None)
     interpret = jax.default_backend() != "tpu"
 
     kern, n_uniform, oc_np, kextm_w, g_w = _build_kernel(
@@ -403,7 +412,7 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
     iter_cap = int(max_iterations if max_iterations is not None
                    else options.max_scatt_events) * K
 
-    n_state = 8 + (1 if refill else 0)
+    n_state = 8 + (1 if refill_kernel else 0)
 
     oc_dev = oc_np
 
@@ -434,7 +443,7 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
         out_shapes += [jax.ShapeDtypeStruct((R, 128), jnp.float32)] \
             * (2 * nlead)
         out_specs += [blk() for _ in range(2 * nlead)]
-        if refill:
+        if refill_kernel:
             out_shapes += [jax.ShapeDtypeStruct((R, 128), jnp.int32)] * 2
             out_specs += [blk(), blk()]
         return pl.pallas_call(
@@ -448,7 +457,7 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
         )(u, jnp.asarray(oc_dev), Lw, l0w, *state)
 
     def run_batch(key, ell, L0, tallies, launch_ctx=None):
-        del ell, launch_ctx
+        del ell
         if L0.ndim != 2 or L0.shape[1] != W:
             raise ValueError("polychromatic run_batch needs L0 of shape "
                              f"(N, {W})")
@@ -456,9 +465,14 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
         k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
 
         ell0 = jnp.zeros(n, jnp.int32)
-        pos, direction, _, _ = stellar_system.launch(
-            k_launch, ell0, jnp.ones(n, jnp.float32))
-        L = L0.T
+        if launch_fn is not None:
+            # dust-emission launch (ref: dodustemissionchunk): the lane's
+            # wavelength vector carries the launch cell's spectrum
+            pos, direction, L = launch_fn(k_launch, ell0, L0, launch_ctx)
+        else:
+            pos, direction, _, _ = stellar_system.launch(
+                k_launch, ell0, jnp.ones(n, jnp.float32))
+            L = L0.T
         alive = jnp.any(L > 0, axis=0)
         dust_flags = jnp.full(n, bool(is_dust_emission))
         wls = np.arange(W, dtype=np.int32)
@@ -507,15 +521,15 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
                 Ipe.append(jnp.sum(rows * dsg, axis=1))
             out = list(ins_list)
             for i, ins in enumerate(instruments):
-                cw = jnp.where(alive[None], Lw, 0.0)
-                ext = cw * jnp.exp(-kext_t_col * Ipe[lead_of[i]][None])
+                ext = Lw * jnp.exp(-kext_t_col * Ipe[lead_of[i]][None])
                 out[i] = ins.detect_poly(out[i], pos_p, wls, ext,
-                                         dict(tags, transparent=cw))
+                                         dict(tags, transparent=Lw))
             return out
 
         ins0 = tallies["instruments"]
         if emission_peeloff:
-            ins0 = detect_emission(list(ins0), pos, L,
+            ins0 = detect_emission(list(ins0), pos,
+                                   jnp.where(alive[None], L, 0.0),
                                    jnp.zeros(n, jnp.int32))
 
         state0 = {"pos": pos, "dir": direction, "L": L, "alive": alive,
@@ -537,7 +551,7 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
                      pack(s["dir"][:, 0]), pack(s["dir"][:, 1]),
                      pack(s["dir"][:, 2], 1.0),
                      pack(s["alive"].astype(jnp.int32)), pack(s["ns"]))
-            if refill:
+            if refill_kernel:
                 state = state + (pack(s["bc"], K),)
             outs = call_kernel(u, packW(s["L"]), l0_p, state)
 
@@ -558,12 +572,31 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
             Ips = outs[k:k + nlead]
             coss = outs[k + nlead:k + 2 * nlead]
             k += 2 * nlead
+            fresh = None
+            bc = None
+            if refill_kernel:
+                bc = unpack(outs[k])
+                fresh = unpack(outs[k + 1]) != 0
+            elif refill_xla:
+                # relaunch exhausted lanes between kernel invocations:
+                # the launch_fn samples host-built alias tables the
+                # in-kernel relauncher cannot reproduce
+                bc = s["bc"]
+                eligible = jnp.logical_not(alive_new) & (bc < K)
+                kre = rng.event_key(k_cycle, st["it"], 7)
+                pos_l, dir_l, L_l = launch_fn(kre, ell0, L0, launch_ctx)
+                pos_new = jnp.where(eligible[:, None], pos_l, pos_new)
+                dir_new = jnp.where(eligible[:, None], dir_l, dir_new)
+                Ln = jnp.where(eligible[None], L_l, Ln)
+                ns_new = jnp.where(eligible, 0, ns_new)
+                bc = bc + eligible.astype(jnp.int32)
+                fresh = eligible
+                alive_new = alive_new | eligible
+
             s_new = {"pos": pos_new, "dir": dir_new, "L": Ln,
                      "alive": alive_new, "ns": ns_new}
-            fresh = None
-            if refill:
-                s_new["bc"] = unpack(outs[k])
-                fresh = unpack(outs[k + 1]) != 0
+            if bc is not None:
+                s_new["bc"] = bc
 
             ins = list(st["ins"])
             if scattering_peeloff:
@@ -576,13 +609,24 @@ def make_fused_poly_lifecycle(grid, dust_system, stellar_system,
                     pw = ((1.0 - g_col) * (1.0 + g_col)
                           / jnp.sqrt(tq * tq * tq))
                     cw = Lp * pw
-                    if fresh is not None:
+                    if refill_kernel:
+                        # in-kernel relaunch happens BEFORE the peel
+                        # quadrature, so Ii/cosj are at the fresh position
                         cw = jnp.where(fresh[None], Ln, cw)
+                    elif refill_xla:
+                        # fresh lanes relaunched AFTER the kernel: their
+                        # emission peel needs the launch position's
+                        # quadrature (detect_emission below), not Ii
+                        cw = jnp.where(fresh[None], 0.0, cw)
                     cw = jnp.where(alive_new[None], cw, 0.0)
                     ext = cw * jnp.exp(-kext_col * Ii[None])
                     ins[i] = ins_obj.detect_poly(
                         ins[i], pos_new, wls, ext,
                         dict(tags2, transparent=cw))
+            if refill_xla and emission_peeloff:
+                ins = detect_emission(ins, pos_new,
+                                      jnp.where(fresh[None], Ln, 0.0),
+                                      ns_new)
             return {"it": st["it"] + 1, "s": s_new, "ins": ins,
                     "labs": labs_c}
 

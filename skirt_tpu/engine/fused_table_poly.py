@@ -57,7 +57,7 @@ from .fused_table import make_exact_peel
 
 
 def _validate(grid, ds, stellar_system, instruments, options, nlambda,
-              mueller, io_state, launch_fn):
+              mueller, io_state, launch_fn, is_dust_emission):
     def bail(msg):
         raise ValueError(f"polychromatic table lifecycle: {msg}")
 
@@ -77,9 +77,12 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
         bail("nlambda <= 128 (per-lane wavelength vector lives in VMEM; "
              "split wider grids into blocks of <= 128 wavelengths)")
     if launch_fn is not None:
-        bail("launch_fn not supported (dust-emission phases launch with "
-             "per-cell lambda spectra; use the monochromatic kernel)")
-    if stellar_system.ncomp != 1 or not stellar_system.is_isotropic:
+        # dust-emission phases: the lane's wavelength vector carries the
+        # launch cell's emission spectrum (poly launch_fn contract:
+        # (key, ell0, L0 (N, W), ctx) -> (pos, dir, L (W, N)))
+        if not is_dust_emission:
+            bail("launch_fn requires isotropic emission (dust phases)")
+    elif stellar_system.ncomp != 1 or not stellar_system.is_isotropic:
         bail("requires a single isotropic stellar component (the launch "
              "position must be wavelength-independent)")
     if not (hasattr(grid, "ray_span") and hasattr(grid, "locate_batched")):
@@ -349,7 +352,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
     ds = dust_system
     W = int(nlambda)
     _validate(grid, ds, stellar_system, instruments, options, W,
-              mueller, io_state, launch_fn)
+              mueller, io_state, launch_fn, is_dust_emission)
 
     npanels = int(options.quadrature_panels
                   or getattr(grid, "max_steps", 96))
@@ -410,7 +413,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                    else options.max_scatt_events) * K
 
     def run_batch(key, ell, L0, tallies, launch_ctx=None):
-        del ell, launch_ctx
+        del ell
         if L0.ndim != 2 or L0.shape[1] != W:
             raise ValueError("polychromatic run_batch needs L0 of shape "
                              f"(N, {W})")
@@ -418,9 +421,15 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
         k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
 
         ell0 = jnp.zeros(n, jnp.int32)
-        pos, direction, _, _ = stellar_system.launch(
-            k_launch, ell0, jnp.ones(n, jnp.float32))
-        L = L0.T                                     # (W, N)
+        if launch_fn is not None:
+            # dust-emission launch: per-lane wavelength vector carries
+            # the launch cell's emission spectrum (ref:
+            # dodustemissionchunk, PanMonteCarloSimulation.cpp:269-342)
+            pos, direction, L = launch_fn(k_launch, ell0, L0, launch_ctx)
+        else:
+            pos, direction, _, _ = stellar_system.launch(
+                k_launch, ell0, jnp.ones(n, jnp.float32))
+            L = L0.T                                 # (W, N)
         alive = jnp.any(L > 0, axis=0)
 
         dust_flags = jnp.full(n, bool(is_dust_emission))
@@ -575,11 +584,16 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             if refill:
                 eligible = jnp.logical_not(alive_new) & (bc < K)
                 kre = rng.event_key(k_cycle, st["it"], 7)
-                pos_l, dir_l, _, _ = stellar_system.launch(
-                    kre, ell0, jnp.ones(n, jnp.float32))
+                if launch_fn is not None:
+                    pos_l, dir_l, L_l = launch_fn(kre, ell0, L0,
+                                                  launch_ctx)
+                else:
+                    pos_l, dir_l, _, _ = stellar_system.launch(
+                        kre, ell0, jnp.ones(n, jnp.float32))
+                    L_l = L0.T
                 pos_new = jnp.where(eligible[:, None], pos_l, pos_new)
                 dir_new = jnp.where(eligible[:, None], dir_l, dir_new)
-                Ln = jnp.where(eligible[None, :], L0.T, Ln)
+                Ln = jnp.where(eligible[None, :], L_l, Ln)
                 ns_new = jnp.where(eligible, 0, ns_new)
                 bc = bc + eligible.astype(jnp.int32)
                 fresh = eligible

@@ -83,6 +83,68 @@ def make_dust_launch(grid, nlambda: int):
     return launch
 
 
+def make_dust_launch_poly(grid, nlambda: int):
+    """Dust-emission launch for POLYCHROMATIC lanes.
+
+    Each lane carries the FULL wavelength vector, so the natural
+    estimator samples the launch cell m from the BOLOMETRIC luminosity
+    distribution (with the same uniform-vs-luminosity bias xi and weight
+    compensation as the monochromatic launch, ref:
+    PanMonteCarloSimulation.cpp:286-322) and gives the lane its cell's
+    per-wavelength emission spectrum:
+
+        p(m) = [(1-xi) Lbol[m] + xi Lbol_mean] / Lbol_tot
+        L_w(m) = Lv[w, m] / (N p(m))
+               = (Lv[w, m]/Lbol[m]) * (Lbol_tot/N) * weight(m)
+
+    Unbiased per wavelength; one alias-table sample + one (W,) spectrum
+    row gather per lane.  launch_ctx needs the poly extras from
+    PanSimulation.emission_context: alias_prob_bol/alias_idx_bol
+    ((Ncells,) Walker tables over Lbol), Lbol, Lbol_tot.
+
+    Contract: launch(key, ell0, L0 (N, W), ctx) -> (pos, dir, L (W, N))
+    where L0 rows are the nominal Ltot[w]/packets (the returned L
+    reweights them by the sampled cell's spectrum share).
+    """
+    ncells = grid.ncells
+
+    def launch(key, ell0, L0, ctx):
+        n = ell0.shape[0]
+        k1, k2, k3 = jax.random.split(key, 3)
+        X = rng.uniform_open(k1, (n,))
+        u2 = rng.uniform_open(jax.random.fold_in(k1, 1), (n,))
+        xi = ctx["xi"]
+
+        m_uni = jnp.clip((ncells * X / jnp.maximum(xi, 1e-9))
+                         .astype(jnp.int32), 0, ncells - 1)
+        Xl = (X - xi) / (1.0 - xi)
+        j = jnp.clip((Xl * ncells).astype(jnp.int32), 0, ncells - 1)
+        pj = ctx["alias_prob_bol"][j]
+        aj = ctx["alias_idx_bol"][j]
+        m_lum = jnp.where(u2 < pj, j, aj).astype(jnp.int32)
+        m = jnp.where(X < xi, m_uni, m_lum)
+
+        Lbol_m = ctx["Lbol"][m]
+        Lbol_mean = ctx["Lbol_tot"] / ncells
+        weight = 1.0 / (1.0 - xi + xi * Lbol_mean
+                        / jnp.maximum(Lbol_m, 1e-37))
+        weight = jnp.where(Lbol_m > 0, weight, 0.0)
+
+        # per-lane spectrum share: Lv[:, m]/Lbol[m] scaled so that the
+        # nominal L0 rows (Ltot[w]/packets) become Lv[w,m]-proportional
+        spec = ctx["Lv"][:, m]                               # (W, N)
+        inv_Ltot = 1.0 / jnp.maximum(ctx["Ltot"], 1e-37)     # (W,)
+        L = (L0.T * inv_Ltot[:, None]) * spec \
+            * (ctx["Lbol_tot"] * weight
+               / jnp.maximum(Lbol_m, 1e-37))[None, :]
+
+        pos = grid.random_position_in_cell_dev(k2, m)
+        direction = rng.isotropic_direction(k3, (n,))
+        return pos, direction, L
+
+    return launch
+
+
 class PanSimulation(OligoSimulation):
     """Stellar emission + dust self-absorption + dust emission.
 
@@ -120,12 +182,7 @@ class PanSimulation(OligoSimulation):
         if not self.options.store_absorption:
             self.options = LifecycleOptions(
                 **{**self.options.__dict__, "store_absorption": True})
-            from .lifecycle import make_lifecycle_with_fallback
-            self._run_batch = jax.jit(make_lifecycle_with_fallback(
-                self.grid, self.dust_system, self.stellar_system,
-                self.instruments, self.options, self.nlambda,
-                mueller=self._mueller, log=self.log),
-                donate_argnums=(3,))
+            self._build_main_lifecycle()
         self.self_absorption = bool(self_absorption)
         self.emission_boost = float(emission_boost)
         self.emission_bias = float(emission_bias)
@@ -155,7 +212,6 @@ class PanSimulation(OligoSimulation):
         # launch cells/positions at LEAF resolution (the emission solve
         # and the per-cell luminosity CDFs live on leaf cells even when
         # the traversal runs on the voxel table)
-        launch = make_dust_launch(self.dust_system_out.grid, self.nlambda)
         from .lifecycle import LifecycleOptions as _LO
         # the fused TABLE path relaunches XLA-side through launch_fn, so
         # dust phases keep persistent-lane refill there; the in-kernel
@@ -168,18 +224,62 @@ class PanSimulation(OligoSimulation):
         dust_opts = _LO(**{**self.options.__dict__,
                            "refill_batches": (self.options.refill_batches
                                               if _table_path else 0)})
-        from .lifecycle import make_lifecycle_with_fallback
-        self._run_dust_absorb = jax.jit(make_lifecycle_with_fallback(
-            self.grid, self.dust_system, None, self.instruments, dust_opts,
-            self.nlambda, launch_fn=launch, emission_peeloff=False,
-            scattering_peeloff=False, is_dust_emission=True,
-            mueller=self._mueller, log=self.log), donate_argnums=(3,))
-        final_opts = _LO(**{**dust_opts.__dict__, "store_absorption": False})
-        self._run_dust_emit = jax.jit(make_lifecycle_with_fallback(
-            self.grid, self.dust_system, None, self.instruments, final_opts,
-            self.nlambda, launch_fn=launch, emission_peeloff=True,
-            scattering_peeloff=True, is_dust_emission=True,
-            mueller=self._mueller, log=self.log), donate_argnums=(3,))
+        final_opts = _LO(**{**dust_opts.__dict__,
+                            "store_absorption": False})
+        from .lifecycle import make_lifecycle, make_lifecycle_with_fallback
+        self._dust_poly = False
+        if self._poly:
+            # polychromatic dust phases: one lane = all wavelengths of
+            # one launch cell's emission spectrum (make_dust_launch_poly);
+            # both poly engines relaunch launch_fn lanes XLA-side, so
+            # refill stays on for the dust phases here
+            launch_p = make_dust_launch_poly(self.dust_system_out.grid,
+                                             self.nlambda)
+            dust_opts_p = _LO(**{**self.options.__dict__})
+            final_opts_p = _LO(**{**dust_opts_p.__dict__,
+                                  "store_absorption": False})
+            try:
+                self._run_dust_absorb = jax.jit(make_lifecycle(
+                    self.grid, self.dust_system, None, self.instruments,
+                    dust_opts_p, self.nlambda, launch_fn=launch_p,
+                    emission_peeloff=False, scattering_peeloff=False,
+                    is_dust_emission=True, mueller=self._mueller),
+                    donate_argnums=(3,))
+                self._run_dust_emit = jax.jit(make_lifecycle(
+                    self.grid, self.dust_system, None, self.instruments,
+                    final_opts_p, self.nlambda, launch_fn=launch_p,
+                    emission_peeloff=True, scattering_peeloff=True,
+                    is_dust_emission=True, mueller=self._mueller),
+                    donate_argnums=(3,))
+                self._dust_poly = True
+                self._dust_refill = max(
+                    int(self.options.refill_batches), 1)
+            except ValueError as e:
+                self.log.info(f"polychromatic dust phases unavailable "
+                              f"({e}); monochromatic dust launch")
+        if not self._dust_poly:
+            if self._poly:
+                # monochromatic dust batches behind a polychromatic
+                # stellar phase: strip poly from the dust options so the
+                # fallback chain builds the mono engines directly
+                dust_opts = _LO(**{**dust_opts.__dict__,
+                                   "polychromatic": False})
+                final_opts = _LO(**{**final_opts.__dict__,
+                                    "polychromatic": False})
+            launch = make_dust_launch(self.dust_system_out.grid,
+                                      self.nlambda)
+            self._run_dust_absorb = jax.jit(make_lifecycle_with_fallback(
+                self.grid, self.dust_system, None, self.instruments,
+                dust_opts, self.nlambda, launch_fn=launch,
+                emission_peeloff=False, scattering_peeloff=False,
+                is_dust_emission=True, mueller=self._mueller,
+                log=self.log), donate_argnums=(3,))
+            self._run_dust_emit = jax.jit(make_lifecycle_with_fallback(
+                self.grid, self.dust_system, None, self.instruments,
+                final_opts, self.nlambda, launch_fn=launch,
+                emission_peeloff=True, scattering_peeloff=True,
+                is_dust_emission=True, mueller=self._mueller,
+                log=self.log), donate_argnums=(3,))
 
         # per-cell 1/(4 pi V rho) for the absorbed-power-per-mass
         # conversion — at LEAF resolution
@@ -223,11 +323,22 @@ class PanSimulation(OligoSimulation):
         # the host once per emission cycle (ms-scale; the launch itself
         # then costs 2 gathers/packet instead of a binary search)
         from ..numerics import build_alias_tables
-        prob_np, alias_np = build_alias_tables(np.asarray(Lv, np.float64))
-        return {"alias_prob": jnp.asarray(prob_np),
-                "alias_idx": jnp.asarray(alias_np),
-                "Lv": Lv, "Ltot": Ltot,
-                "xi": jnp.float32(self.emission_bias)}
+        Lv_np = np.asarray(Lv, np.float64)
+        prob_np, alias_np = build_alias_tables(Lv_np)
+        ctx = {"alias_prob": jnp.asarray(prob_np),
+               "alias_idx": jnp.asarray(alias_np),
+               "Lv": Lv, "Ltot": Ltot,
+               "xi": jnp.float32(self.emission_bias)}
+        # polychromatic dust launch: bolometric cell-selection tables
+        # (make_dust_launch_poly samples m once per lane, the lane's
+        # wavelength vector carries the cell's spectrum)
+        Lbol_np = Lv_np.sum(axis=0)
+        prob_b, alias_b = build_alias_tables(Lbol_np[None, :])
+        ctx["alias_prob_bol"] = jnp.asarray(prob_b[0])
+        ctx["alias_idx_bol"] = jnp.asarray(alias_b[0])
+        ctx["Lbol"] = jnp.asarray(Lbol_np.astype(np.float32))
+        ctx["Lbol_tot"] = jnp.float32(Lbol_np.sum())
+        return ctx
 
     def _multicomp_fractions(self, labs_bol_dev):
         """Emission spectrum fractions for multi-component dust.
@@ -364,11 +475,21 @@ class PanSimulation(OligoSimulation):
         k = getattr(self, "_dust_refill", 1)
         nbatches = int(np.ceil(packets / (per_batch * k)))
         launched = 0
+        poly = getattr(self, "_dust_poly", False)
+        row = (Ltot_np / packets).astype(np.float32)
         for b in range(nbatches):
             count = min(per_batch, -(-(packets - launched) // k))
-            ell_np = np.repeat(np.arange(nl, dtype=np.int32), count)
-            L0 = (Ltot_np[ell_np] / packets).astype(np.float32)
-            yield b, jnp.asarray(ell_np), jnp.asarray(L0), count
+            if poly:
+                # polychromatic lanes: `count` lanes each carrying the
+                # nominal (nl,) launch row (the poly dust launch_fn
+                # reweights it by the sampled cell's spectrum share)
+                yield (b, jnp.zeros((count,), jnp.int32),
+                       jnp.asarray(np.broadcast_to(row, (count, nl))
+                                   .copy()), count)
+            else:
+                ell_np = np.repeat(np.arange(nl, dtype=np.int32), count)
+                L0 = (Ltot_np[ell_np] / packets).astype(np.float32)
+                yield b, jnp.asarray(ell_np), jnp.asarray(L0), count
             launched += count * k
 
     def _run_dust_phase(self, key, run_fn, packets, ctx, tallies_template,

@@ -119,13 +119,8 @@ class OligoSimulation:
         self._mueller = (dust_system.mueller
                          if dust_system is not None else None)
         self._run_batch = None
-        if grid is not None or True:
-            from .lifecycle import make_lifecycle_with_fallback
-            self._lifecycle = make_lifecycle_with_fallback(
-                grid, dust_system, stellar_system, self.instruments,
-                self.options, self.nlambda, mueller=self._mueller,
-                log=self.log)
-            self._run_batch = jax.jit(self._lifecycle, donate_argnums=(3,))
+        self._poly = False
+        self._build_main_lifecycle()
 
         # fold several launch batches into one compiled dispatch: the fixed
         # per-dispatch latency (host->device, worse over network-attached
@@ -144,6 +139,9 @@ class OligoSimulation:
             self._run_group = jax.jit(grouped, donate_argnums=(3,))
         self._run_batch_io = None
         self._resume_batch = None
+        if self.compaction_k > 0 and self._poly:
+            raise ValueError("survivor compaction (io_state) is not "
+                             "available on polychromatic lanes")
         if self.compaction_k > 0 and dust_system is not None:
             life_io = make_lifecycle(
                 grid, dust_system, stellar_system, self.instruments,
@@ -203,13 +201,65 @@ class OligoSimulation:
 
     # ------------------------------------------------------------------
 
+    def _build_main_lifecycle(self):
+        """Build self._lifecycle/_run_batch, engaging polychromatic lanes
+        when the options ask for them AND the model qualifies (falling
+        back to monochromatic batches otherwise — the batch SHAPES depend
+        on which engine built, so the choice must be made up front, not
+        by the generic fused fallback)."""
+        from .lifecycle import make_lifecycle, make_lifecycle_with_fallback
+        grid, dust_system = self.grid, self.dust_system
+        self._poly = False
+        if getattr(self.options, "polychromatic", False):
+            try:
+                self._lifecycle = make_lifecycle(
+                    grid, dust_system, self.stellar_system,
+                    self.instruments, self.options, self.nlambda,
+                    mueller=self._mueller)
+                self._poly = True
+            except ValueError as e:
+                self.log.info(f"polychromatic lanes unavailable ({e}); "
+                              "monochromatic batches")
+                from dataclasses import replace as _replace
+                self.options = _replace(self.options, polychromatic=False)
+        if not self._poly:
+            self._lifecycle = make_lifecycle_with_fallback(
+                grid, dust_system, self.stellar_system, self.instruments,
+                self.options, self.nlambda, mueller=self._mueller,
+                log=self.log)
+        self._run_batch = jax.jit(self._lifecycle, donate_argnums=(3,))
+
     def _batches(self):
         """Yield (key_tag, ell, L0) per launch batch.
 
         Every wavelength receives `packets` photon packets (ref:
-        dostellaremissionchunk: L = luminosity(ell)/Npp).
+        dostellaremissionchunk: L = luminosity(ell)/Npp).  Polychromatic
+        engines get `count` LANES per batch, each carrying the full
+        (nlambda,) launch row Lv/packets — count*refill lanes cover
+        count*refill packets per wavelength.
         """
         nl = self.nlambda
+        if self._poly:
+            per_batch = max(self.batch_size // nl, 1)
+            Lv = self.stellar_system.Lv
+            k = max(int(self.options.refill_batches), 1)
+            nbatches = int(np.ceil(self.packets / (per_batch * k)))
+            row = (np.asarray(Lv, np.float64) / self.packets).astype(
+                np.float32)
+            L0_full = jnp.asarray(np.broadcast_to(
+                row, (per_batch, nl)).copy())
+            ell_full = jnp.zeros((per_batch,), jnp.int32)
+            launched = 0
+            for b in range(nbatches):
+                count = min(per_batch,
+                            -(-(self.packets - launched) // k))
+                if count < per_batch:
+                    yield b, jnp.zeros((count,), jnp.int32), jnp.asarray(
+                        np.broadcast_to(row, (count, nl)).copy())
+                else:
+                    yield b, ell_full, L0_full
+                launched += count * k
+            return
         per_batch = max(self.batch_size // nl, 1)
         Lv = self.stellar_system.Lv
         # persistent-lane refill: each lane launches `refill_batches`

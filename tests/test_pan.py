@@ -227,6 +227,36 @@ class TestPanFused:
         assert sim._run_dust_emit is not None
 
 
+class TestPanPoly:
+    """Polychromatic pan phases: every lane carries the full wavelength
+    vector; dust-emission lanes launch from a bolometric-sampled cell and
+    carry that cell's emission spectrum (make_dust_launch_poly)."""
+
+    def test_analytic_poly_energy_conservation(self):
+        sim = build_pan_sim(tau=2.0, packets=3000, density_mode="analytic",
+                            deposition="sampled", fused=True,
+                            quadrature_panels=8, max_scatt_events=24,
+                            polychromatic=True)
+        assert sim._poly and sim._dust_poly
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        assert F.sum() == pytest.approx(100.0, rel=0.12)
+        lam = sim.wavelength_grid.lambdav
+        assert F[lam > 1e-6].sum() / F.sum() > 0.25
+
+    def test_poly_matches_mono_pan(self):
+        kw = dict(tau=1.0, packets=4096, density_mode="analytic",
+                  deposition="sampled", fused=True, quadrature_panels=8,
+                  max_scatt_events=24)
+        m = build_pan_sim(**kw).run()
+        p = build_pan_sim(polychromatic=True, **kw).run()
+        Fm = np.asarray(m["instruments"][0]["Ftot"], np.float64)
+        Fp = np.asarray(p["instruments"][0]["Ftot"], np.float64)
+        assert Fp.sum() == pytest.approx(Fm.sum(), rel=0.05)
+        big = Fm > 1e-3 * Fm.sum()
+        np.testing.assert_allclose(Fp[big], Fm[big], rtol=0.35)
+
+
 class TestPanOnTable:
     """Pan phases on tree grids via the voxel table (VERDICT r3 #6):
     options.voxelize='table' + fused runs the fused table kernel through
@@ -281,6 +311,20 @@ class TestPanOnTable:
         assert acc["labs_stellar"].shape[0] == leaf.ncells
         T = sim.cell_temperatures(acc)
         assert T.shape[0] == leaf.ncells
+        assert T.max() > 20.0
+
+    def test_table_poly_conserves_energy(self):
+        sim = self._octree_sim(voxelize="table", fused=True,
+                               quadrature_panels=16, table_peel="exact",
+                               polychromatic=True, refill_batches=4)
+        assert sim._poly and sim._dust_poly
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        assert float(F.sum()) == pytest.approx(100.0, rel=0.08)
+        # re-emission present and leaf-resolution outputs intact
+        assert acc["labs_stellar"].shape[0] == \
+            sim.dust_system_out.grid.ncells
+        T = sim.cell_temperatures(acc)
         assert T.max() > 20.0
 
     def test_table_matches_leaf_walk(self):
