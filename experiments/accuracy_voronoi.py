@@ -44,17 +44,24 @@ def main():
     sites = rs.uniform(-0.98 * half, 0.98 * half, size=(nsites, 3))
     grid = VoronoiGrid(sites, extent, volume_samples=32)
 
-    wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+    # ACC_NLAM>2: the bench_voronoi.py production-width mix (log-spaced
+    # wavelengths, power-law-interpolated optics)
+    nlam = int(os.environ.get("ACC_NLAM", "2"))
+    lams = np.geomspace(0.55e-6, 2.2e-6, nlam)
+    fpl = np.log(lams / 0.55e-6) / np.log(2.2 / 0.55)
+    wg = OligoWavelengthGrid(list(lams))
     ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
-                                                   [1e36, 1e36])])
+                                                   [1e36] * nlam)])
     sphere = UniformSphereGeometry(1.8 * KPC)
-    mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
+    mix = SimpleOligoDustMix(wg, list(2600.0 * (600.0 / 2600.0) ** fpl),
+                             list(0.5 + (0.4 - 0.5) * fpl),
+                             list(0.4 + (0.2 - 0.4) * fpl))
     mass = 2.0 / 2600.0 * (4 / 3 * np.pi * (1.8 * KPC) ** 3) / (1.8 * KPC)
     comp = DustComponent(sphere, mix, DustMassNormalization(mass))
     dsys = DustSystem(grid, [comp], density_mode="gridded")
     vds, _fold = dsys.voxelized(max_voxels=47 ** 3)
     print(f"voxelized: {vds.grid.nx}^3", flush=True)
-    ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+    ins = [SEDInstrument("sed", 3.08e23, nlam, inclination=1.2)]
 
     n = 1 << int(os.environ.get("ACC_LOG2N", "18"))
     nbatch = max(1, n >> 17)
@@ -62,16 +69,18 @@ def main():
     key = rng.root_key(4357)
 
     def run_chain(dsys_c, grid_c, opts, tag, poly=False):
-        run = jax.jit(make_lifecycle(grid_c, dsys_c, ss, ins, opts, 2))
+        run = jax.jit(make_lifecycle(grid_c, dsys_c, ss, ins, opts, nlam))
         t = {"instruments": [ins[0].zero_tallies()],
-             "labs": jnp.zeros((grid_c.ncells * 2,), jnp.float32)}
+             "labs": jnp.zeros((grid_c.ncells * nlam,), jnp.float32)}
         if poly:
-            npl = nb // 2
+            npl = nb // nlam
             ellc = jnp.zeros((npl,), jnp.int32)
-            L0c = jnp.full((npl, 2), 1e36 / n, jnp.float32)
+            # per-lambda totals match the mono chain: n/nlam packets per
+            # lambda at L0 = nlam*1e36/n each
+            L0c = jnp.full((npl, nlam), nlam * 1e36 / n, jnp.float32)
         else:
-            ellc = jnp.asarray(np.arange(nb, dtype=np.int32) % 2)
-            L0c = jnp.full((nb,), 1e36 / n, jnp.float32)
+            ellc = jnp.asarray(np.arange(nb, dtype=np.int32) % nlam)
+            L0c = jnp.full((nb,), nlam * 1e36 / n, jnp.float32)
         t0 = time.perf_counter()
         for b in range(nbatch):
             t = run(jax.random.fold_in(key, b), ellc, L0c, t)

@@ -35,9 +35,16 @@ def _sync(o):
 
 
 def main():
-    wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+    # OCTREE_NLAM>2 (production panchromatic regime): log-spaced
+    # wavelengths with power-law-interpolated optics — the fused table
+    # kernel's gathers are lambda-independent so per-lambda packets ride
+    # the same descriptors
+    nlam = int(os.environ.get("OCTREE_NLAM", "2"))
+    lams = np.geomspace(0.55e-6, 2.2e-6, nlam)
+    fpl = np.log(lams / 0.55e-6) / np.log(2.2 / 0.55)
+    wg = OligoWavelengthGrid(list(lams))
     ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
-                                                   [1e36, 1e36])])
+                                                   [1e36] * nlam)])
     torus = TorusGeometry(1.0, 2.0, 0.7, 0.05 * KPC, 2 * KPC)
     half = 2.2 * KPC
     extent = (-half, -half, -half, half, half, half)
@@ -51,7 +58,9 @@ def main():
                       traversal=os.environ.get("OCTREE_WALK", "redescend"))
     print(f"octree: {grid.ncells} cells, max_steps={grid.max_steps}",
           flush=True)
-    mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
+    mix = SimpleOligoDustMix(wg, list(2600.0 * (600.0 / 2600.0) ** fpl),
+                             list(0.5 + (0.4 - 0.5) * fpl),
+                             list(0.4 + (0.2 - 0.4) * fpl))
     comp = DustComponent(torus, mix,
                          OpticalDepthNormalization("x", wg.lambdav[0], 5.0))
     # Defaults are the ACCURACY-VALIDATED headline configuration measured
@@ -79,7 +88,7 @@ def main():
         # panel-sampled table densities (gathers at panel midpoints)
         dsys = dsys.as_table()
         dmode = "table"
-    ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+    ins = [SEDInstrument("sed", 3.08e23, nlam, inclination=1.2)]
     n = 1 << int(os.environ.get("OCTREE_LOG2N", "15"))
     sim_mode = os.environ.get("OCTREE_SIM", "0") == "1"
     if sim_mode:
@@ -131,24 +140,24 @@ def main():
                                 os.environ.get("OCTREE_TILEROWS", "32")),
                             refill_batches=refill,
                             fused=fused)
-    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2))
+    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, nlam))
 
     n = 1 << int(os.environ.get("OCTREE_LOG2N", "17" if table else "15"))
     if poly:
-        # every lane carries BOTH wavelengths: packets = n * K * nlambda,
+        # every lane carries ALL wavelengths: packets = n * K * nlambda,
         # per-wavelength launch totals match the monochromatic run
-        npackets = n * max(refill, 1) * 2
+        npackets = n * max(refill, 1) * nlam
         ell = jnp.zeros((n,), jnp.int32)
-        L0 = jnp.full((n, 2), 1e36 / (n * max(refill, 1)), jnp.float32)
+        L0 = jnp.full((n, nlam), 1e36 / (n * max(refill, 1)), jnp.float32)
     else:
         npackets = n * max(refill, 1)
-        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % nlam)
         L0 = jnp.full((n,), 1e36 / npackets, jnp.float32)
 
     def tallies():
         t = {"instruments": [i.zero_tallies() for i in ins]}
         if store_abs:
-            t["labs"] = jnp.zeros((grid.ncells * 2,), jnp.float32)
+            t["labs"] = jnp.zeros((grid.ncells * nlam,), jnp.float32)
         return t
 
     key = rng.root_key(4357)
