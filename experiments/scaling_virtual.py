@@ -68,6 +68,15 @@ def main():
         # the migrating engine needs sampled deposition
         opts = LifecycleOptions(store_absorption=True, max_scatt_events=32,
                                 deposition="sampled", quadrature_panels=16)
+    elif exchange == "fused":
+        # the slab-fused engine runs the Pallas table kernel per device
+        # (interpret mode off-TPU) on a table dust system
+        dsys = dsys.as_table()
+        opts = LifecycleOptions(
+            store_absorption=True, max_scatt_events=32,
+            deposition="sampled", quadrature_panels=16, peel_panels=16,
+            fused=True, table_peel="exact",
+            refill_batches=int(os.environ.get("SCALE_REFILL", "0")))
     for D in (1, 2, 4, 8):
         devs = jax.devices()[:D]
         if len(devs) < D:

@@ -103,8 +103,22 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
         return make_migrating_lifecycle(mesh, grid, dust_system,
                                         stellar_system, instruments,
                                         options, nlambda)
+    if exchange == "fused":
+        # sharded packets + slab-sharded tables with the per-event
+        # physics in the unchanged fused Pallas table kernel per device
+        # (panel rows assembled by a ppermute ring sweep) — see
+        # parallel/slab_fused.py
+        from .slab_fused import make_slab_fused_lifecycle
+        if not (emission_peeloff and scattering_peeloff) \
+                or is_dust_emission:
+            raise NotImplementedError("exchange='fused' supports the "
+                                      "full stellar phase only")
+        return make_slab_fused_lifecycle(mesh, grid, dust_system,
+                                         stellar_system, instruments,
+                                         options, nlambda)
     if exchange != "allgather":
-        raise ValueError("exchange must be 'allgather' or 'migrate'")
+        raise ValueError("exchange must be 'allgather', 'migrate' or "
+                         "'fused'")
     ds = dust_system
     D = int(mesh.devices.size)
     if ds is None:

@@ -1,0 +1,416 @@
+"""Fused Pallas table kernel composed with slab sharding (VERDICT r4 #3).
+
+ref: the reference composes its two parallelism axes everywhere — every
+thread-pool loop runs under MPI (SKIRTcore/Parallel.cpp:76-177 +
+ProcessAssigner.hpp:25-97).  Here the composition is TPU-native: packets
+are SHARDED (N/D lanes per device), the (Ncells) density table and the
+(Ncells*Nlambda) absorption tally are SHARDED by x-slab, and the per-event
+physics still runs in the unchanged fused Pallas megakernel
+(engine/fused_table._build_kernel) on each device's resident lanes.
+
+The composition trick: the fused kernel consumes a COMPLETE per-lane
+(P,) panel record of kappa*rho along the global ray — but the density
+shard on each device covers only its slab.  So each event does a
+PANEL-FILL RING SWEEP first: every lane's ray descriptor (position,
+direction, kext, a (P,) row buffer) makes one lap of the slab ring via
+`jax.lax.ppermute`; each visited device fills the panels whose midpoints
+fall inside ITS slab from ITS local density shard.  After D hops the
+descriptor is home with the full rows and the kernel runs exactly as on
+a single device — same panel grid, same inversion, same RNG stream
+shape.  Per-link payload per sweep: (P + 7) * N/D words, independent of
+D (the allgather engine's per-device volume grows with D).
+
+After the kernel, a second ring sweep carries (new position, deposit
+bin/value, per-leader peel accumulators): each visited device adds its
+slab-clipped panel quadrature toward every leader direction and CLAIMS
+deposits whose global bins land in its labs shard — absorption writes
+are entirely local to the owning shard (zero tally collective; the
+reference Allreduces the full table instead,
+doc/Part 2/Parallelization/MPI SKIRT.txt:11-17).
+
+Envelope (first cut, mirrors the migrating engine): single dust
+component, uniform Cartesian (voxel) table grid with nx divisible by D,
+sampled deposition, distant instruments, isotropic stellar source,
+unpolarized.  Supports persistent-lane refill (XLA-side relaunch, the
+fused_table pattern) — the migrating engine does not, which is the main
+reason this engine is faster at equal lane counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .slab import SLAB_AXIS, _BIG
+from ..engine.fused_table import _build_kernel
+from ..engine.fused import _group_leaders
+from ..ops import binned_add
+
+
+def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
+                              stellar_system, instruments, options,
+                              nlambda: int):
+    """Build run(key, ell, L0) -> {"instruments": [replicated tallies],
+    "labs": (Ncells*Nlambda,) sharded over the slab axis}.
+
+    ell/L0 are sharded along the packet axis (N/D lanes per device).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding
+
+    from .. import rng
+
+    ds = dust_system
+    D = int(mesh.devices.size)
+    if ds is None or not getattr(ds, "table", False):
+        raise ValueError("slab-fused lifecycle requires a table dust "
+                         "system (voxelized().as_table())")
+    if ds.ncomp != 1:
+        raise NotImplementedError("slab-fused lifecycle: single dust "
+                                  "component only")
+    if not (hasattr(grid, "nx") and hasattr(grid, "_uniform")
+            and all(grid._uniform)):
+        raise ValueError("slab-fused lifecycle requires a uniform "
+                         "Cartesian (voxel) grid")
+    if grid.nx % D:
+        raise ValueError(f"grid.nx ({grid.nx}) must divide by D={D}")
+    if options.store_absorption and options.deposition != "sampled":
+        raise NotImplementedError("sampled deposition only")
+    if ds.mueller is not None:
+        raise NotImplementedError("polarization not supported")
+    if not stellar_system.is_isotropic:
+        raise NotImplementedError("isotropic stellar emission only")
+    for ins in instruments:
+        if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
+            raise NotImplementedError("distant instruments only")
+
+    npanels = int(options.quadrature_panels
+                  or getattr(grid, "max_steps", 96))
+    np_peel = int(options.peel_panels or npanels)
+    want_labs = bool(options.store_absorption)
+    leaders, lead_of = _group_leaders(instruments)
+    nlead = len(leaders)
+    tile_rows = int(getattr(options, "fused_tile_rows", 32))
+    refill = options.refill_batches > 1
+    K = int(options.refill_batches) if refill else 1
+    interpret = jax.default_backend() != "tpu"
+    mix = ds.components[0].mix
+    iter_cap = int(options.max_scatt_events) * K
+
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    nxl = nx // D
+    cells_per_slab = nxl * ny * nz
+    lo = np.asarray(grid._lo, np.float64)
+    dxv = np.asarray(grid._dx, np.float64)
+
+    # the kernel is built against the GLOBAL grid: its arithmetic locate
+    # yields GLOBAL deposit bins (cell*nlambda + ell), which the deposit
+    # ring sweep routes to the owning slab shard
+    kern = _build_kernel(grid, options, nlambda, npanels, want_labs,
+                         arith_locate=True)
+    n_uniform = 5
+    n_state = 15
+
+    fwd = [(i, (i + 1) % D) for i in range(D)]
+
+    def per_device(key, ell, L0, rho_loc):
+        n = ell.shape[0]
+        d = jax.lax.axis_index(SLAB_AXIS)
+        kdev = jax.random.fold_in(key, d)
+        kext_t = jnp.asarray(np.asarray(ds.kappaext, np.float32))
+        x0_my = np.float32(lo[0]) + d.astype(jnp.float32) \
+            * np.float32(nxl * dxv[0])
+
+        # ---- ring sweep primitives --------------------------------------
+        def hopf(arrs):
+            return [jax.lax.ppermute(a, SLAB_AXIS, fwd) for a in arrs]
+
+        def fill_rows(pos, direction, kext_pk):
+            """One lap of the ring: every lane's (P,) kext*rho panel row
+            filled from each slab's local shard.  Returns (rows, t0,
+            delta) — t0/delta recomputed from the (ring-invariant)
+            descriptor so they equal the home values bit for bit."""
+            st = [pos, direction, kext_pk,
+                  jnp.zeros((n, npanels), jnp.float32)]
+            for _ in range(D):
+                p_c, d_c, k_c, rows = st
+                t0g, t1g = grid.ray_span(p_c, d_c)
+                delta = jnp.maximum(t1g - t0g, 0.0) / npanels
+                kk = jnp.arange(npanels, dtype=jnp.float32)[None, :]
+                tmid = t0g[:, None] + (kk + 0.5) * delta[:, None]
+                px = p_c[:, 0:1] + tmid * d_c[:, 0:1]
+                py = p_c[:, 1:2] + tmid * d_c[:, 1:2]
+                pz = p_c[:, 2:3] + tmid * d_c[:, 2:3]
+                ixl = jnp.floor((px - x0_my)
+                                * np.float32(1.0 / dxv[0])).astype(
+                    jnp.int32)
+                iy = jnp.floor((py - np.float32(lo[1]))
+                               * np.float32(1.0 / dxv[1])).astype(
+                    jnp.int32)
+                iz = jnp.floor((pz - np.float32(lo[2]))
+                               * np.float32(1.0 / dxv[2])).astype(
+                    jnp.int32)
+                ok = ((ixl >= 0) & (ixl < nxl) & (iy >= 0) & (iy < ny)
+                      & (iz >= 0) & (iz < nz) & (delta[:, None] > 0))
+                safe = jnp.clip((ixl * ny + iy) * nz + iz, 0,
+                                cells_per_slab - 1)
+                rows = rows + jnp.where(ok,
+                                        k_c[:, None] * rho_loc[0][safe],
+                                        0.0)
+                st = hopf([p_c, d_c, k_c, rows])
+            p_c, d_c, k_c, rows = st
+            t0g, t1g = grid.ray_span(p_c, d_c)
+            delta = jnp.maximum(t1g - t0g, 0.0) / npanels
+            return rows, t0g, delta
+
+        def slab_peel_tau(pos, kobs_np, kext_pk):
+            """My slab's clipped P_peel-panel kext*rho quadrature toward
+            a fixed leader direction (the per-slab share of the peel
+            optical depth)."""
+            kx, ky, kz = [np.float32(v) for v in kobs_np]
+            t0 = jnp.zeros(pos.shape[0], jnp.float32)
+            t1 = jnp.full(pos.shape[0], np.float32(_BIG))
+            spans = [(x0_my, x0_my + np.float32(nxl * dxv[0]), kx, 0),
+                     (np.float32(lo[1]),
+                      np.float32(lo[1] + ny * dxv[1]), ky, 1),
+                     (np.float32(lo[2]),
+                      np.float32(lo[2] + nz * dxv[2]), kz, 2)]
+            for (a, b, dd, ax) in spans:
+                o = pos[:, ax]
+                if abs(float(dd)) > 1e-12:
+                    i2 = np.float32(1.0 / float(dd))
+                    aa = (a - o) * i2
+                    bb = (b - o) * i2
+                    t0 = jnp.maximum(t0, jnp.minimum(aa, bb))
+                    t1 = jnp.minimum(t1, jnp.maximum(aa, bb))
+                else:
+                    inside = (o >= a) & (o <= b)
+                    t1 = jnp.where(inside, t1, np.float32(-_BIG))
+            t0 = jnp.maximum(t0, 0.0)
+            hit = t1 > t0
+            delta = jnp.where(hit, (t1 - t0) / np_peel, 0.0)
+            tau = jnp.zeros_like(delta)
+            for k in range(np_peel):
+                tm = t0 + np.float32(k + 0.5) * delta
+                ixl = jnp.floor((pos[:, 0] + tm * kx - x0_my)
+                                * np.float32(1.0 / dxv[0])).astype(
+                    jnp.int32)
+                iy = jnp.floor((pos[:, 1] + tm * ky - np.float32(lo[1]))
+                               * np.float32(1.0 / dxv[1])).astype(
+                    jnp.int32)
+                iz = jnp.floor((pos[:, 2] + tm * kz - np.float32(lo[2]))
+                               * np.float32(1.0 / dxv[2])).astype(
+                    jnp.int32)
+                ok = ((ixl >= 0) & (ixl < nxl) & (iy >= 0) & (iy < ny)
+                      & (iz >= 0) & (iz < nz) & hit)
+                safe = jnp.clip((ixl * ny + iy) * nz + iz, 0,
+                                cells_per_slab - 1)
+                tau = tau + jnp.where(ok, kext_pk * rho_loc[0][safe],
+                                      0.0) * delta
+            return tau
+
+        bin_lo = d * (cells_per_slab * nlambda)
+
+        def peel_deposit_sweep(pos, kext_pk, dep_bin, dep_val, labs_c):
+            """One lap carrying (pos, kext, deposit bin/value, per-leader
+            accumulators): peel taus accumulate; each visited device
+            claims the deposits whose global bins land in its shard."""
+            accs = [jnp.zeros(n, jnp.float32) for _ in range(nlead)]
+            st = [pos, kext_pk, dep_bin, dep_val] + accs
+            for _ in range(D):
+                p_c, k_c, db_c, dv_c = st[:4]
+                acc_c = st[4:]
+                if want_labs:
+                    mine = (db_c >= bin_lo) \
+                        & (db_c < bin_lo + cells_per_slab * nlambda)
+                    labs_c = binned_add(
+                        labs_c, jnp.where(mine, db_c - bin_lo, -1), dv_c)
+                new_accs = [acc_c[li]
+                            + slab_peel_tau(p_c, leaders[li], k_c)
+                            for li in range(nlead)]
+                st = hopf([p_c, k_c, db_c, dv_c] + new_accs)
+            return st[4:], labs_c
+
+        # ---- kernel packing (fused_table call pattern) ------------------
+        tile = tile_rows * 128
+        npad = -(-max(n, tile) // tile) * tile
+        R = npad // 128
+
+        def pack(a, fill=0.0):
+            if npad > n:
+                a = jnp.pad(a, (0, npad - n), constant_values=fill)
+            return a.reshape(-1, 128)
+
+        def unpack(a):
+            return a.reshape(-1)[:n]
+
+        def call_kernel(u, kr, state):
+            tr = min(tile_rows, R)
+
+            def blk():
+                return pl.BlockSpec((tr, 128), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+
+            out_dtypes = ([jnp.float32] * 7 + [jnp.int32] * 2
+                          + ([jnp.int32, jnp.float32] if want_labs
+                             else []))
+            u_spec = pl.BlockSpec((n_uniform, tr, 128),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+            kr_spec = pl.BlockSpec((npanels, tr, 128),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kern,
+                grid=(R // tr,),
+                in_specs=[u_spec, kr_spec]
+                + [blk() for _ in range(n_state)],
+                out_specs=tuple(blk() for _ in range(len(out_dtypes))),
+                out_shape=tuple(jax.ShapeDtypeStruct((R, 128), dt)
+                                for dt in out_dtypes),
+                interpret=interpret,
+            )(u, kr, *state)
+
+        # ---- launch (per-device shard, device-folded RNG) ---------------
+        k_launch, k_cycle = jax.random.split(rng.event_key(kdev, 1))
+        pos, direction, L, _comp = stellar_system.launch(k_launch, ell,
+                                                         L0)
+        alive = L > 0
+        kext_pk = kext_t[0, ell]
+        albedo_pk = jnp.asarray(np.asarray(ds.kappasca,
+                                           np.float32))[0, ell] \
+            / jnp.maximum(kext_pk, 1e-37)
+        g_pk = jnp.asarray(np.asarray(mix.g, np.float32))[ell]
+        l0_p = pack(L0, 0.0)
+        ell_p = pack(ell)
+
+        ins_t = [ins.zero_tallies() for ins in instruments]
+        labs_loc = jnp.zeros((cells_per_slab * nlambda,), jnp.float32) \
+            if want_labs else jnp.zeros((1,), jnp.float32)
+
+        dust_flags = jnp.full(n, False)
+        no_dep = jnp.full(n, -1, jnp.int32)
+        taus0, labs_loc = peel_deposit_sweep(
+            pos, kext_pk, no_dep, jnp.zeros(n, jnp.float32), labs_loc)
+        tags0 = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
+        for i, ins in enumerate(instruments):
+            contribution = jnp.where(alive, L, 0.0)
+            extincted = contribution * jnp.exp(-taus0[lead_of[i]])
+            ins_t[i] = ins.detect(ins_t[i], pos, ell, extincted,
+                                  dict(tags0, transparent=contribution))
+
+        go0 = jax.lax.psum(jnp.any(alive).astype(jnp.int32), SLAB_AXIS)
+        state = dict(it=jnp.int32(0), pos=pos, dir=direction, L=L,
+                     ns=jnp.zeros(n, jnp.int32), alive=alive,
+                     bc=jnp.ones(n, jnp.int32), labs=labs_loc,
+                     ins=ins_t, go=go0)
+
+        def body(st):
+            s_pos, s_dir, s_L = st["pos"], st["dir"], st["L"]
+            s_ns, s_alive = st["ns"], st["alive"]
+            labs_c, ins_c = st["labs"], st["ins"]
+            kit = rng.event_key(k_cycle, st["it"])
+            u = jnp.clip(jax.random.uniform(kit, (n_uniform, R, 128),
+                                            jnp.float32),
+                         1e-7, 1.0 - 1e-7)
+
+            # -- sweep F: assemble the full panel rows over the ring ------
+            rows, t0g, delta = fill_rows(s_pos, s_dir, kext_pk)
+            kr = jnp.moveaxis(
+                jnp.pad(rows, ((0, npad - n), (0, 0)))
+                if npad > n else rows, 1, 0).reshape(npanels, R, 128)
+
+            kstate = (pack(s_pos[:, 0]), pack(s_pos[:, 1]),
+                      pack(s_pos[:, 2]),
+                      pack(s_dir[:, 0]), pack(s_dir[:, 1]),
+                      pack(s_dir[:, 2], 1.0),
+                      pack(s_L), pack(s_alive.astype(jnp.int32)),
+                      pack(s_ns), ell_p, l0_p, pack(t0g), pack(delta),
+                      pack(albedo_pk), pack(g_pk))
+            outs = call_kernel(u, kr, kstate)
+
+            pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
+                                 unpack(outs[2])], axis=-1)
+            dir_new = jnp.stack([unpack(outs[3]), unpack(outs[4]),
+                                 unpack(outs[5])], axis=-1)
+            L_new = unpack(outs[6])
+            alive_new = unpack(outs[7]) != 0
+            ns_new = unpack(outs[8])
+            dep_bin = unpack(outs[9]) if want_labs else no_dep
+            dep_val = unpack(outs[10]) if want_labs \
+                else jnp.zeros(n, jnp.float32)
+
+            # -- XLA-side relaunch (refill) -------------------------------
+            bc = st["bc"]
+            fresh = jnp.zeros(n, bool)
+            if refill:
+                eligible = jnp.logical_not(alive_new) & (bc < K)
+                kre = rng.event_key(k_cycle, st["it"], 7)
+                pos_l, dir_l, L_l, _ = stellar_system.launch(kre, ell, L0)
+                pos_new = jnp.where(eligible[:, None], pos_l, pos_new)
+                dir_new = jnp.where(eligible[:, None], dir_l, dir_new)
+                L_new = jnp.where(eligible, L_l, L_new)
+                ns_new = jnp.where(eligible, 0, ns_new)
+                bc = bc + eligible.astype(jnp.int32)
+                fresh = eligible
+                alive_new = alive_new | eligible
+
+            # -- sweep C: peel taus + deposit routing ---------------------
+            taus_s, labs_c = peel_deposit_sweep(pos_new, kext_pk, dep_bin,
+                                                dep_val, labs_c)
+            tags2 = {"nscatt": ns_new, "is_dust": dust_flags}
+            for i, ins in enumerate(instruments):
+                kvec = leaders[lead_of[i]]
+                cosj = (s_dir[:, 0] * np.float32(kvec[0])
+                        + s_dir[:, 1] * np.float32(kvec[1])
+                        + s_dir[:, 2] * np.float32(kvec[2]))
+                w = mix.phase_function(ell, cosj)
+                if refill:
+                    w = jnp.where(fresh, 1.0, w)
+                contribution = jnp.where(alive_new, L_new * w, 0.0)
+                extincted = contribution * jnp.exp(-taus_s[lead_of[i]])
+                ins_c[i] = ins.detect(ins_c[i], pos_new, ell, extincted,
+                                      dict(tags2,
+                                           transparent=contribution))
+
+            go = jax.lax.psum(jnp.any(alive_new).astype(jnp.int32)
+                              | jnp.any(bc < K).astype(jnp.int32),
+                              SLAB_AXIS)
+            out = dict(st)
+            out.update(it=st["it"] + 1, pos=pos_new, dir=dir_new,
+                       L=L_new, ns=ns_new, alive=alive_new, bc=bc,
+                       labs=labs_c, ins=ins_c, go=go)
+            return out
+
+        def cond(st):
+            return (st["it"] < iter_cap) & (st["go"] > 0)
+
+        final = jax.lax.while_loop(cond, body, state)
+        ins_out = [jax.tree.map(lambda x: jax.lax.psum(x, SLAB_AXIS), t)
+                   for t in final["ins"]]
+        out = {"instruments": ins_out}
+        if want_labs:
+            out["labs"] = final["labs"]
+        return out
+
+    out_specs = {"instruments": [jax.tree.map(lambda _: P(),
+                                              ins.zero_tallies())
+                                 for ins in instruments]}
+    if want_labs:
+        out_specs["labs"] = P(SLAB_AXIS)
+    sharded = jax.shard_map(per_device, mesh=mesh,
+                            in_specs=(P(), P(SLAB_AXIS), P(SLAB_AXIS),
+                                      P(None, SLAB_AXIS)),
+                            out_specs=out_specs, check_vma=False)
+    rho_host = np.asarray(ds.rho, np.float32)
+    rho_dev = jax.device_put(rho_host,
+                             NamedSharding(mesh, P(None, SLAB_AXIS)))
+    jitted = jax.jit(sharded)
+
+    def run(key, ell, L0):
+        return jitted(key, ell, L0, rho_dev)
+
+    return run
