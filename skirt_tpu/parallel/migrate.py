@@ -173,7 +173,10 @@ def make_migrating_tau(mesh: Mesh, grid, dust_system, npanels: int = 16):
 
 def make_migrating_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                              instruments, options, nlambda: int,
-                             npanels: int | None = None):
+                             npanels: int | None = None, launch_fn=None,
+                             emission_peeloff: bool = True,
+                             scattering_peeloff: bool = True,
+                             is_dust_emission: bool = False):
     """Full photon lifecycle with SHARDED packets + ring migration.
 
     The slab engine (parallel/slab.py) replicates the packet state and
@@ -258,9 +261,12 @@ def make_migrating_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     for ins in instruments:
         if hasattr(ins, "observer_distance") or not hasattr(ins, "kobs"):
             raise NotImplementedError("distant instruments only")
-    if not stellar_system.is_isotropic:
-        raise NotImplementedError("migrating lifecycle: isotropic "
-                                  "stellar emission only")
+    # anisotropic stellar comps ride the same emission-peel weighting as
+    # the allgather engine (direction_probability at the launch point);
+    # dust-emission phases launch isotropically via launch_fn
+    # (ref: dodustemissionchunk, PanMonteCarloSimulation.cpp:269-342)
+    anisotropic = (launch_fn is None and stellar_system is not None
+                   and not stellar_system.is_isotropic)
 
     P_p = int(npanels or options.quadrature_panels or 16)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
@@ -287,7 +293,7 @@ def make_migrating_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
 
     fwd = [(i, (i + 1) % D) for i in range(D)]
 
-    def per_device(key, ell, L0, rho_loc):
+    def per_device(key, ell, L0, rho_loc, launch_ctx):
         n = ell.shape[0]
         d = jax.lax.axis_index(SLAB_AXIS)
         kdev = jax.random.fold_in(key, d)
@@ -361,7 +367,16 @@ def make_migrating_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
 
         # ---- launch (per-device shard, device-folded RNG) ---------------
         k_launch, k_cycle = jax.random.split(rng.event_key(kdev, 1))
-        pos, direction, L, comp = stellar_system.launch(k_launch, ell, L0)
+        if launch_fn is not None:
+            # dust-emission launch (cell-CDF sampling via launch_ctx);
+            # the per-cycle context tables are REPLICATED on every
+            # device — transient per-cycle state, unlike the sharded
+            # density/Labs tables
+            pos, direction, L = launch_fn(k_launch, ell, L0, launch_ctx)
+            comp = None
+        else:
+            pos, direction, L, comp = stellar_system.launch(k_launch, ell,
+                                                            L0)
         alive = L > 0
         kext_pk = kext_t[0, ell]
         ksca_pk = ksca_t[0, ell]
@@ -388,15 +403,22 @@ def make_migrating_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                 st = hopf([p_c, k_c] + new_accs)
             return st[2:]
 
-        dust_flags = jnp.full(n, False)
+        dust_flags = jnp.full(n, bool(is_dust_emission))
         tags0 = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
-        taus0 = peel_sweep(pos, kext_pk)
-        for i, ins in enumerate(instruments):
-            contribution = jnp.where(alive, L, 0.0)
-            extincted = contribution * jnp.exp(
-                -taus0[lead_idx[leader_of[i]]])
-            ins_t[i] = ins.detect(ins_t[i], pos, ell, extincted,
-                                  dict(tags0, transparent=contribution))
+        if emission_peeloff:
+            taus0 = peel_sweep(pos, kext_pk)
+            for i, ins in enumerate(instruments):
+                contribution = jnp.where(alive, L, 0.0)
+                if anisotropic:
+                    kobs = ins.observer_direction(pos)
+                    contribution = contribution * \
+                        stellar_system.direction_probability(ell, pos,
+                                                             kobs, comp)
+                extincted = contribution * jnp.exp(
+                    -taus0[lead_idx[leader_of[i]]])
+                ins_t[i] = ins.detect(ins_t[i], pos, ell, extincted,
+                                      dict(tags0,
+                                           transparent=contribution))
 
         go0 = jax.lax.psum(jnp.any(alive).astype(jnp.int32), SLAB_AXIS)
         state = dict(it=jnp.int32(0), pos=pos, dir=direction, L=L,
@@ -505,17 +527,19 @@ def make_migrating_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                             pos)
 
             # ---- sweep C: peel from the new position --------------------
-            taus_s = peel_sweep(pos, kext_pk)
-            tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
-            for i, ins in enumerate(instruments):
-                kobs = ins.observer_direction(pos)
-                cosalpha = jnp.sum(direction * kobs, axis=-1)
-                w = mix.phase_function(ell, cosalpha)
-                contribution = jnp.where(alive, L * w, 0.0)
-                extincted = contribution * jnp.exp(
-                    -taus_s[lead_idx[leader_of[i]]])
-                ins_c[i] = ins.detect(ins_c[i], pos, ell, extincted,
-                                      dict(tags2, transparent=contribution))
+            if scattering_peeloff:
+                taus_s = peel_sweep(pos, kext_pk)
+                tags2 = {"nscatt": nscatt + 1, "is_dust": dust_flags}
+                for i, ins in enumerate(instruments):
+                    kobs = ins.observer_direction(pos)
+                    cosalpha = jnp.sum(direction * kobs, axis=-1)
+                    w = mix.phase_function(ell, cosalpha)
+                    contribution = jnp.where(alive, L * w, 0.0)
+                    extincted = contribution * jnp.exp(
+                        -taus_s[lead_idx[leader_of[i]]])
+                    ins_c[i] = ins.detect(ins_c[i], pos, ell, extincted,
+                                          dict(tags2,
+                                               transparent=contribution))
 
             # ---- scatter ------------------------------------------------
             g = jnp.asarray(ds.g)[0, ell]
@@ -552,16 +576,18 @@ def make_migrating_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                                  for ins in instruments]}
     if store_labs:
         out_specs["labs"] = P(SLAB_AXIS)
-    sharded = jax.shard_map(per_device, mesh=mesh,
-                            in_specs=(P(), P(SLAB_AXIS), P(SLAB_AXIS),
-                                      P(None, SLAB_AXIS)),
-                            out_specs=out_specs, check_vma=False)
     rho_host = np.asarray(ds.rho, np.float32)
     rho_dev = jax.device_put(rho_host,
                              NamedSharding(mesh, P(None, SLAB_AXIS)))
-    jitted = jax.jit(sharded)
 
-    def run(key, ell, L0):
-        return jitted(key, ell, L0, rho_dev)
+    def run(key, ell, L0, launch_ctx=None):
+        ctx = launch_ctx if launch_ctx is not None else jnp.int32(0)
+        sharded = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(SLAB_AXIS), P(SLAB_AXIS),
+                      P(None, SLAB_AXIS),
+                      jax.tree.map(lambda _: P(), ctx)),
+            out_specs=out_specs, check_vma=False)
+        return jax.jit(sharded)(key, ell, L0, rho_dev, ctx)
 
     return run

@@ -73,7 +73,7 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
                         emission_peeloff: bool = True,
                         scattering_peeloff: bool = True,
                         is_dust_emission: bool = False,
-                        exchange: str = "allgather"):
+                        exchange: str = "allgather", launch_fn=None):
     """Build the domain-decomposed lifecycle over a 1-D slab mesh.
 
     exchange='migrate' swaps the per-event (D, N) all-gather for the
@@ -96,13 +96,12 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     """
     if exchange == "migrate":
         from .migrate import make_migrating_lifecycle
-        if not (emission_peeloff and scattering_peeloff) \
-                or is_dust_emission:
-            raise NotImplementedError("exchange='migrate' supports the "
-                                      "full stellar phase only")
-        return make_migrating_lifecycle(mesh, grid, dust_system,
-                                        stellar_system, instruments,
-                                        options, nlambda)
+        return make_migrating_lifecycle(
+            mesh, grid, dust_system, stellar_system, instruments,
+            options, nlambda, launch_fn=launch_fn,
+            emission_peeloff=emission_peeloff,
+            scattering_peeloff=scattering_peeloff,
+            is_dust_emission=is_dust_emission)
     if exchange == "fused":
         # sharded packets + slab-sharded tables with the per-event
         # physics in the unchanged fused Pallas table kernel per device
@@ -110,7 +109,7 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
         # parallel/slab_fused.py
         from .slab_fused import make_slab_fused_lifecycle
         if not (emission_peeloff and scattering_peeloff) \
-                or is_dust_emission:
+                or is_dust_emission or launch_fn is not None:
             raise NotImplementedError("exchange='fused' supports the "
                                       "full stellar phase only")
         return make_slab_fused_lifecycle(mesh, grid, dust_system,
@@ -119,6 +118,9 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
     if exchange != "allgather":
         raise ValueError("exchange must be 'allgather', 'migrate' or "
                          "'fused'")
+    if launch_fn is not None:
+        raise NotImplementedError("launch_fn (dust-emission launch) is "
+                                  "supported by exchange='migrate' only")
     ds = dust_system
     D = int(mesh.devices.size)
     if ds is None:

@@ -131,3 +131,90 @@ class TestMigratingLifecycle:
             make_migrating_lifecycle(
                 mesh, grid, dsys, ss, instruments,
                 LifecycleOptions(fused=True, deposition="sampled"), 1)
+
+    def test_dust_emission_phase_parity(self):
+        """Round-5 envelope widening: a dust-emission phase (launch_fn
+        cell-CDF launch, ref: dodustemissionchunk) rides the migrating
+        engine; parity vs the single-device engine at matched totals."""
+        import jax.numpy as jnp
+        from skirt_tpu import rng as srng
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle)
+        from skirt_tpu.engine.pan import make_dust_launch
+        from skirt_tpu.numerics import build_alias_tables
+        from skirt_tpu.parallel.slab import make_slab_lifecycle
+        from test_slab import slab_mesh8
+
+        wg, ss, grid, dsys, instruments = self._build()
+        opts = LifecycleOptions(store_absorption=True, max_scatt_events=24,
+                                deposition="sampled", quadrature_panels=16)
+        # synthetic per-cell emission spectra proportional to density
+        rho_c = np.maximum(np.asarray(dsys.rho[0], np.float64), 0.0)
+        Lv_np = rho_c[None, :] + 1e-300
+        prob, alias = build_alias_tables(Lv_np)
+        ctx = {"alias_prob": jnp.asarray(prob),
+               "alias_idx": jnp.asarray(alias),
+               "Lv": jnp.asarray(Lv_np.astype(np.float32)),
+               "Ltot": jnp.asarray(Lv_np.sum(1).astype(np.float32)),
+               "xi": jnp.float32(0.5)}
+        launch = make_dust_launch(grid, 1)
+        npk = 1 << 13
+        key = srng.root_key(11)
+        ell = jnp.zeros((npk,), jnp.int32)
+        L0 = jnp.full((npk,), float(Lv_np.sum()) / npk, jnp.float32)
+
+        run1 = make_lifecycle(grid, dsys, None, instruments, opts, 1,
+                              launch_fn=launch, emission_peeloff=False,
+                              is_dust_emission=True)
+        t1 = jax.jit(lambda k, e, l, t: run1(k, e, l, t, ctx))(
+            key, ell, L0, {
+                "instruments": [i.zero_tallies() for i in instruments],
+                "labs": jnp.zeros((grid.ncells,), jnp.float32)})
+
+        runm = make_slab_lifecycle(slab_mesh8(), grid, dsys, None,
+                                   instruments, opts, 1,
+                                   exchange="migrate", launch_fn=launch,
+                                   emission_peeloff=False,
+                                   is_dust_emission=True)
+        tm = runm(key, ell, L0, ctx)
+        f1 = np.asarray(t1["instruments"][0]["Ftot"], np.float64)
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fm, f1, rtol=0.06)
+        l1 = float(np.asarray(t1["labs"]).sum())
+        lm = float(np.asarray(tm["labs"]).sum())
+        assert lm == pytest.approx(l1, rel=0.06)
+
+    def test_anisotropic_stellar_emission_peel(self):
+        """Anisotropic stellar comps get the direction_probability
+        emission-peel weighting (round-5 envelope widening)."""
+        import jax.numpy as jnp
+        from skirt_tpu import rng as srng
+        from skirt_tpu.engine.lifecycle import (LifecycleOptions,
+                                                make_lifecycle)
+        from skirt_tpu.geometry import NetzerAccretionDiskGeometry
+        from skirt_tpu.parallel.slab import make_slab_lifecycle
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        from test_slab import build, slab_mesh8
+
+        wg, _, grid, dsys, instruments = build()
+        ss = StellarSystem([LuminosityStellarComponent(
+            NetzerAccretionDiskGeometry(), wg, [1.0])])
+        assert not ss.is_isotropic
+        opts = LifecycleOptions(store_absorption=True, max_scatt_events=24,
+                                deposition="sampled", quadrature_panels=16)
+        npk = 1 << 13
+        key = srng.root_key(13)
+        ell = jnp.zeros((npk,), jnp.int32)
+        L0 = jnp.full((npk,), 1.0 / npk, jnp.float32)
+        run1 = make_lifecycle(grid, dsys, ss, instruments, opts, 1)
+        t1 = jax.jit(run1)(key, ell, L0, {
+            "instruments": [i.zero_tallies() for i in instruments],
+            "labs": jnp.zeros((grid.ncells,), jnp.float32)})
+        runm = make_slab_lifecycle(slab_mesh8(), grid, dsys, ss,
+                                   instruments, opts, 1,
+                                   exchange="migrate")
+        tm = runm(key, ell, L0)
+        f1 = np.asarray(t1["instruments"][0]["Ftot"], np.float64)
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fm, f1, rtol=0.06)
