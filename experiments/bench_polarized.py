@@ -41,6 +41,7 @@ def _sync(o):
 
 def main():
     fused = os.environ.get("POL_FUSED", "1") == "1"
+    table = os.environ.get("POL_TABLE", "0") == "1"
     n = 1 << int(os.environ.get("POL_LOG2N", "17"))
     refill = int(os.environ.get("POL_REFILL", "64" if fused else "0"))
 
@@ -54,15 +55,41 @@ def main():
     mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
     comp = DustComponent(ExpDiskGeometry(4 * KPC, 0.2 * KPC), mix,
                          OpticalDepthNormalization("z", wg.lambdav[0], 1.0))
-    dsys = DustSystem(grid, [comp], density_mode="analytic")
+    if table:
+        # POL_TABLE=1: polarized fused TABLE chain (config-3 class) — an
+        # octree AGN torus voxelized to the uniform table (round-5)
+        from skirt_tpu.geometry import PointGeometry, TorusGeometry
+        from skirt_tpu.grids.octree import OctreeGrid
+        torus = TorusGeometry(1.0, 2.0, 0.7, 0.05 * KPC, 2 * KPC)
+        half3 = 2.2 * KPC
+        grid = OctreeGrid((-half3,) * 3 + (half3,) * 3,
+                          lambda p: np.asarray(torus.density(p)),
+                          min_level=2, max_level=5)
+        ss = StellarSystem([LuminosityStellarComponent(
+            PointGeometry(), wg, [1e36, 1e36])])
+        comp = DustComponent(torus, mix,
+                             OpticalDepthNormalization("x",
+                                                       wg.lambdav[0],
+                                                       5.0))
+        dsys = DustSystem(grid, [comp], samples_per_cell=8)
+        dsys, _fold = dsys.voxelized()
+        dsys = dsys.as_table()
+        grid = dsys.grid
+    else:
+        dsys = DustSystem(grid, [comp], density_mode="analytic")
     mueller = thomson_mueller(2)
+    # azimuth off the lattice plane: an azimuth-0 observer of a
+    # grid-center point source rides the y=0 knife edge (ROADMAP r4 B)
+    az = float(os.environ.get("POL_AZ", "0.7" if table else "0.0"))
     ins = [FullInstrument("pol", 3.08e23, 2, 16, 16, fov_x=26 * KPC,
-                          fov_y=26 * KPC, inclination=1.2,
+                          fov_y=26 * KPC, inclination=1.2, azimuth=az,
                           polarization=True),
-           SEDInstrument("sed", 3.08e23, 2, inclination=1.2)]
+           SEDInstrument("sed", 3.08e23, 2, inclination=1.2, azimuth=az)]
 
     opts = LifecycleOptions(max_scatt_events=64, deposition="sampled",
-                            quadrature_panels=32, peel_panels=8,
+                            quadrature_panels=(16 if table else 32),
+                            peel_panels=int(os.environ.get("POL_PEELP", "8")),
+                            table_peel="exact",
                             fused=fused, refill_batches=refill)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2,
                                  mueller=mueller))
@@ -87,7 +114,8 @@ def main():
     F = float(np.asarray(t["Ftot"]).sum())
     P = np.hypot(float(np.asarray(t["FQ"])[0]),
                  float(np.asarray(t["FU"])[0]))
-    print(f"polarized flagship fused={fused} refill={refill}: "
+    kind = "octree-table" if table else "flagship"
+    print(f"polarized {kind} fused={fused} refill={refill}: "
           f"{npackets / dt:,.0f} packets/s ({dt:.2f}s per {npackets}); "
           f"Ftot={F:.4e} |P0|={P:.3e}", flush=True)
 

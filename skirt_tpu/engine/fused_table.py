@@ -60,8 +60,10 @@ def _validate(grid, ds, instruments, options, mueller, io_state):
 
     if ds is None or not getattr(ds, "table", False):
         bail("requires density_mode='table' (voxelized().as_table())")
-    if mueller is not None:
-        bail("polarization not supported")
+    if mueller is not None and ds.ncomp > 1:
+        bail("polarization supports a single dust component (the "
+             "multi-component kernel moves the scatter XLA-side "
+             "differently)")
     if io_state:
         bail("io_state not supported")
     if options.continuous_scattering:
@@ -617,6 +619,19 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
     iter_cap = int(max_iterations if max_iterations is not None
                    else options.max_scatt_events) * K
     n_uniform = 3 if multi else 5
+    # polarized mode: the kernel is UNCHANGED — the XLA-side Mueller
+    # sample overrides the direction it wrote, and the per-leader peel
+    # reuses the staged/exact tau with Mueller phase weights + Stokes
+    # tags (the round-4 fused-analytic recipe, transplanted; ref:
+    # DustMix.cpp:584-620 scatteringDirectionAndPolarization +
+    # peeloffscattering's polarized branch)
+    mt0 = (mueller[0] if isinstance(mueller, (list, tuple)) else mueller)
+    pol_mode = mt0 is not None
+    if pol_mode:
+        from ..media import polarization as pol
+        if multi:
+            raise ValueError("fused table lifecycle: polarized mode is "
+                             "single-component only")
 
     exact_taus = (make_exact_peel(grid, ds, leaders)
                   if peel_mode == "exact" else None)
@@ -753,6 +768,13 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
         carry = {"it": jnp.int32(0), "s": state0, "ins": ins0,
                  "labs": labs if labs is not None
                  else jnp.zeros((1,), jnp.float32)}
+        if pol_mode:
+            # normalized Stokes ratios + reference normal (packets launch
+            # unpolarized; zero normal = "no reference yet")
+            state0["stq"] = jnp.zeros(n, jnp.float32)
+            state0["stu"] = jnp.zeros(n, jnp.float32)
+            state0["stv"] = jnp.zeros(n, jnp.float32)
+            state0["stn"] = jnp.zeros((n, 3), jnp.float32)
 
         ell_p = pack(ell)
         pack_ell_flat = ell
@@ -861,6 +883,48 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                 alive_new = unpack(outs[7]) != 0
                 ns_new = unpack(outs[8])
 
+            pol_ctx = None
+            if pol_mode:
+                # ---- XLA-side Mueller scatter overriding the kernel's
+                # HG direction (pre-event Stokes + direction feed both
+                # the scatter and the peel, like the vector path) -------
+                dir_old = s["dir"]
+                q0, u0, v0 = s["stq"], s["stu"], s["stv"]
+                nrm0_raw = s["stn"]
+                pdeg = jnp.sqrt(q0 ** 2 + u0 ** 2)
+                pang = 0.5 * jnp.arctan2(u0, q0)
+                kpol = rng.event_key(k_cycle, st["it"], 13)
+                have_n = jnp.linalg.norm(nrm0_raw, axis=-1) > 1e-6
+                default_n = rng.isotropic_direction(
+                    jax.random.fold_in(kpol, 2), (n,))
+                default_n = default_n - dir_old * jnp.sum(
+                    default_n * dir_old, axis=-1, keepdims=True)
+                default_n = default_n / jnp.maximum(
+                    jnp.linalg.norm(default_n, axis=-1, keepdims=True),
+                    1e-30)
+                nrm0 = jnp.where(have_n[:, None], nrm0_raw, default_n)
+                theta_s = mt0.sample_theta(jax.random.fold_in(kpol, 0),
+                                           ell)
+                phi_s = mt0.sample_phi(jax.random.fold_in(kpol, 1), ell,
+                                       theta_s, pdeg, pang)
+                from ..media import polarization as pol
+                qr_s, ur_s = pol.rotate_stokes(q0, u0, phi_s)
+                nrm_s = pol.rotate_normal(nrm0, dir_old, phi_s)
+                S11, S12, S33, S34 = mt0.lookup(ell, theta_s)
+                _, qn, un, vn = pol.apply_mueller(qr_s, ur_s, v0,
+                                                  S11, S12, S33, S34)
+                nd = (dir_old * jnp.cos(theta_s)[:, None]
+                      + jnp.cross(nrm_s, dir_old)
+                      * jnp.sin(theta_s)[:, None])
+                nd = nd / jnp.maximum(
+                    jnp.linalg.norm(nd, axis=-1, keepdims=True), 1e-30)
+                scat = alive_new
+                dir_new = jnp.where(scat[:, None], nd, dir_new)
+                pol_ctx = dict(q0=q0, u0=u0, v0=v0, nrm0=nrm0,
+                               dir_old=dir_old, pdeg=pdeg, pang=pang,
+                               scat=scat, qn=qn, un=un, vn=vn,
+                               nrm_s=nrm_s)
+
             # -- XLA-side relaunch (refill) -------------------------------
             bc = s["bc"]
             fresh = jnp.zeros(n, bool)
@@ -888,12 +952,62 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                 taus0 = ([None] * nlead if peel_mode == "taumap"
                          else staged_taus(pos_new, kext_pk))
                 tags2 = {"nscatt": ns_new, "is_dust": dust_flags}
+                pol_lead = {}
+                if pol_mode:
+                    # per-LEADER Mueller peel, shared by every instrument
+                    # with that observer direction (ref:
+                    # peeloffscattering's polarized branch)
+                    pc = pol_ctx
+                    for j in sorted(set(lead_of)):
+                        kobs = jnp.broadcast_to(jnp.asarray(
+                            np.asarray(leaders[j], np.float32)), (n, 3))
+                        cosa = jnp.sum(pc["dir_old"] * kobs, axis=-1)
+                        theta_p = jnp.arccos(jnp.clip(cosa, -1.0, 1.0))
+                        phi_p = pol.angle_between_planes(
+                            pc["nrm0"], pc["dir_old"], kobs)
+                        qr_p, ur_p = pol.rotate_stokes(pc["q0"],
+                                                       pc["u0"], phi_p)
+                        S11p, S12p, S33p, S34p = mt0.lookup(ell, theta_p)
+                        wj = jnp.asarray(mt0.pfnorm)[ell] * (
+                            S11p + pc["pdeg"] * S12p
+                            * jnp.cos(2.0 * (phi_p - pc["pang"])))
+                        _, qh, uh, vh = pol.apply_mueller(
+                            qr_p, ur_p, pc["v0"], S11p, S12p, S33p, S34p)
+                        nrm_i = jnp.cross(pc["dir_old"], kobs)
+                        nn_i = jnp.linalg.norm(nrm_i, axis=-1,
+                                               keepdims=True)
+                        nrm_i = jnp.where(nn_i > 1e-20,
+                                          nrm_i / jnp.maximum(nn_i,
+                                                              1e-30),
+                                          pc["nrm0"])
+                        pol_lead[j] = (wj, qh, uh, vh, nrm_i, kobs)
                 for i, peel in enumerate(peels):
                     kvec = leaders[lead_of[i]]
                     cosj = (s["dir"][:, 0] * np.float32(kvec[0])
                             + s["dir"][:, 1] * np.float32(kvec[1])
                             + s["dir"][:, 2] * np.float32(kvec[2]))
-                    if multi:
+                    tg = tags2
+                    if pol_mode:
+                        wj, qh, uh, vh, nrm_i, kobs = pol_lead[lead_of[i]]
+                        # rotate into THIS instrument's frame
+                        ky = (jnp.broadcast_to(
+                            jnp.asarray(instruments[i].ky, jnp.float32),
+                            (n, 3))
+                            if hasattr(instruments[i], "ky") else nrm_i)
+                        cosal = jnp.sum(nrm_i * ky, axis=-1)
+                        sinal = jnp.sum(jnp.cross(nrm_i, ky) * kobs,
+                                        axis=-1)
+                        alpha = jnp.arctan2(sinal, cosal)
+                        q3, u3 = pol.rotate_stokes(qh, uh, alpha)
+                        v3 = vh
+                        w = wj
+                        if refill:
+                            w = jnp.where(fresh, 1.0, w)
+                            q3 = jnp.where(fresh, 0.0, q3)
+                            u3 = jnp.where(fresh, 0.0, u3)
+                            v3 = jnp.where(fresh, 0.0, v3)
+                        tg = dict(tags2, stokes=(q3, u3, v3))
+                    elif multi:
                         # blended phase weight by ksca_h*rho_h at the
                         # interaction cell (ref: peeloffscattering's
                         # per-component wv mix)
@@ -907,17 +1021,29 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                                       0.0)
                     else:
                         w = mix.phase_function(ell, cosj)
-                    if refill:
+                    if refill and not pol_mode:
                         w = jnp.where(fresh, 1.0, w)
                     contribution = jnp.where(alive_new, L_new * w, 0.0)
                     ins[i] = peel(ins[i], pos_new, ell, contribution,
-                                  tags2, tau=taus0[lead_of[i]])
+                                  tg, tau=taus0[lead_of[i]])
             elif refill and emission_peeloff:
                 ins = emission_peel(ins, pos_new, ell,
                                     jnp.where(fresh, L_new, 0.0), ns_new)
 
             s_new = {"pos": pos_new, "dir": dir_new, "L": L_new,
                      "alive": alive_new, "ns": ns_new, "bc": bc}
+            if pol_mode:
+                pc = pol_ctx
+                scat = pc["scat"] & jnp.logical_not(fresh)
+                s_new["stq"] = jnp.where(scat, pc["qn"],
+                                         jnp.where(fresh, 0.0, pc["q0"]))
+                s_new["stu"] = jnp.where(scat, pc["un"],
+                                         jnp.where(fresh, 0.0, pc["u0"]))
+                s_new["stv"] = jnp.where(scat, pc["vn"],
+                                         jnp.where(fresh, 0.0, pc["v0"]))
+                s_new["stn"] = jnp.where(
+                    scat[:, None], pc["nrm_s"],
+                    jnp.where(fresh[:, None], 0.0, s["stn"]))
             return {"it": st["it"] + 1, "s": s_new, "ins": ins,
                     "labs": labs_c}
 

@@ -412,7 +412,19 @@ class OctreeGrid:
         go_pos = dsel > 0
         wall_hi = jnp.take_along_axis(bhi, axis[..., None], -1)[..., 0]
         wall_lo = jnp.take_along_axis(blo, axis[..., None], -1)[..., 0]
-        forced = jnp.where(go_pos, wall_hi + eps, wall_lo - eps)
+        # compose the eps nudge with an ulp floor: at physical scales
+        # (walls ~1e20 m) eps can round below ulp(wall) in f32 and the
+        # add becomes a no-op, leaving the ds=0 stall the nudge exists
+        # to break — force at least 4 nextafter steps past the wall
+        # (ADVICE r4 fix; ref: TreeDustGrid.cpp:437-453 uses nextafter)
+        hi_next = wall_hi
+        lo_next = wall_lo
+        for _ in range(4):
+            hi_next = jnp.nextafter(hi_next, jnp.inf)
+            lo_next = jnp.nextafter(lo_next, -jnp.inf)
+        forced = jnp.where(go_pos,
+                           jnp.maximum(wall_hi + eps, hi_next),
+                           jnp.minimum(wall_lo - eps, lo_next))
         onehot = jnp.arange(3, dtype=jnp.int32) == axis[..., None]
         probe = jnp.where(onehot, forced[..., None], probe)
 
@@ -472,21 +484,82 @@ class OctreeGrid:
                     continue
                 A = np.asarray(A)
                 B = np.asarray(B)
-                ov = ((lo[A][:, None, o1] <= hi[B][None, :, o1] + tol)
-                      & (hi[A][:, None, o1] >= lo[B][None, :, o1] - tol)
-                      & (lo[A][:, None, o2] <= hi[B][None, :, o2] + tol)
-                      & (hi[A][:, None, o2] >= lo[B][None, :, o2] - tol))
-                ii, jj = np.nonzero(ov)
-                for a, b in zip(A[ii], B[jj]):
+                na, nb_ = len(A), len(B)
+                if na * nb_ <= (1 << 16):
+                    # small plane: the dense overlap matrix is cheapest
+                    ov = ((lo[A][:, None, o1] <= hi[B][None, :, o1] + tol)
+                          & (hi[A][:, None, o1] >= lo[B][None, :, o1]
+                             - tol)
+                          & (lo[A][:, None, o2] <= hi[B][None, :, o2]
+                             + tol)
+                          & (hi[A][:, None, o2] >= lo[B][None, :, o2]
+                             - tol))
+                    ii, jj = np.nonzero(ov)
+                    pairs = zip(A[ii], B[jj])
+                else:
+                    # populous midplane (O(4^level) faces per side): the
+                    # dense |A|x|B| matrix is multi-GB; bucket faces
+                    # along o1 instead (bucket width = the largest face
+                    # width, so every face spans <= 2 buckets) and join
+                    # per bucket — near-linear in the face count
+                    alo1, ahi1 = lo[A, o1], hi[A, o1]
+                    blo1, bhi1 = lo[B, o1], hi[B, o1]
+                    wmax = max(float(np.max(ahi1 - alo1)),
+                               float(np.max(bhi1 - blo1)), tol)
+                    base0 = float(min(alo1.min(), blo1.min()))
+                    top = float(max(ahi1.max(), bhi1.max()))
+                    nbk = max(int(np.ceil((top - base0) / wmax)) + 1, 1)
+
+                    def bix(x):
+                        return np.clip(((x - base0) / wmax)
+                                       .astype(np.int64), 0, nbk - 1)
+
+                    a_lo_b, a_hi_b = bix(alo1), bix(ahi1)
+                    b_lo_b, b_hi_b = bix(blo1), bix(bhi1)
+                    buckets: dict = {}
+                    for j in range(nb_):
+                        for bk in range(b_lo_b[j], b_hi_b[j] + 1):
+                            buckets.setdefault(bk, []).append(j)
+                    seen = set()
+                    pairs = []
+                    for bk, js in buckets.items():
+                        ia = np.nonzero((a_lo_b <= bk)
+                                        & (a_hi_b >= bk))[0]
+                        if ia.size == 0:
+                            continue
+                        jb = np.asarray(js)
+                        ov = ((lo[A[ia]][:, None, o1]
+                               <= hi[B[jb]][None, :, o1] + tol)
+                              & (hi[A[ia]][:, None, o1]
+                                 >= lo[B[jb]][None, :, o1] - tol)
+                              & (lo[A[ia]][:, None, o2]
+                                 <= hi[B[jb]][None, :, o2] + tol)
+                              & (hi[A[ia]][:, None, o2]
+                                 >= lo[B[jb]][None, :, o2] - tol))
+                        ii, jj = np.nonzero(ov)
+                        for a, b in zip(A[ia[ii]], B[jb[jj]]):
+                            if (a, b) not in seen:
+                                seen.add((a, b))
+                                pairs.append((a, b))
+                for a, b in pairs:
                     nbr[a][2 * ax + 1].append(b)    # a's +ax face sees b
                     nbr[b][2 * ax].append(a)        # b's -ax face sees a
         kmax = max((len(v) for row in nbr for v in row), default=1)
-        if kmax > self._FACE_KMAX or self.nnodes >= (1 << 24):
+        # byte budget for the baked rows (mirrors voronoi.py's
+        # _ensure_blocks): a (L*6, 7K) f32 literal is re-materialized per
+        # traced step, and the axon remote-compile path rejects
+        # multi-hundred-MB programs (HTTP 413) — ADVICE r4 fix
+        row_bytes = L * 6 * 7 * max(kmax, 1) * 4
+        budget = 96 << 20
+        if kmax > self._FACE_KMAX or self.nnodes >= (1 << 24) \
+                or row_bytes > budget:
             import warnings
             warnings.warn(
                 f"{type(self).__name__}: neighbor-list walk disabled "
-                f"(face fan-out {kmax} > {self._FACE_KMAX} or node ids "
-                "exceed f32 range); stepping falls back to re-descend")
+                f"(face fan-out {kmax} > {self._FACE_KMAX}, node ids "
+                f"exceed f32 range, or baked rows {row_bytes >> 20} MB "
+                f"> {budget >> 20} MB); stepping falls back to "
+                "re-descend")
             self._face_rows_np = None
             return
         K = max(kmax, 1)

@@ -309,6 +309,16 @@ class VoronoiGrid:
         # experiments/microbench_rowgather.py), vs ~K serial element
         # gathers for an index-only table (~430 ns/point at K=64).
         if self.ncells >= (1 << 24):   # f32 can't hold the site index
+            # without the table every locate falls back to the
+            # O(N)-per-point MXU scan — a severe perf cliff on giant
+            # meshes; say so out loud (ADVICE r4 fix)
+            import warnings
+            warnings.warn(
+                f"{type(self).__name__}: {self.ncells} sites exceed the "
+                "f32 index range of the block-candidate table; point "
+                "location falls back to the O(N)-per-point distance "
+                "scan (expect a large slowdown — split the import or "
+                "use the voxelized view)")
             self._blk_flat_np = None
             return
         # the axon remote-compile tunnel serializes the table with the

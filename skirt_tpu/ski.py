@@ -565,12 +565,15 @@ def build_grid(node: Node, dust_density_fn=None, rng_seed: int = 4357,
         rb = _mesh_from(node.child("meshR")).scaled(0.0, s("maxR"))
         tb = _mesh_from(node.child("meshTheta"), 9).scaled(0.0, math.pi)
         return Sphere2DGrid(rb, tb)
-    def _tree_walk(default="TopDown"):
+    def _tree_walk(default="Neighbor"):
         # ref: TreeDustGrid.hpp:44-52 — searchMethod enum (TopDown |
-        # Neighbor | Bookkeeping; the ski default is Neighbor).  TopDown
-        # maps to the re-descend walk; Neighbor to the baked face-row
-        # walk; Bookkeeping (arithmetic walk on fully-refined trees) to
-        # re-descend here, since its role — an index-arithmetic
+        # Neighbor | Bookkeeping).  The ski default matches the
+        # reference's (Neighbor, Q_CLASSINFO Default): default-config
+        # ski files get the baked face-row walk, with an automatic
+        # fall-back to re-descend when the face table refuses (fan-out /
+        # byte-budget guards in grids/octree.py).  TopDown maps to the
+        # re-descend walk; Bookkeeping (arithmetic walk on fully-refined
+        # trees) to re-descend, since its role — an index-arithmetic
         # traversal — is filled by the voxelized Cartesian DDA.
         meth = str(node.get("searchMethod", default)).lower()
         if meth not in ("topdown", "neighbor", "bookkeeping"):

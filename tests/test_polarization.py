@@ -214,3 +214,70 @@ class TestFusedPolarized:
         qx = fQ[4, 6] / max(fsca[4, 6], 1e-12)
         qy = fQ[6, 4] / max(fsca[6, 4], 1e-12)
         assert np.sign(qx) == -np.sign(qy)
+
+
+class TestFusedTablePolarized:
+    """Polarized fused TABLE path (round-5): the XLA-side Mueller recipe
+    transplanted around the unchanged table kernel — scatter override +
+    per-leader Mueller peel with Stokes tags.  Same Thomson-sphere
+    harness as TestFusedPolarized, on the table density chain."""
+
+    def _run(self, fused, refill=0, n=20000, seed=5):
+        wg = OligoWavelengthGrid([1e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0])])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        mix = ElectronDustMix(wg)
+        R = 0.9
+        tau = 0.2
+        kappa = float(mix.kappaext64[0])
+        mass = tau / (kappa * R) * (4 / 3 * np.pi * R ** 3)
+        comp = DustComponent(UniformSphereGeometry(R), mix,
+                             DustMassNormalization(mass))
+        dsys = DustSystem(grid, [comp], samples_per_cell=4,
+                          density_mode="gridded")
+        tds = dsys.as_table()
+        ins = FullInstrument("pol", 100.0, 1, 9, 9, fov_x=2.2, fov_y=2.2,
+                             inclination=np.pi / 2, polarization=True)
+        mueller = thomson_mueller(1)
+        opts = LifecycleOptions(fused=fused, quadrature_panels=16,
+                                table_peel="exact", refill_batches=refill)
+        run = make_lifecycle(grid, tds if fused else dsys, ss, [ins],
+                             opts, 1, mueller=mueller)
+        K = max(refill, 1)
+        tallies = {"instruments": [ins.zero_tallies()]}
+        out = jax.jit(run)(rng.root_key(seed),
+                           jnp.zeros(n // K, jnp.int32),
+                           jnp.full((n // K,), 1.0 / n, jnp.float32),
+                           tallies)
+        return out["instruments"][0]
+
+    def test_table_matches_vector(self):
+        tv = self._run(fused=False)
+        tf = self._run(fused=True)
+        Fv = float(tv["Ftot"][0])
+        Ff = float(tf["Ftot"][0])
+        assert Ff == pytest.approx(Fv, rel=0.03)
+        assert Ff == pytest.approx(1.0, rel=0.05)
+        assert float(tf["Fscastel"][0]) == pytest.approx(
+            float(tv["Fscastel"][0]), rel=0.08)
+        # tangential polarization pattern (Thomson ring)
+        fQ = np.asarray(tf["fQ"]).reshape(9, 9)
+        fsca = np.asarray(tf["fscastel"]).reshape(9, 9)
+        qx = fQ[4, 6] / max(fsca[4, 6], 1e-12)
+        qy = fQ[6, 4] / max(fsca[6, 4], 1e-12)
+        assert abs(qx) > 0.15 and abs(qy) > 0.15
+        assert np.sign(qx) == -np.sign(qy)
+        pol_int = np.hypot(float(tf["FQ"][0]),
+                           float(tf["FU"][0])) / float(tf["Fscastel"][0])
+        assert pol_int < 0.05
+
+    def test_table_polarized_refill(self):
+        tf = self._run(fused=True, refill=4)
+        assert float(tf["Ftot"][0]) == pytest.approx(1.0, rel=0.05)
+        fQ = np.asarray(tf["fQ"]).reshape(9, 9)
+        fsca = np.asarray(tf["fscastel"]).reshape(9, 9)
+        qx = fQ[4, 6] / max(fsca[4, 6], 1e-12)
+        qy = fQ[6, 4] / max(fsca[6, 4], 1e-12)
+        assert np.sign(qx) == -np.sign(qy)
