@@ -618,6 +618,7 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
     mix = ds.components[0].mix
     iter_cap = int(max_iterations if max_iterations is not None
                    else options.max_scatt_events) * K
+    count_events = bool(getattr(options, "count_events", False))
     n_uniform = 3 if multi else 5
     # polarized mode: the kernel is UNCHANGED — the XLA-side Mueller
     # sample overrides the direction it wrote, and the per-leader peel
@@ -768,6 +769,8 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
         carry = {"it": jnp.int32(0), "s": state0, "ins": ins0,
                  "labs": labs if labs is not None
                  else jnp.zeros((1,), jnp.float32)}
+        if count_events:
+            carry["nev"] = jnp.float32(0.0)
         if pol_mode:
             # normalized Stokes ratios + reference normal (packets launch
             # unpolarized; zero normal = "no reference yet")
@@ -1032,6 +1035,10 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
 
             s_new = {"pos": pos_new, "dir": dir_new, "L": L_new,
                      "alive": alive_new, "ns": ns_new, "bc": bc}
+            if count_events:
+                # events processed this iteration = lanes alive at entry
+                out_nev = st["nev"] + jnp.sum(
+                    s["alive"].astype(jnp.float32))
             if pol_mode:
                 pc = pol_ctx
                 scat = pc["scat"] & jnp.logical_not(fresh)
@@ -1044,8 +1051,11 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
                 s_new["stn"] = jnp.where(
                     scat[:, None], pc["nrm_s"],
                     jnp.where(fresh[:, None], 0.0, s["stn"]))
-            return {"it": st["it"] + 1, "s": s_new, "ins": ins,
-                    "labs": labs_c}
+            out_st = {"it": st["it"] + 1, "s": s_new, "ins": ins,
+                      "labs": labs_c}
+            if count_events:
+                out_st["nev"] = out_nev
+            return out_st
 
         def cond(st):
             go = jnp.any(st["s"]["alive"])
@@ -1059,6 +1069,8 @@ def make_fused_table_lifecycle(grid, dust_system, stellar_system,
         out["instruments"] = final["ins"]
         if labs is not None:
             out["labs"] = final["labs"]
+        if count_events:
+            out["nevents"] = final["nev"] + out.get("nevents", 0.0)
         return out
 
     return run_batch

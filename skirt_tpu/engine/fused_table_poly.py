@@ -411,6 +411,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
 
     iter_cap = int(max_iterations if max_iterations is not None
                    else options.max_scatt_events) * K
+    count_events = bool(getattr(options, "count_events", False))
 
     def run_batch(key, ell, L0, tallies, launch_ctx=None):
         del ell
@@ -481,6 +482,8 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
         carry = {"it": jnp.int32(0), "s": state0, "ins": ins0,
                  "labs": labs if labs is not None
                  else jnp.zeros((1,), jnp.float32)}
+        if count_events:
+            carry["nev"] = jnp.float32(0.0)
 
         oc = jnp.asarray(np.broadcast_to(
             np.stack([np.asarray(kext_w, np.float32),
@@ -630,8 +633,13 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
 
             s_new = {"pos": pos_new, "dir": dir_new, "L": Ln,
                      "alive": alive_new, "ns": ns_new, "bc": bc}
-            return {"it": st["it"] + 1, "s": s_new, "ins": ins,
-                    "labs": labs_c}
+            out_st = {"it": st["it"] + 1, "s": s_new, "ins": ins,
+                      "labs": labs_c}
+            if count_events:
+                # events processed this iteration = lanes alive at entry
+                out_st["nev"] = st["nev"] + jnp.sum(
+                    s["alive"].astype(jnp.float32))
+            return out_st
 
         def cond(st):
             go = jnp.any(st["s"]["alive"])
@@ -645,6 +653,8 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
         out["instruments"] = final["ins"]
         if labs is not None:
             out["labs"] = final["labs"]
+        if count_events:
+            out["nevents"] = final["nev"] + out.get("nevents", 0.0)
         return out
 
     return run_batch

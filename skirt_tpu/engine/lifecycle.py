@@ -165,6 +165,13 @@ class LifecycleOptions:
                                      # auto (on for grids with small
                                      # max_steps, off otherwise — memory is
                                      # 3*S*N words)
+    count_events: bool = False       # fused table paths: accumulate the
+                                     # total scattering-event count into
+                                     # tallies["nevents"] (one scalar sum
+                                     # of live lanes per iteration) — the
+                                     # per-event accounting behind the
+                                     # pan-on-tree throughput numbers
+                                     # (BASELINE.md); off by default
 
 
 def propagate_tau_sample(taupath, u1, u2, xi, n):
