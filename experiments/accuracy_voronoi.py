@@ -109,7 +109,9 @@ def main():
                     LifecycleOptions(store_absorption=True,
                                      max_scatt_events=64,
                                      deposition="sampled",
-                                     quadrature_panels=P, peel_panels=32,
+                                     quadrature_panels=P,
+                                     peel_panels=int(os.environ.get(
+                                         "ACC_PEELP", "32")),
                                      fused=True, polychromatic=poly,
                                      table_peel="staged"),
                     f"{'poly' if poly else 'mono'} DIRECT P={P}",

@@ -249,7 +249,12 @@ class VoronoiGrid:
         """
         if self.ncells <= self._SCAN_MAX_SITES:
             return self._nearest_scan(p_scaled)
-        return self._nearest_blocks(p_scaled)
+        self._ensure_blocks()
+        if self._blk_flat_np is not None:
+            return self._nearest_blocks(p_scaled)
+        # block-candidate table over budget (import-scale meshes): the
+        # neighbor-walk locate is exact at O(ncells * kmax) memory
+        return self._nearest_walk(p_scaled)
 
     def _nearest_scan(self, p):
         shape = p.shape[:-1]
@@ -395,7 +400,7 @@ class VoronoiGrid:
     def _nearest_blocks(self, p):
         self._ensure_blocks()
         if self._blk_flat_np is None:   # table over budget: exact fallback
-            return self._nearest_scan(p)
+            return self._nearest_walk(p)
         shape = p.shape[:-1]
         p2 = p.reshape(-1, 3)
         nb = self._blk_nb
@@ -412,6 +417,97 @@ class VoronoiGrid:
         sel = jnp.arange(K, dtype=jnp.int32)[None, :] == k[:, None]
         best = jnp.sum(jnp.where(sel, r[:, 3 * K:], 0.0), axis=1)
         return best.astype(jnp.int32).reshape(shape)
+
+    def _ensure_walk(self):
+        """Lazy host build of the neighbor-walk locate tables.
+
+        A coarse voxel SEED map (voxel -> site nearest its center) plus
+        per-cell [self+neighbors] rows [X|Y|Z|I](K): point location
+        descends the adjacency graph from the seed, moving to the
+        strictly-closest site of the current cell's row until the cell
+        itself is closest.  EXACT: p is in cell(s) iff p is closer to s
+        than to every neighbor of s (the walls only clip, they never
+        add bisectors), and each move strictly decreases the distance so
+        the walk terminates at the true cell.  Memory is
+        O(ncells * kmax) — independent of the block resolution that
+        capped the round-4 candidate tables at import scales
+        (ref: VoronoiMesh.cpp:512-543 walks nb^3 block kd-trees).
+        """
+        if hasattr(self, "_walk_rows_np"):
+            return
+        Kp = -(-(self.nbrs64.shape[1] + 1) // 32) * 32
+        budget = 96 << 20
+        if self.ncells * 4 * Kp * 4 > budget or self.ncells >= (1 << 24):
+            self._walk_rows_np = None
+            return
+        rows = np.empty((self.ncells, 4 * Kp), np.float32)
+        rows[:, :3 * Kp] = 1e9      # pad coords: never nearest
+        rows[:, 3 * Kp:] = 0.0
+        sites = self._sites_np
+        # entry 0 = the cell itself (argmin tie -> stay = converged)
+        rows[:, 0] = sites[:, 0]
+        rows[:, Kp] = sites[:, 1]
+        rows[:, 2 * Kp] = sites[:, 2]
+        rows[:, 3 * Kp] = np.arange(self.ncells, dtype=np.float32)
+        nbrs = self.nbrs64
+        for j in range(nbrs.shape[1]):
+            col = nbrs[:, j]
+            idx = np.nonzero(col >= 0)[0]
+            c = col[idx]
+            rows[idx, 1 + j] = sites[c, 0]
+            rows[idx, Kp + 1 + j] = sites[c, 1]
+            rows[idx, 2 * Kp + 1 + j] = sites[c, 2]
+            rows[idx, 3 * Kp + 1 + j] = c.astype(np.float32)
+        self._walk_rows_np = rows
+        self._walk_k = Kp
+        ns = int(np.clip(round(1.5 * self.ncells ** (1.0 / 3.0)), 8, 128))
+        lo, hi = self._lo, self._hi
+        bs = (hi - lo) / ns
+        ax = [lo[k] + (np.arange(ns) + 0.5) * bs[k] for k in range(3)]
+        centers = np.stack(np.meshgrid(*ax, indexing="ij"),
+                           axis=-1).reshape(-1, 3)
+        _, seed = self._tree.query(centers, workers=-1)
+        self._walk_seed_np = seed.astype(np.int32)
+        self._walk_ns = ns
+        inv = 1.0 / self.scale
+        self._walk_lo_np = np.asarray(lo * inv, np.float32)
+        self._walk_inv_np = np.asarray(1.0 / (bs * inv), np.float32)
+
+    def _nearest_walk(self, p):
+        self._ensure_walk()
+        if self._walk_rows_np is None:
+            return self._nearest_scan(p)
+        shape = p.shape[:-1]
+        p2 = p.reshape(-1, 3)
+        ns = self._walk_ns
+        K = self._walk_k
+        rel = (p2 - jnp.asarray(self._walk_lo_np)) \
+            * jnp.asarray(self._walk_inv_np)
+        iv = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, ns - 1)
+        vox = (iv[:, 0] * ns + iv[:, 1]) * ns + iv[:, 2]
+        s0 = jnp.asarray(self._walk_seed_np)[vox]
+        rows_t = jnp.asarray(self._walk_rows_np)
+
+        def step(state):
+            s, _moved, it = state
+            r = rows_t[s]                                 # (M, 4K) row
+            d = ((p2[:, 0:1] - r[:, :K]) ** 2
+                 + (p2[:, 1:2] - r[:, K:2 * K]) ** 2
+                 + (p2[:, 2:3] - r[:, 2 * K:3 * K]) ** 2)
+            k = jnp.argmin(d, axis=1)
+            sel = jnp.arange(K, dtype=jnp.int32)[None, :] == k[:, None]
+            s_new = jnp.sum(jnp.where(sel, r[:, 3 * K:], 0.0),
+                            axis=1).astype(jnp.int32)
+            return s_new, jnp.any(s_new != s), it + 1
+
+        def cond(state):
+            # termination is guaranteed (strictly decreasing distance);
+            # the iteration cap is a safety net only
+            return state[1] & (state[2] < 256)
+
+        s_fin, _, _ = jax.lax.while_loop(
+            cond, step, (s0, jnp.bool_(True), jnp.int32(0)))
+        return s_fin.reshape(shape)
 
     def locate_batched(self, points):
         """Flat cell ids for arbitrary-shaped point batches (-1 outside).

@@ -107,11 +107,16 @@ def make_slab_lifecycle(mesh: Mesh, grid, dust_system, stellar_system,
         # physics in the unchanged fused Pallas table kernel per device
         # (panel rows assembled by a ppermute ring sweep) — see
         # parallel/slab_fused.py
-        from .slab_fused import make_slab_fused_lifecycle
+        from .slab_fused import (make_slab_fused_lifecycle,
+                                 make_slab_fused_poly_lifecycle)
         if not (emission_peeloff and scattering_peeloff) \
                 or is_dust_emission or launch_fn is not None:
             raise NotImplementedError("exchange='fused' supports the "
                                       "full stellar phase only")
+        if getattr(options, "polychromatic", False):
+            return make_slab_fused_poly_lifecycle(
+                mesh, grid, dust_system, stellar_system, instruments,
+                options, nlambda)
         return make_slab_fused_lifecycle(mesh, grid, dust_system,
                                          stellar_system, instruments,
                                          options, nlambda)

@@ -233,9 +233,9 @@ class TestPanPoly:
     carry that cell's emission spectrum (make_dust_launch_poly)."""
 
     def test_analytic_poly_energy_conservation(self):
-        sim = build_pan_sim(tau=2.0, packets=3000, density_mode="analytic",
+        sim = build_pan_sim(tau=2.0, packets=1536, density_mode="analytic",
                             deposition="sampled", fused=True,
-                            quadrature_panels=8, max_scatt_events=24,
+                            quadrature_panels=8, max_scatt_events=16,
                             polychromatic=True)
         assert sim._poly and sim._dust_poly
         acc = sim.run()

@@ -158,6 +158,19 @@ class TestDevicePointLocation:
         got = np.asarray(g.locate_batched(jnp.asarray(pts, jnp.float32)))
         assert (got == expected).mean() > 0.995
 
+    def test_walk_matches_scan_exactly(self):
+        """Neighbor-walk locate (round 5, the import-scale path): seed
+        map + adjacency descent is EXACT — the walk's local minimum is
+        the containing cell because the walls only clip, they never add
+        bisectors."""
+        g = make_grid(n_sites=700)
+        rs = np.random.default_rng(9)
+        pts = rs.uniform(-0.99, 0.99, size=(4000, 3))
+        ps = g._scaled(jnp.asarray(pts, jnp.float32))
+        ref = np.asarray(g._nearest_scan(ps))
+        walk = np.asarray(g._nearest_walk(ps))
+        assert (ref == walk).all()
+
     def test_outside_is_minus_one(self):
         g = make_grid()
         pts = jnp.asarray([[1.5, 0.0, 0.0], [0.0, 0.0, 0.5]], jnp.float32)
