@@ -48,13 +48,19 @@ def main():
     # K=8 -> 54.1M at K=128, BASELINE.md) as launch/emission-peel overhead
     # amortizes; K=128 keeps each dispatch ~40 s, under the tunneled
     # worker's ~2-minute limit
-    packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "21"))
+    # Default = the PRODUCTION panchromatic flagship (128 wavelengths/
+    # lane on the vectorized-W poly kernel, 2^15 lanes, K=128, 2 folded
+    # batches: 364.7M packets/s measured 2026-08-22, accuracy vs the
+    # monochromatic kernel <= 0.23% per-wavelength SED at 8.4M packets).
+    # BENCH_NLAMBDA=4 BENCH_LOG2_PACKETS=21 BENCH_DISPATCH_BATCHES=8
+    # restores the round-4 4-wavelength oligo headline (279.9M).
+    packets = 1 << int(os.environ.get("BENCH_LOG2_PACKETS", "15"))
     # CAUTION: K=128 keeps one dispatch ~40 s; K=256 (~80 s) exceeds the
     # tunneled worker's dispatch tolerance and CRASHES it (recovery takes
     # 10+ minutes, measured 2026-08-21) — gains were already tapering
     refill = int(os.environ.get("BENCH_REFILL", "128"))
     run_batch, zero_tallies, ell, L0 = _build(
-        nlambda=int(os.environ.get("BENCH_NLAMBDA", "4")),
+        nlambda=int(os.environ.get("BENCH_NLAMBDA", "128")),
         ncells=int(os.environ.get("BENCH_NCELLS", "32")),
         packets=packets,
         n_instruments=int(os.environ.get("BENCH_NINSTR", "2")),
@@ -83,7 +89,7 @@ def main():
         # round 4.  BENCH_POLY=0 restores the monochromatic kernel.
         polychromatic=os.environ.get("BENCH_POLY", "1") == "1",
     )
-    poly_w = (int(os.environ.get("BENCH_NLAMBDA", "4"))
+    poly_w = (int(os.environ.get("BENCH_NLAMBDA", "128"))
               if os.environ.get("BENCH_POLY", "1") == "1" else 1)
 
     key = jax.random.key(4357)
@@ -91,7 +97,7 @@ def main():
     # amortize the fixed per-dispatch latency (dominant on the tunneled
     # TPU) by folding several batches into one compiled call
     from skirt_tpu.engine.lifecycle import make_multibatch
-    nbatches = int(os.environ.get("BENCH_DISPATCH_BATCHES", "8"))
+    nbatches = int(os.environ.get("BENCH_DISPATCH_BATCHES", "2"))
     run_many = make_multibatch(run_batch, nbatches)
     fn = jax.jit(lambda k, e, l: run_many(k, e, l, zero_tallies()))
 
