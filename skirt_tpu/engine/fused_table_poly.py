@@ -63,8 +63,10 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
 
     if ds is None or not getattr(ds, "table", False):
         bail("requires density_mode='table' (voxelized().as_table())")
-    if ds.ncomp != 1:
-        bail("single dust component only")
+    if ds.ncomp != 1 and not (hasattr(grid, "_uniform")
+                              and all(grid._uniform)):
+        bail("multi-component mode needs the uniform Cartesian voxel "
+             "view (per-component raw rows + in-kernel blending)")
     if mueller is not None:
         bail("polarization not supported")
     if io_state:
@@ -333,6 +335,313 @@ def _build_kernel(grid, options, W, npanels, want_labs,
     return kern, n_uniform
 
 
+def _build_kernel_multi(grid, options, W, H, npanels, want_labs):
+    """Multi-component polychromatic event kernel (round 5).
+
+    Inputs: H raw rho panel row sets (no per-lane kappa folding — the
+    per-(component, wavelength) kappas ride in the oc input as
+    (3H, W, 128): kext rows, then ksca rows, then g rows).  All
+    per-wavelength quantities are (W, tr, 128) vector ops; the
+    per-panel loop keeps only running accumulators.
+
+    Estimator: the interaction point s is drawn from the uniform-driver
+    mixture over wavelengths of the composite-biased forced pdf in PATH
+    LENGTH, f_c(s) = kmix_c(s) e^{-cum_c(s)} / (1 - e^{-tau_c}) with
+    kmix_w(s) = sum_h kext_{h,w} rho_h(s); the scattering direction from
+    the driver wavelength's component-blended HG.  Per-wavelength
+    contributions are measure-consistent densities in s:
+
+      peel    Lp_w = L_w kscamix_w(s) e^{-cum_w(s)} / Qmix(s)
+      onward  Ln_w = L_w [sum_h ksca_hw rho_h(s) HG_hw(cos)]
+                       e^{-cum_w(s)} / QHmix(s, cos)
+      Qmix  = (1/W) sum_c [(1-xi) f_c + xi kmix_c / tau_c] (1-e^{-tau_c})
+              ... expressed below as Q_w = (1-xi) F_w + xi kmix_w/tau_w
+              with F_w = kmix_w e^{-cum_w}/(1-e^{-tau_w})
+      QHmix = (1/W) sum_c Q_c p_c(cos),  p_c = blended phase at c
+
+    (for a single component this reduces exactly to the single-mix
+    kernel's ratios).  Deposits: a SECOND point s_dep from the driver's
+    pure forced pdf estimates the per-wavelength absorbed power
+    D_w = L_w kabsmix_w(s_dep) e^{-cum_w(s_dep)} / mean_c f_c(s_dep);
+    one wavelength is sampled by D_w/sum(D) and sum(D) deposited at
+    cell(s_dep) (unbiased, one stream).
+
+    ref: MonteCarloSimulation.cpp:438-549 event chain +
+    PanDustSystem.cpp:304-316 per-component tallies; the polychromatic
+    multi-component estimator is a TPU-first redesign.
+    """
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    lo = grid._lo
+    inv = (1.0 / grid._dx[0], 1.0 / grid._dx[1], 1.0 / grid._dx[2])
+    xi = float(options.scatt_bias)
+    min_scatt = int(options.min_scatt_events)
+    inv_minred = np.float32(1.0 / options.min_weight_reduction)
+    tiny = np.float32(1e-30)
+
+    def cumsum_w(x):
+        s = 1
+        while s < W:
+            x = x + jnp.concatenate(
+                [jnp.zeros((s,) + x.shape[1:], x.dtype), x[:-s]], axis=0)
+            s *= 2
+        return x
+
+    def locate(X, Y, Z):
+        ix = jnp.floor((X - np.float32(lo[0]))
+                       * np.float32(inv[0])).astype(jnp.int32)
+        iy = jnp.floor((Y - np.float32(lo[1]))
+                       * np.float32(inv[1])).astype(jnp.int32)
+        iz = jnp.floor((Z - np.float32(lo[2]))
+                       * np.float32(inv[2])).astype(jnp.int32)
+        ok = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+              & (iz >= 0) & (iz < nz))
+        return jnp.where(ok, (ix * ny + iy) * nz + iz, -1)
+
+    def hg(g, cosa):
+        t = 1.0 + g * g - 2.0 * g * cosa
+        return (1.0 - g) * (1.0 + g) / jnp.sqrt(t * t * t)
+
+    n_uniform = 8     # u1, u2, u_dep, u_g, u_phi, u_c, u_pick, u_comp
+
+    def kern(*refs):
+        u_ref = refs[0]
+        r_ref = refs[1]          # (H*P, tr, 128) raw rho panels, h-major
+        oc_ref = refs[2]         # (3H, W, 128)
+        L_ref = refs[3]
+        l0_ref = refs[4]
+        (px_r, py_r, pz_r, dx_r, dy_r, dz_r,
+         alive_r, ns_r, t0_r, dt_r) = refs[5:15]
+        out = refs[15:]
+        opx, opy, opz, odx, ody, odz, oalive, ons = out[:8]
+        oLn = out[8]
+        oLp = out[9]
+        if want_labs:
+            odepi, odepv = out[10], out[11]
+
+        X, Y, Z = px_r[:], py_r[:], pz_r[:]
+        DX, DY, DZ = dx_r[:], dy_r[:], dz_r[:]
+        alive = alive_r[:] != 0
+        nscatt = ns_r[:]
+        t0 = t0_r[:]
+        delta = dt_r[:]
+
+        def uget(i):
+            return u_ref[i]
+
+        kext_h = [oc_ref[h][:, None, :] for h in range(H)]      # (W,1,128)
+        ksca_h = [oc_ref[H + h][:, None, :] for h in range(H)]
+        g_h = [oc_ref[2 * H + h][:, None, :] for h in range(H)]
+        wi = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 128), 0)
+
+        Lm = jnp.where(alive[None], L_ref[:], 0.0)
+
+        # -- driver wavelength + per-lane driver kappas -------------------
+        c = jnp.minimum((uget(5) * np.float32(W)).astype(jnp.int32), W - 1)
+        ohc = wi == c[None]
+        kextc_h = [jnp.sum(jnp.where(ohc, kext_h[h], 0.0), axis=0)
+                   for h in range(H)]                            # (tr,128)
+        kscac_h = [jnp.sum(jnp.where(ohc, ksca_h[h], 0.0), axis=0)
+                   for h in range(H)]
+
+        # -- pass A: driver cums + per-component raw integrals ------------
+        cumc = jnp.zeros_like(delta)
+        cums_c = []
+        I_h = [jnp.zeros_like(delta) for _ in range(H)]
+        for kk in range(npanels):
+            dk = 0.0
+            for h in range(H):
+                rho_hk = r_ref[h * npanels + kk]
+                dk = dk + kextc_h[h] * rho_hk
+                I_h[h] = I_h[h] + rho_hk * delta
+            cumc = cumc + dk * delta
+            cums_c.append(cumc)
+        tau_c = cumc
+
+        # per-wavelength total optical depths (kappas constant per cell
+        # row set: tau_w = sum_h kext_hw * integral rho_h)
+        tau = kext_h[0] * I_h[0][None]
+        for h in range(1, H):
+            tau = tau + kext_h[h] * I_h[h][None]
+        ome = 1.0 - jnp.exp(-tau)
+
+        # -- interaction + deposit samples in driver-tau space ------------
+        u1 = uget(0)
+        u2 = uget(1)
+        tau_exp = _expon_cutoff(u2, tau_c)
+        if xi == 0.0:
+            tau_smp = tau_exp
+        else:
+            tau_smp = jnp.where(u1 < xi, u2 * tau_c, tau_exp)
+        tau_dep = _expon_cutoff(uget(2), tau_c)
+
+        def invert(target):
+            i_hit = jnp.zeros(X.shape, jnp.int32)
+            for kk in range(npanels - 1):
+                i_hit = i_hit + (cums_c[kk] < target).astype(jnp.int32)
+            cum_hi = jnp.zeros_like(tau_c)
+            cum_prev = jnp.zeros_like(tau_c)
+            for kk in range(npanels):
+                sel = i_hit == kk
+                cum_hi = jnp.where(sel, cums_c[kk], cum_hi)
+                if kk > 0:
+                    cum_prev = jnp.where(sel, cums_c[kk - 1], cum_prev)
+            dtau_hi = cum_hi - cum_prev
+            frac = jnp.clip(jnp.where(dtau_hi > 0,
+                                      (target - cum_prev)
+                                      / jnp.maximum(dtau_hi, tiny), 0.0),
+                            0.0, 1.0)
+            return i_hit, frac
+
+        ks_i, ks_f = invert(tau_smp)
+        kd_i, kd_f = invert(tau_dep)
+        s = t0 + (ks_i.astype(jnp.float32) + ks_f) * delta
+        s_dep = t0 + (kd_i.astype(jnp.float32) + kd_f) * delta
+
+        # -- pass B: per-wavelength prefixes + point kappas ---------------
+        zW = jnp.zeros_like(Lm)
+        cum_w_s = zW
+        cum_w_d = zW
+        kmix_s = zW          # sum_h kext_hw rho_h at the interaction panel
+        kscam_s = zW
+        kmix_d = zW
+        kscam_d = zW
+        rho_s_h = [jnp.zeros_like(delta) for _ in range(H)]
+        for kk in range(npanels):
+            rho_k = [r_ref[h * npanels + kk] for h in range(H)]
+            dtau_wk = kext_h[0] * rho_k[0][None]
+            ksca_wk = ksca_h[0] * rho_k[0][None]
+            for h in range(1, H):
+                dtau_wk = dtau_wk + kext_h[h] * rho_k[h][None]
+                ksca_wk = ksca_wk + ksca_h[h] * rho_k[h][None]
+            m_s = jnp.where(ks_i > kk, 1.0,
+                            jnp.where(ks_i == kk, ks_f, 0.0)) * delta
+            m_d = jnp.where(kd_i > kk, 1.0,
+                            jnp.where(kd_i == kk, kd_f, 0.0)) * delta
+            cum_w_s = cum_w_s + dtau_wk * m_s[None]
+            cum_w_d = cum_w_d + dtau_wk * m_d[None]
+            sel_s = (ks_i == kk)
+            sel_d = (kd_i == kk)
+            kmix_s = jnp.where(sel_s[None], dtau_wk, kmix_s)
+            kscam_s = jnp.where(sel_s[None], ksca_wk, kscam_s)
+            kmix_d = jnp.where(sel_d[None], dtau_wk, kmix_d)
+            kscam_d = jnp.where(sel_d[None], ksca_wk, kscam_d)
+            for h in range(H):
+                rho_s_h[h] = jnp.where(sel_s, rho_k[h], rho_s_h[h])
+
+        # -- deposit: per-wavelength absorbed estimate at s_dep -----------
+        if want_labs:
+            Fd = kmix_d * jnp.exp(-cum_w_d) / jnp.maximum(ome, tiny)
+            qd = jnp.sum(Fd, axis=0) * np.float32(1.0 / W)
+            D = (Lm * (kmix_d - kscam_d) * jnp.exp(-cum_w_d)
+                 / jnp.maximum(qd[None], tiny))
+            D = jnp.where((tau_c > tiny)[None] & alive[None], D, 0.0)
+            Dsum = jnp.sum(D, axis=0)
+            target = uget(6) * Dsum
+            if W > 1:
+                cumD = cumsum_w(D)
+                wsel = jnp.sum((cumD[:W - 1] <= target[None])
+                               .astype(jnp.int32), axis=0)
+            else:
+                wsel = jnp.zeros(X.shape, jnp.int32)
+            okd = (Dsum > 0) & alive
+            cell = locate(X + s_dep * DX, Y + s_dep * DY, Z + s_dep * DZ)
+            okd = okd & (cell >= 0)
+            odepi[:] = jnp.where(okd, cell * W + wsel, -1)
+            odepv[:] = jnp.where(okd, Dsum, 0.0)
+
+        # -- per-wavelength mixture ratios at s ---------------------------
+        F = kmix_s * jnp.exp(-cum_w_s) / jnp.maximum(ome, tiny)
+        if xi == 0.0:
+            Q = F
+        else:
+            Q = ((1.0 - xi) * F
+                 + np.float32(xi) * kmix_s / jnp.maximum(tau, tiny))
+        Qmix = jnp.sum(Q, axis=0) * np.float32(1.0 / W)
+
+        # -- scatter: component selection at the driver wavelength --------
+        wv_h = [kscac_h[h] * rho_s_h[h] for h in range(H)]
+        total_wv = wv_h[0]
+        for h in range(1, H):
+            total_wv = total_wv + wv_h[h]
+        u_comp = uget(7) * jnp.maximum(total_wv, tiny)
+        gc_h = [jnp.sum(jnp.where(ohc, g_h[h], 0.0), axis=0)
+                for h in range(H)]
+        g_sel = gc_h[0]
+        acc = wv_h[0]
+        for h in range(1, H):
+            g_sel = jnp.where(u_comp > acc, gc_h[h], g_sel)
+            acc = acc + wv_h[h]
+
+        u_g = uget(3)
+        u_phi = uget(4)
+        f = (1.0 - g_sel) * (1.0 + g_sel) \
+            / (1.0 - g_sel + 2.0 * g_sel * u_g)
+        small_g = jnp.abs(g_sel) < 1e-6
+        cos_hg = (1.0 + g_sel * g_sel - f * f) \
+            / (2.0 * jnp.where(small_g, 1.0, g_sel))
+        costheta = jnp.where(small_g, 2.0 * u_g - 1.0,
+                             jnp.clip(cos_hg, -1.0, 1.0))
+
+        # blended phase numerators per wavelength at the sampled cos
+        num = ksca_h[0] * rho_s_h[0][None] * hg(g_h[0], costheta[None])
+        for h in range(1, H):
+            num = num + ksca_h[h] * rho_s_h[h][None] \
+                * hg(g_h[h], costheta[None])
+        p_w = num / jnp.maximum(kscam_s, tiny)
+        QHmix = jnp.sum(Q * p_w, axis=0) * np.float32(1.0 / W)
+
+        Lp = Lm * kscam_s * jnp.exp(-cum_w_s) / jnp.maximum(Qmix[None],
+                                                            tiny)
+        Ln = Lm * num * jnp.exp(-cum_w_s) / jnp.maximum(QHmix[None],
+                                                        tiny)
+
+        past_min = nscatt >= min_scatt
+        kill = (Ln <= l0_ref[:] * inv_minred) & past_min[None]
+        Lp = jnp.where(kill, 0.0, Lp)
+        Ln = jnp.where(kill, 0.0, Ln)
+        alive = alive & jnp.any(Ln > 0, axis=0) & (tau_c > tiny)
+
+        X = jnp.where(alive, X + s * DX, X)
+        Y = jnp.where(alive, Y + s * DY, Y)
+        Z = jnp.where(alive, Z + s * DZ, Z)
+
+        phi = np.float32(2.0 * np.pi) * u_phi
+        sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
+        cosphi = jnp.cos(phi)
+        sinphi = jnp.sin(phi)
+        sign = jnp.where(DZ >= 0.0, 1.0, -1.0)
+        a = -1.0 / (sign + DZ)
+        b = DX * DY * a
+        ux = 1.0 + sign * DX * DX * a
+        uy = sign * b
+        uz = -sign * DX
+        vx = b
+        vy = sign + DY * DY * a
+        vz = -DY
+        nxd = sintheta * (cosphi * ux + sinphi * vx) + costheta * DX
+        nyd = sintheta * (cosphi * uy + sinphi * vy) + costheta * DY
+        nzd = sintheta * (cosphi * uz + sinphi * vz) + costheta * DZ
+        inv_n = jax.lax.rsqrt(jnp.maximum(
+            nxd * nxd + nyd * nyd + nzd * nzd, tiny))
+        DX = jnp.where(alive, nxd * inv_n, DX)
+        DY = jnp.where(alive, nyd * inv_n, DY)
+        DZ = jnp.where(alive, nzd * inv_n, DZ)
+        nscatt = jnp.where(alive, nscatt + 1, nscatt)
+
+        opx[:] = X
+        opy[:] = Y
+        opz[:] = Z
+        odx[:] = DX
+        ody[:] = DY
+        odz[:] = DZ
+        oalive[:] = alive.astype(jnp.int32)
+        ons[:] = nscatt
+        oLn[:] = jnp.where(alive[None], Ln, 0.0)
+        oLp[:] = jnp.where(alive[None], Lp, 0.0)
+
+    return kern, n_uniform
+
+
 def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                                     instruments, options, nlambda: int,
                                     launch_fn=None,
@@ -381,19 +690,43 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
     interpret = jax.default_backend() != "tpu"
 
     mix = ds.components[0].mix
-    # single-mix per-wavelength constants (host floats, compiled in)
+    multi = ds.ncomp > 1
+    H = ds.ncomp
+    # per-(component, wavelength) constants (host floats, compiled in)
     kext_w = [float(np.asarray(ds.kappaext)[0, w]) for w in range(W)]
     albedo_w = [float(np.asarray(mix.albedo)[w]) for w in range(W)]
     g_w = [float(np.asarray(mix.g)[w]) for w in range(W)]
+    kext_hw = np.asarray(ds.kappaext, np.float32)[:, :W]       # (H, W)
+    ksca_hw = np.asarray(ds.kappasca, np.float32)[:, :W]
+    g_hw = np.stack([np.asarray(c.mix.g, np.float32)[:W]
+                     for c in ds.components])
 
-    kern, n_uniform = _build_kernel(grid, options, W, npanels, want_labs,
-                                    kext_w, albedo_w, g_w, arith_locate)
+    if multi:
+        peel_mode = "exact"       # uniform grid guaranteed by _validate
+        kern, n_uniform = _build_kernel_multi(grid, options, W, H,
+                                              npanels, want_labs)
+    else:
+        kern, n_uniform = _build_kernel(grid, options, W, npanels,
+                                        want_labs, kext_w, albedo_w,
+                                        g_w, arith_locate)
 
     # lambda-independent peel rho-integrals: ONE column-DDA (or staged
     # quadrature) per leader serves every wavelength
     np_peel = int(options.peel_panels or npanels)
     exact_peel = (make_exact_peel(grid, ds, leaders)
                   if peel_mode == "exact" else None)
+
+    def peel_Ih(pos):
+        """Multi-component peel: per-leader (H, N) per-component RAW
+        rho integrals (the per-(h, w) extinction folds XLA-side)."""
+        n_p = pos.shape[0]
+        per_h = []
+        for h in range(H):
+            unit = [jnp.ones(n_p, jnp.float32) if hh == h
+                    else jnp.zeros(n_p, jnp.float32) for hh in range(H)]
+            per_h.append(exact_peel(pos, unit))
+        return [jnp.stack([per_h[h][li] for h in range(H)])
+                for li in range(nlead)]
 
     def peel_I(pos):
         ones = [jnp.ones(pos.shape[:1], jnp.float32)]
@@ -437,6 +770,15 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
         wls = np.arange(W, dtype=np.int32)
         kext_col = jnp.asarray(np.asarray(kext_w, np.float32))[:, None]
         g_col = np.asarray(g_w, np.float32)[:, None]
+        peel_fn = peel_Ih if multi else peel_I
+
+        def peel_tau_w(Ii):
+            """Per-wavelength peel optical depths from the raw
+            integrals: (W, N) = kext_hw^T @ I_h for multi, kext_w * I
+            for single."""
+            if multi:
+                return jnp.tensordot(jnp.asarray(kext_hw).T, Ii, axes=1)
+            return kext_col * Ii[None]
 
         def detect_all(ins_list, pos_p, contrib, nscatt_p, Ipeel):
             # contrib (W, N); one shared I per leader, per-lambda
@@ -444,14 +786,14 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             tags = {"nscatt": nscatt_p, "is_dust": dust_flags}
             out = list(ins_list)
             for i, ins in enumerate(instruments):
-                ext = contrib * jnp.exp(-kext_col * Ipeel[lead_of[i]][None])
+                ext = contrib * jnp.exp(-peel_tau_w(Ipeel[lead_of[i]]))
                 out[i] = ins.detect_poly(out[i], pos_p, wls, ext,
                                          dict(tags, transparent=contrib))
             return out
 
         ins0 = tallies["instruments"]
         if emission_peeloff:
-            Ipeel0 = peel_I(pos)
+            Ipeel0 = peel_fn(pos)
             ins0 = detect_all(list(ins0), pos,
                               jnp.where(alive[None], L, 0.0),
                               jnp.zeros(n, jnp.int32), Ipeel0)
@@ -485,11 +827,16 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
         if count_events:
             carry["nev"] = jnp.float32(0.0)
 
+        if multi:
+            oc_np = np.concatenate([kext_hw, ksca_hw, g_hw])   # (3H, W)
+        else:
+            oc_np = np.stack([np.asarray(kext_w, np.float32),
+                              np.asarray(albedo_w, np.float32),
+                              np.asarray(g_w, np.float32)])
+        oc_rows = oc_np.shape[0]
         oc = jnp.asarray(np.broadcast_to(
-            np.stack([np.asarray(kext_w, np.float32),
-                      np.asarray(albedo_w, np.float32),
-                      np.asarray(g_w, np.float32)])[:, :, None],
-            (3, W, 128)).copy())
+            oc_np[:, :, None], (oc_rows, W, 128)).copy())
+        r_panels = npanels * (H if multi else 1)
 
         def call_kernel(u, r, Lw, state):
             def blk():
@@ -501,7 +848,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                                     lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM)
 
-            oc_spec = pl.BlockSpec((3, W, 128), lambda i: (0, 0, 0),
+            oc_spec = pl.BlockSpec((oc_rows, W, 128), lambda i: (0, 0, 0),
                                    memory_space=pltpu.VMEM)
 
             out_dtypes = ([jnp.float32] * 6 + [jnp.int32] * 2)
@@ -521,7 +868,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             return pl.pallas_call(
                 kern,
                 grid=(R // tile_rows,),
-                in_specs=[blkW(n_uniform), blkW(npanels), oc_spec,
+                in_specs=[blkW(n_uniform), blkW(r_panels), oc_spec,
                           blkW(W), blkW(W)]
                 + [blk() for _ in range(10)],
                 out_specs=tuple(out_specs),
@@ -538,13 +885,25 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
 
             # -- stage the rho panel rows (the gather-bound op) -----------
             dsg, _, midp = vt.panel_paths(grid, s["pos"], s["dir"], npanels)
-            ones = [jnp.ones(n, jnp.float32)]
-            r_rows = ds.analytic_rows(s["pos"], s["dir"], midp, None,
-                                      ones, want_sca=False)
+            if multi:
+                # per-component RAW rows: one locate + H row gathers,
+                # h-major for the kernel's (H*P) layout
+                pmid = s["pos"][:, None, :] \
+                    + midp[..., None] * s["dir"][:, None, :]
+                cells_p = grid.locate_batched(pmid)
+                safe_p = jnp.clip(cells_p, 0)
+                valid_p = cells_p >= 0
+                r_rows = jnp.concatenate(
+                    [jnp.where(valid_p, ds.rho_at(h, safe_p), 0.0)
+                     for h in range(H)], axis=1)         # (N, H*P)
+            else:
+                ones = [jnp.ones(n, jnp.float32)]
+                r_rows = ds.analytic_rows(s["pos"], s["dir"], midp, None,
+                                          ones, want_sca=False)
             t0 = midp[:, 0] - 0.5 * dsg[:, 0]
             r = jnp.moveaxis(
                 jnp.pad(r_rows, ((0, npad - n), (0, 0)))
-                if npad > n else r_rows, 1, 0).reshape(npanels, R, 128)
+                if npad > n else r_rows, 1, 0).reshape(r_panels, R, 128)
 
             state = (pack(s["pos"][:, 0]), pack(s["pos"][:, 1]),
                      pack(s["pos"][:, 2]),
@@ -607,26 +966,52 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             # isotropic emission weight ----------------------------------
             ins = list(st["ins"])
             if scattering_peeloff:
-                Ipeel = peel_I(pos_new)
+                Ipeel = peel_fn(pos_new)
                 tags2 = {"nscatt": ns_new, "is_dust": dust_flags}
+                if multi:
+                    # per-component densities at the interaction cell
+                    # (one locate + H gathers, shared by all leaders)
+                    cell_n = grid.locate_batched(
+                        pos_new[:, None, :])[:, 0]
+                    safe_n = jnp.clip(cell_n, 0)
+                    rho_n_h = [jnp.where(cell_n >= 0,
+                                         ds.rho_at(h, safe_n), 0.0)
+                               for h in range(H)]
                 for i, ins_obj in enumerate(instruments):
                     kvec = leaders[lead_of[i]]
                     cosj = (s["dir"][:, 0] * np.float32(kvec[0])
                             + s["dir"][:, 1] * np.float32(kvec[1])
                             + s["dir"][:, 2] * np.float32(kvec[2]))
-                    # HG phase weights for all wavelengths at once
-                    # (ref: DustMix.cpp:648-671 phaseFunctionValue)
-                    tq = 1.0 + g_col * g_col - 2.0 * g_col * cosj[None]
-                    pw = ((1.0 - g_col) * (1.0 + g_col)
-                          / jnp.sqrt(tq * tq * tq))
+                    if multi:
+                        # component-blended phase at the interaction
+                        # cell, per wavelength (ref: peeloffscattering's
+                        # per-component wv mix, DustMix.cpp:648-671)
+                        num = 0.0
+                        den = 0.0
+                        for h in range(H):
+                            gh = jnp.asarray(g_hw[h])[:, None]
+                            tq = 1.0 + gh * gh - 2.0 * gh * cosj[None]
+                            HGh = ((1.0 - gh) * (1.0 + gh)
+                                   / jnp.sqrt(tq * tq * tq))
+                            kr = jnp.asarray(ksca_hw[h])[:, None] \
+                                * rho_n_h[h][None]
+                            num = num + kr * HGh
+                            den = den + kr
+                        pw = num / jnp.maximum(den, 1e-30)
+                    else:
+                        # HG phase weights for all wavelengths at once
+                        # (ref: DustMix.cpp:648-671 phaseFunctionValue)
+                        tq = 1.0 + g_col * g_col - 2.0 * g_col * cosj[None]
+                        pw = ((1.0 - g_col) * (1.0 + g_col)
+                              / jnp.sqrt(tq * tq * tq))
                     cw = jnp.where(fresh[None], Ln, Lp * pw)
                     cw = jnp.where(alive_new[None], cw, 0.0)
-                    ext = cw * jnp.exp(-kext_col * Ipeel[lead_of[i]][None])
+                    ext = cw * jnp.exp(-peel_tau_w(Ipeel[lead_of[i]]))
                     ins[i] = ins_obj.detect_poly(
                         ins[i], pos_new, wls, ext,
                         dict(tags2, transparent=cw))
             elif refill and emission_peeloff:
-                Ipeel = peel_I(pos_new)
+                Ipeel = peel_fn(pos_new)
                 ins = detect_all(ins, pos_new,
                                  jnp.where(fresh[None], Ln, 0.0),
                                  ns_new, Ipeel)

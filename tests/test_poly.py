@@ -104,10 +104,16 @@ class TestPolyRefill:
 
 
 class TestPolyGates:
-    def test_multicomponent_bails(self):
+    def test_multicomponent_direct_grid_bails(self):
+        """Multi-component poly needs the uniform Cartesian voxel view
+        (round 5 lifted the single-component cap there); direct-table
+        grids (exact Voronoi) stay single-component."""
         from skirt_tpu.engine.fused_table_poly import (
             make_fused_table_poly_lifecycle)
         wg, ss, tds, ins = _table_setup()
+
+        class FakeGrid:
+            pass                       # no _uniform attribute
 
         class FakeDS:
             table = True
@@ -115,9 +121,9 @@ class TestPolyGates:
 
         opts = LifecycleOptions(fused=True, polychromatic=True,
                                 deposition="sampled")
-        with pytest.raises(ValueError, match="single dust component"):
-            make_fused_table_poly_lifecycle(tds.grid, FakeDS(), ss, ins,
-                                            opts, 2)
+        with pytest.raises(ValueError, match="uniform Cartesian"):
+            make_fused_table_poly_lifecycle(FakeGrid(), FakeDS(), ss,
+                                            ins, opts, 2)
 
 
 class TestPolyAnalytic:
@@ -293,6 +299,49 @@ class TestPolyWide:
         # per-wavelength absorption split stays unbiased at wide W
         np.testing.assert_allclose(lp.sum(), lm.sum(), rtol=0.05)
         np.testing.assert_allclose(lp, lm, rtol=0.2)
+        for t in (tm, tp):
+            for leaf in jax.tree.leaves(t):
+                assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestPolyMulti:
+    """Multi-component polychromatic lanes (round 5): H raw rho row sets
+    staged per event, per-(component, wavelength) blending in VMEM, the
+    interaction sampled from the uniform-driver mixture of composite-
+    biased forced pdfs in path length.  Parity vs the monochromatic
+    multi-component fused kernel at matched per-wavelength totals."""
+
+    def test_two_component_matches_mono(self):
+        from test_fused_table import TestMultiComponentFused, _run
+        wg, ss, tds = TestMultiComponentFused()._setup2()
+        ins = [SEDInstrument("sed", 3.08e23, 2, inclination=1.2,
+                             azimuth=0.7)]
+        n = 1 << 13
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        L0 = jnp.full((n,), 1e36 / n, jnp.float32)
+        assert tds.ncomp == 2
+        tm = _run(tds, ss, ins, ell, L0, fused=True, table_peel="exact")
+
+        npl = n // 2
+        L0p = jnp.full((npl, 2), 5e35 / npl, jnp.float32)
+        opts = LifecycleOptions(store_absorption=True, max_scatt_events=48,
+                                deposition="sampled", quadrature_panels=24,
+                                fused=True, polychromatic=True,
+                                table_peel="exact")
+        run = jax.jit(make_lifecycle(tds.grid, tds, ss, ins, opts, 2))
+        tp = run(rng.root_key(4357), jnp.zeros(npl, jnp.int32), L0p, {
+            "instruments": [ins[0].zero_tallies()],
+            "labs": jnp.zeros((tds.grid.ncells * 2,), jnp.float32)})
+
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        fp = np.asarray(tp["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fp, fm, rtol=0.06)
+        lm = np.asarray(tm["labs"], np.float64)
+        lp = np.asarray(tp["labs"], np.float64)
+        assert lp.sum() == pytest.approx(lm.sum(), rel=0.06)
+        # per-wavelength absorption split stays unbiased
+        np.testing.assert_allclose(lp.reshape(-1, 2).sum(0),
+                                   lm.reshape(-1, 2).sum(0), rtol=0.08)
         for t in (tm, tp):
             for leaf in jax.tree.leaves(t):
                 assert np.isfinite(np.asarray(leaf)).all()
