@@ -130,6 +130,7 @@ _SLOW_TESTS = {
     # migrate: dust-phase parity; multi-component: fused analytic class)
     ("test_slab_fused.py", "test_refill_matches_plain"),
     ("test_pan.py", "test_poly_matches_mono_pan"),
+    ("test_pan.py", "test_multicomponent_poly_pan_conserves"),
     ("test_pan.py", "test_table_poly_conserves_energy"),
     ("test_fused_table.py", "test_two_component_parity"),
     ("test_fused_table.py", "test_refill_normalization"),

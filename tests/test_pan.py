@@ -244,6 +244,49 @@ class TestPanPoly:
         lam = sim.wavelength_grid.lambdav
         assert F[lam > 1e-6].sum() / F.sum() > 0.25
 
+    def test_multicomponent_poly_pan_conserves(self):
+        """Round 5: multi-component dust + polychromatic lanes through
+        the full pan loop (2 components, table grid, poly dust launch)."""
+        from skirt_tpu.media.mix import DustMix
+        wg = LogWavelengthGrid(0.1e-6, 1000e-6, 24)
+        star = StellarComponent(PointGeometry(), BlackBodySED(wg, 6000.0),
+                                BolometricLuminosityNormalization(100.0))
+        ss = StellarSystem([star])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        R = 0.9
+        k1 = np.where(wg.lambdav < 1e-6, 3.0, 0.003)
+        k2 = np.where(wg.lambdav < 1e-6, 1.0, 0.001)
+        mix1 = DustMix(wg, k1, np.zeros(24), np.zeros(24))
+        mix2 = DustMix(wg, k2, np.zeros(24), np.zeros(24))
+        volume = 4 / 3 * np.pi * R ** 3
+        comps = [
+            DustComponent(UniformSphereGeometry(R), mix1,
+                          DustMassNormalization(1.0 / (3.0 * R) * volume)),
+            DustComponent(UniformSphereGeometry(0.6 * R), mix2,
+                          DustMassNormalization(0.5 / (3.0 * R) * volume)),
+        ]
+        dsys = DustSystem(grid, comps, samples_per_cell=8)
+        ins = SEDInstrument("sed", 1e4, 24, inclination=0.7, azimuth=0.3)
+        sim = PanSimulation(
+            stellar_system=ss, instruments=[ins], dust_system=dsys,
+            packets=2048, self_absorption=False, log=SilentLog(),
+            batch_size=1 << 14,
+            options=LifecycleOptions(store_absorption=True,
+                                     deposition="sampled",
+                                     voxelize="table", fused=True,
+                                     quadrature_panels=16,
+                                     table_peel="exact",
+                                     polychromatic=True,
+                                     refill_batches=4))
+        assert sim._poly and sim._dust_poly
+        assert sim.dust_system.ncomp == 2
+        acc = sim.run()
+        F = acc["instruments"][0]["Ftot"]
+        assert float(F.sum()) == pytest.approx(100.0, rel=0.10)
+        lam = sim.wavelength_grid.lambdav
+        assert F[lam > 1e-6].sum() / F.sum() > 0.25
+
     def test_poly_matches_mono_pan(self):
         kw = dict(tau=1.0, packets=4096, density_mode="analytic",
                   deposition="sampled", fused=True, quadrature_panels=8,
