@@ -84,9 +84,10 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
         # (key, ell0, L0 (N, W), ctx) -> (pos, dir, L (W, N)))
         if not is_dust_emission:
             bail("launch_fn requires isotropic emission (dust phases)")
-    elif stellar_system.ncomp != 1 or not stellar_system.is_isotropic:
-        bail("requires a single isotropic stellar component (the launch "
-             "position must be wavelength-independent)")
+    elif stellar_system.ncomp != 1:
+        bail("requires a single stellar component (multi-component "
+             "selection is wavelength-biased, which a polychromatic "
+             "lane cannot carry)")
     if not (hasattr(grid, "ray_span") and hasattr(grid, "locate_batched")):
         bail("requires a grid with ray_span + locate_batched (uniform "
              "Cartesian voxel view, or a direct-table grid such as the "
@@ -755,16 +756,19 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
         k_launch, k_cycle = jax.random.split(rng.event_key(key, 1))
 
         ell0 = jnp.zeros(n, jnp.int32)
+        comp0 = None
         if launch_fn is not None:
             # dust-emission launch: per-lane wavelength vector carries
             # the launch cell's emission spectrum (ref:
             # dodustemissionchunk, PanMonteCarloSimulation.cpp:269-342)
             pos, direction, L = launch_fn(k_launch, ell0, L0, launch_ctx)
         else:
-            pos, direction, _, _ = stellar_system.launch(
+            pos, direction, _, comp0 = stellar_system.launch(
                 k_launch, ell0, jnp.ones(n, jnp.float32))
             L = L0.T                                 # (W, N)
         alive = jnp.any(L > 0, axis=0)
+        anisotropic = (launch_fn is None
+                       and not stellar_system.is_isotropic)
 
         dust_flags = jnp.full(n, bool(is_dust_emission))
         wls = np.arange(W, dtype=np.int32)
@@ -780,15 +784,27 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                 return jnp.tensordot(jnp.asarray(kext_hw).T, Ii, axes=1)
             return kext_col * Ii[None]
 
-        def detect_all(ins_list, pos_p, contrib, nscatt_p, Ipeel):
+        def detect_all(ins_list, pos_p, contrib, nscatt_p, Ipeel,
+                       comp_p=None):
             # contrib (W, N); one shared I per leader, per-lambda
             # extinction + ONE vectorized detect per instrument
             tags = {"nscatt": nscatt_p, "is_dust": dust_flags}
             out = list(ins_list)
             for i, ins in enumerate(instruments):
-                ext = contrib * jnp.exp(-peel_tau_w(Ipeel[lead_of[i]]))
+                cwi = contrib
+                if anisotropic:
+                    # emission peel weight for anisotropic components
+                    # (ref: PhotonPackage::launchEmissionPeelOff).  Every
+                    # catalog angular distribution ignores ell — matching
+                    # the reference's concrete classes — so ONE
+                    # probability evaluation serves all W lanes
+                    kobs = ins.observer_direction(pos_p)
+                    dp = stellar_system.direction_probability(
+                        ell0, pos_p, kobs, comp_p)
+                    cwi = contrib * dp[None]
+                ext = cwi * jnp.exp(-peel_tau_w(Ipeel[lead_of[i]]))
                 out[i] = ins.detect_poly(out[i], pos_p, wls, ext,
-                                         dict(tags, transparent=contrib))
+                                         dict(tags, transparent=cwi))
             return out
 
         ins0 = tallies["instruments"]
@@ -796,7 +812,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             Ipeel0 = peel_fn(pos)
             ins0 = detect_all(list(ins0), pos,
                               jnp.where(alive[None], L, 0.0),
-                              jnp.zeros(n, jnp.int32), Ipeel0)
+                              jnp.zeros(n, jnp.int32), Ipeel0, comp0)
 
         # -- pack the lane state into (R, 128) tiles ----------------------
         tile = tile_rows * 128
@@ -943,6 +959,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             # -- XLA-side relaunch (refill) -------------------------------
             bc = s["bc"]
             fresh = jnp.zeros(n, bool)
+            comp_l = None
             if refill:
                 eligible = jnp.logical_not(alive_new) & (bc < K)
                 kre = rng.event_key(k_cycle, st["it"], 7)
@@ -950,7 +967,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                     pos_l, dir_l, L_l = launch_fn(kre, ell0, L0,
                                                   launch_ctx)
                 else:
-                    pos_l, dir_l, _, _ = stellar_system.launch(
+                    pos_l, dir_l, _, comp_l = stellar_system.launch(
                         kre, ell0, jnp.ones(n, jnp.float32))
                     L_l = L0.T
                 pos_new = jnp.where(eligible[:, None], pos_l, pos_new)
@@ -1004,7 +1021,15 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                         tq = 1.0 + g_col * g_col - 2.0 * g_col * cosj[None]
                         pw = ((1.0 - g_col) * (1.0 + g_col)
                               / jnp.sqrt(tq * tq * tq))
-                    cw = jnp.where(fresh[None], Ln, Lp * pw)
+                    fresh_w = Ln
+                    if anisotropic and refill:
+                        # fresh lanes re-emit anisotropically: one
+                        # lambda-free probability call (see detect_all)
+                        kobs = ins_obj.observer_direction(pos_new)
+                        dp = stellar_system.direction_probability(
+                            ell0, pos_new, kobs, comp_l)
+                        fresh_w = Ln * dp[None]
+                    cw = jnp.where(fresh[None], fresh_w, Lp * pw)
                     cw = jnp.where(alive_new[None], cw, 0.0)
                     ext = cw * jnp.exp(-peel_tau_w(Ipeel[lead_of[i]]))
                     ins[i] = ins_obj.detect_poly(
@@ -1014,7 +1039,7 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                 Ipeel = peel_fn(pos_new)
                 ins = detect_all(ins, pos_new,
                                  jnp.where(fresh[None], Ln, 0.0),
-                                 ns_new, Ipeel)
+                                 ns_new, Ipeel, comp_l)
 
             s_new = {"pos": pos_new, "dir": dir_new, "L": Ln,
                      "alive": alive_new, "ns": ns_new, "bc": bc}

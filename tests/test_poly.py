@@ -347,6 +347,31 @@ class TestPolyMulti:
                 assert np.isfinite(np.asarray(leaf)).all()
 
 
+class TestPolyAnisotropic:
+    """Anisotropic stellar components on polychromatic lanes (round 5):
+    the emission-peel direction weight is wavelength-free for every
+    catalog angular distribution (matching the reference's concrete
+    classes), so one probability call serves all lanes."""
+
+    def test_anisotropic_matches_mono(self):
+        from skirt_tpu.geometry import NetzerAccretionDiskGeometry
+        from skirt_tpu.sources.stellar import (LuminosityStellarComponent,
+                                               StellarSystem)
+        wg, _ss, tds, ins = _table_setup()
+        ss = StellarSystem([LuminosityStellarComponent(
+            NetzerAccretionDiskGeometry(), wg, [1e36, 1e36])])
+        assert not ss.is_isotropic
+        n = 1 << 13
+        tm = _run_mono(tds, ss, ins)
+        tp = _run_poly(tds, ss, ins, n // 2)
+        fm = np.asarray(tm["instruments"][0]["Ftot"], np.float64)
+        fp = np.asarray(tp["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(fp, fm, rtol=0.06)
+        lm = float(np.asarray(tm["labs"]).sum())
+        lp = float(np.asarray(tp["labs"]).sum())
+        assert lp == pytest.approx(lm, rel=0.06)
+
+
 class TestPolyDirect:
     """Polychromatic lanes on a DIRECT-table grid (the exact Voronoi
     tessellation, no voxel rasterization): the kernel emits the deposit
