@@ -42,6 +42,7 @@ def _sync(o):
 def main():
     fused = os.environ.get("POL_FUSED", "1") == "1"
     table = os.environ.get("POL_TABLE", "0") == "1"
+    poly = os.environ.get("POL_POLY", "0") == "1" and table
     n = 1 << int(os.environ.get("POL_LOG2N", "17"))
     refill = int(os.environ.get("POL_REFILL", "64" if fused else "0"))
 
@@ -89,14 +90,19 @@ def main():
     opts = LifecycleOptions(max_scatt_events=64, deposition="sampled",
                             quadrature_panels=(16 if table else 32),
                             peel_panels=int(os.environ.get("POL_PEELP", "8")),
-                            table_peel="exact",
+                            table_peel="exact", polychromatic=poly,
                             fused=fused, refill_batches=refill)
     run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2,
                                  mueller=mueller))
     K = max(refill, 1)
-    npackets = n * K
-    ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
-    L0 = jnp.full((n,), 1e36 / npackets, jnp.float32)
+    if poly:
+        npackets = n * K * 2
+        ell = jnp.zeros((n,), jnp.int32)
+        L0 = jnp.full((n, 2), 1e36 / (n * K), jnp.float32)
+    else:
+        npackets = n * K
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        L0 = jnp.full((n,), 1e36 / npackets, jnp.float32)
 
     def tallies():
         return {"instruments": [i.zero_tallies() for i in ins]}
@@ -114,7 +120,8 @@ def main():
     F = float(np.asarray(t["Ftot"]).sum())
     P = np.hypot(float(np.asarray(t["FQ"])[0]),
                  float(np.asarray(t["FU"])[0]))
-    kind = "octree-table" if table else "flagship"
+    kind = ("octree-table-poly" if poly else
+            "octree-table" if table else "flagship")
     print(f"polarized {kind} fused={fused} refill={refill}: "
           f"{npackets / dt:,.0f} packets/s ({dt:.2f}s per {npackets}); "
           f"Ftot={F:.4e} |P0|={P:.3e}", flush=True)

@@ -68,7 +68,14 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
         bail("multi-component mode needs the uniform Cartesian voxel "
              "view (per-component raw rows + in-kernel blending)")
     if mueller is not None:
-        bail("polarization not supported")
+        mt = (mueller[0] if isinstance(mueller, (list, tuple))
+              else mueller)
+        if mt is not None and ds.ncomp != 1:
+            bail("polarization supports a single dust component")
+        if mt is not None and launch_fn is not None:
+            bail("polarization with launch_fn (dust phases) not "
+                 "supported (dust re-emission launches unpolarized; "
+                 "use the monochromatic kernel)")
     if io_state:
         bail("io_state not supported")
     if options.continuous_scattering:
@@ -98,7 +105,8 @@ def _validate(grid, ds, stellar_system, instruments, options, nlambda,
 
 
 def _build_kernel(grid, options, W, npanels, want_labs,
-                  kext_w, albedo_w, g_w, arith_locate=True):
+                  kext_w, albedo_w, g_w, arith_locate=True,
+                  want_pol=False):
     """The in-VMEM polychromatic event kernel.
 
     kext_w / albedo_w / g_w are python float tuples of length W — the
@@ -164,6 +172,11 @@ def _build_kernel(grid, options, W, npanels, want_labs,
         if want_labs:
             odepi, odepv = out[10], out[11]
             odepd = None if arith_locate else out[12]
+        if want_pol:
+            # polarized mode recomputes the per-lambda ratios XLA-side
+            # from the two raw column densities (BEFORE the position
+            # update: I at the interaction point + the whole-path total)
+            oIs, oIt = out[-2], out[-1]
 
         X, Y, Z = px_r[:], py_r[:], pz_r[:]
         DX, DY, DZ = dx_r[:], dy_r[:], dz_r[:]
@@ -332,6 +345,9 @@ def _build_kernel(grid, options, W, npanels, want_labs,
         ons[:] = nscatt
         oLn[:] = jnp.where(alive[None], Ln, 0.0)
         oLp[:] = jnp.where(alive[None], Lp, 0.0)
+        if want_pol:
+            oIs[:] = I_s
+            oIt[:] = I_tot
 
     return kern, n_uniform
 
@@ -702,6 +718,11 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
     g_hw = np.stack([np.asarray(c.mix.g, np.float32)[:W]
                      for c in ds.components])
 
+    mt0 = (mueller[0] if isinstance(mueller, (list, tuple)) else mueller)
+    pol_mode = mt0 is not None
+    if pol_mode:
+        from ..media import polarization as pol
+
     if multi:
         peel_mode = "exact"       # uniform grid guaranteed by _validate
         kern, n_uniform = _build_kernel_multi(grid, options, W, H,
@@ -709,7 +730,8 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
     else:
         kern, n_uniform = _build_kernel(grid, options, W, npanels,
                                         want_labs, kext_w, albedo_w,
-                                        g_w, arith_locate)
+                                        g_w, arith_locate,
+                                        want_pol=pol_mode)
 
     # lambda-independent peel rho-integrals: ONE column-DDA (or staged
     # quadrature) per leader serves every wavelength
@@ -769,6 +791,10 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
         alive = jnp.any(L > 0, axis=0)
         anisotropic = (launch_fn is None
                        and not stellar_system.is_isotropic)
+        if pol_mode and anisotropic:
+            raise ValueError("polychromatic table lifecycle: polarized "
+                             "mode with anisotropic stellar emission is "
+                             "not supported")
 
         dust_flags = jnp.full(n, bool(is_dust_emission))
         wls = np.arange(W, dtype=np.int32)
@@ -837,6 +863,15 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
 
         state0 = {"pos": pos, "dir": direction, "L": L, "alive": alive,
                   "ns": jnp.zeros(n, jnp.int32), "bc": jnp.ones(n, jnp.int32)}
+        if pol_mode:
+            # per-WAVELENGTH normalized Stokes ratios (each wavelength's
+            # Mueller chain differs) + ONE shared geometric reference
+            # normal (rotations are wavelength-free); packets launch
+            # unpolarized, zero normal = "no reference yet"
+            state0["stq"] = jnp.zeros((W, n), jnp.float32)
+            state0["stu"] = jnp.zeros((W, n), jnp.float32)
+            state0["stv"] = jnp.zeros((W, n), jnp.float32)
+            state0["stn"] = jnp.zeros((n, 3), jnp.float32)
         carry = {"it": jnp.int32(0), "s": state0, "ins": ins0,
                  "labs": labs if labs is not None
                  else jnp.zeros((1,), jnp.float32)}
@@ -881,6 +916,11 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                     out_shapes += [jax.ShapeDtypeStruct((R, 128),
                                                         jnp.float32)]
                     out_specs += [blk()]
+            if pol_mode:
+                # I at the interaction point + whole-path total
+                out_shapes += [jax.ShapeDtypeStruct((R, 128),
+                                                    jnp.float32)] * 2
+                out_specs += [blk(), blk()]
             return pl.pallas_call(
                 kern,
                 grid=(R // tile_rows,),
@@ -956,6 +996,94 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
             Ln = outs[8].reshape(W, -1)[:, :n]       # onward
             Lp = outs[9].reshape(W, -1)[:, :n]       # peel
 
+            pol_ctx = None
+            if pol_mode:
+                # ---- XLA-side Mueller scatter + polarized reweighting
+                # around the unchanged kernel.  The per-lambda mixture
+                # ratios are recomputed from the kernel's raw column
+                # densities; the HG-sampled direction (and its HG
+                # importance weights in Ln) are REPLACED by the driver
+                # wavelength's polarized phase sample and its
+                # defensive-mixture weights (ref: DustMix.cpp:584-620).
+                I_s = unpack(outs[-2])
+                I_tot = unpack(outs[-1])
+                xi_v = float(options.scatt_bias)
+                alb_col = jnp.asarray(np.asarray(albedo_w,
+                                                 np.float32))[:, None]
+                tau_wv = kext_col * I_tot[None]                 # (W, n)
+                ome_v = 1.0 - jnp.exp(-tau_wv)
+                Lin = jnp.where(s["alive"][None], s["L"], 0.0)
+                Lab_v = alb_col * Lin * ome_v
+                F_v = kext_col * jnp.exp(-kext_col * I_s[None]) \
+                    / jnp.maximum(ome_v, 1e-30)
+                if xi_v == 0.0:
+                    Q_v = F_v
+                else:
+                    Q_v = ((1.0 - xi_v) * F_v + np.float32(xi_v)
+                           * kext_col / jnp.maximum(tau_wv, 1e-30))
+                Qmix_v = jnp.sum(Q_v, axis=0) * np.float32(1.0 / W)
+
+                # the kernel's driver-lambda draw, reproduced exactly
+                u5 = u[5].reshape(-1)[:n]
+                c_drv = jnp.minimum((u5 * np.float32(W))
+                                    .astype(jnp.int32), W - 1)
+                ohc = (jnp.arange(W, dtype=jnp.int32)[:, None]
+                       == c_drv[None])
+                dir_old = s["dir"]
+                q0, u0, v0 = s["stq"], s["stu"], s["stv"]
+                nrm0_raw = s["stn"]
+                pdeg_w = jnp.sqrt(q0 ** 2 + u0 ** 2)            # (W, n)
+                pang_w = 0.5 * jnp.arctan2(u0, q0)
+                pdeg_c = jnp.sum(jnp.where(ohc, pdeg_w, 0.0), axis=0)
+                pang_c = jnp.sum(jnp.where(ohc, pang_w, 0.0), axis=0)
+                kpol = rng.event_key(k_cycle, st["it"], 13)
+                have_n = jnp.linalg.norm(nrm0_raw, axis=-1) > 1e-6
+                default_n = rng.isotropic_direction(
+                    jax.random.fold_in(kpol, 2), (n,))
+                default_n = default_n - dir_old * jnp.sum(
+                    default_n * dir_old, axis=-1, keepdims=True)
+                default_n = default_n / jnp.maximum(
+                    jnp.linalg.norm(default_n, axis=-1, keepdims=True),
+                    1e-30)
+                nrm0 = jnp.where(have_n[:, None], nrm0_raw, default_n)
+
+                theta_s = mt0.sample_theta(jax.random.fold_in(kpol, 0),
+                                           c_drv)
+                phi_s = mt0.sample_phi(jax.random.fold_in(kpol, 1),
+                                       c_drv, theta_s, pdeg_c, pang_c)
+                S11a, S12a, S33a, S34a = mt0.lookup_all(theta_s)
+                pf_col = jnp.asarray(mt0.pfnorm)[:, None]       # (W, 1)
+                wpol = pf_col * (S11a + pdeg_w * S12a
+                                 * jnp.cos(2.0 * (phi_s[None] - pang_w)))
+                QHpol = jnp.sum(Q_v * wpol, axis=0) * np.float32(1.0 / W)
+                Lp = Lab_v * F_v / jnp.maximum(Qmix_v[None], 1e-30)
+                Ln = Lab_v * F_v * wpol / jnp.maximum(QHpol[None], 1e-30)
+                # per-lambda termination with the polarized weights
+                # (the kernel's alive_new stays the lane-level decision)
+                past_min = s["ns"] >= int(options.min_scatt_events)
+                kill = (Ln <= l0_p.reshape(W, -1)[:, :n]
+                        * np.float32(1.0 / options.min_weight_reduction)) \
+                    & past_min[None]
+                Lp = jnp.where(kill | ~alive_new[None], 0.0, Lp)
+                Ln = jnp.where(kill | ~alive_new[None], 0.0, Ln)
+
+                # Mueller-rotated Stokes + overridden direction
+                qr_s, ur_s = pol.rotate_stokes(q0, u0, phi_s[None])
+                nrm_s = pol.rotate_normal(nrm0, dir_old, phi_s)
+                _, qn, un, vn = pol.apply_mueller(qr_s, ur_s, v0,
+                                                  S11a, S12a, S33a, S34a)
+                nd = (dir_old * jnp.cos(theta_s)[:, None]
+                      + jnp.cross(nrm_s, dir_old)
+                      * jnp.sin(theta_s)[:, None])
+                nd = nd / jnp.maximum(
+                    jnp.linalg.norm(nd, axis=-1, keepdims=True), 1e-30)
+                dir_new = jnp.where(alive_new[:, None], nd, dir_new)
+                pol_ctx = dict(q0=q0, u0=u0, v0=v0, nrm0=nrm0,
+                               dir_old=dir_old, pdeg_w=pdeg_w,
+                               pang_w=pang_w, pf_col=pf_col,
+                               scat=alive_new, qn=qn, un=un, vn=vn,
+                               nrm_s=nrm_s)
+
             # -- XLA-side relaunch (refill) -------------------------------
             bc = s["bc"]
             fresh = jnp.zeros(n, bool)
@@ -999,7 +1127,52 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                     cosj = (s["dir"][:, 0] * np.float32(kvec[0])
                             + s["dir"][:, 1] * np.float32(kvec[1])
                             + s["dir"][:, 2] * np.float32(kvec[2]))
-                    if multi:
+                    stk = None
+                    if pol_mode:
+                        # polarized peel: per-lambda Mueller phase
+                        # weights + Stokes rotated into THIS
+                        # instrument's frame (one theta-major row gather
+                        # serves every wavelength)
+                        pc = pol_ctx
+                        kobs = jnp.broadcast_to(jnp.asarray(
+                            np.asarray(kvec, np.float32)), (n, 3))
+                        theta_p = jnp.arccos(jnp.clip(cosj, -1.0, 1.0))
+                        phi_p = pol.angle_between_planes(
+                            pc["nrm0"], pc["dir_old"], kobs)
+                        S11p, S12p, S33p, S34p = mt0.lookup_all(theta_p)
+                        pw = pc["pf_col"] * (
+                            S11p + pc["pdeg_w"] * S12p
+                            * jnp.cos(2.0 * (phi_p[None]
+                                             - pc["pang_w"])))
+                        qr_p, ur_p = pol.rotate_stokes(pc["q0"],
+                                                       pc["u0"],
+                                                       phi_p[None])
+                        _, qh, uh, vh = pol.apply_mueller(
+                            qr_p, ur_p, pc["v0"],
+                            S11p, S12p, S33p, S34p)
+                        nrm_i = jnp.cross(pc["dir_old"], kobs)
+                        nn_i = jnp.linalg.norm(nrm_i, axis=-1,
+                                               keepdims=True)
+                        nrm_i = jnp.where(nn_i > 1e-20,
+                                          nrm_i / jnp.maximum(nn_i,
+                                                              1e-30),
+                                          pc["nrm0"])
+                        ky = (jnp.broadcast_to(
+                            jnp.asarray(ins_obj.ky, jnp.float32),
+                            (n, 3))
+                            if hasattr(ins_obj, "ky") else nrm_i)
+                        cosal = jnp.sum(nrm_i * ky, axis=-1)
+                        sinal = jnp.sum(jnp.cross(nrm_i, ky) * kobs,
+                                        axis=-1)
+                        alpha = jnp.arctan2(sinal, cosal)
+                        q3, u3 = pol.rotate_stokes(qh, uh, alpha[None])
+                        v3 = vh
+                        if refill:
+                            q3 = jnp.where(fresh[None], 0.0, q3)
+                            u3 = jnp.where(fresh[None], 0.0, u3)
+                            v3 = jnp.where(fresh[None], 0.0, v3)
+                        stk = (q3, u3, v3)
+                    elif multi:
                         # component-blended phase at the interaction
                         # cell, per wavelength (ref: peeloffscattering's
                         # per-component wv mix, DustMix.cpp:648-671)
@@ -1032,9 +1205,11 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
                     cw = jnp.where(fresh[None], fresh_w, Lp * pw)
                     cw = jnp.where(alive_new[None], cw, 0.0)
                     ext = cw * jnp.exp(-peel_tau_w(Ipeel[lead_of[i]]))
+                    tg2 = dict(tags2, transparent=cw)
+                    if stk is not None:
+                        tg2["stokes"] = stk
                     ins[i] = ins_obj.detect_poly(
-                        ins[i], pos_new, wls, ext,
-                        dict(tags2, transparent=cw))
+                        ins[i], pos_new, wls, ext, tg2)
             elif refill and emission_peeloff:
                 Ipeel = peel_fn(pos_new)
                 ins = detect_all(ins, pos_new,
@@ -1043,6 +1218,21 @@ def make_fused_table_poly_lifecycle(grid, dust_system, stellar_system,
 
             s_new = {"pos": pos_new, "dir": dir_new, "L": Ln,
                      "alive": alive_new, "ns": ns_new, "bc": bc}
+            if pol_mode:
+                pc = pol_ctx
+                scat = pc["scat"] & jnp.logical_not(fresh)
+                s_new["stq"] = jnp.where(scat[None], pc["qn"],
+                                         jnp.where(fresh[None], 0.0,
+                                                   pc["q0"]))
+                s_new["stu"] = jnp.where(scat[None], pc["un"],
+                                         jnp.where(fresh[None], 0.0,
+                                                   pc["u0"]))
+                s_new["stv"] = jnp.where(scat[None], pc["vn"],
+                                         jnp.where(fresh[None], 0.0,
+                                                   pc["v0"]))
+                s_new["stn"] = jnp.where(
+                    scat[:, None], pc["nrm_s"],
+                    jnp.where(fresh[:, None], 0.0, s["stn"]))
             out_st = {"it": st["it"] + 1, "s": s_new, "ins": ins,
                       "labs": labs_c}
             if count_events:

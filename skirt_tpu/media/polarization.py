@@ -138,6 +138,12 @@ class MuellerTables:
         self.S_packed = np.ascontiguousarray(
             np.stack([self.S11, self.S12, self.S33, self.S34],
                      axis=-1).reshape(-1, 4))
+        # theta-major packed rows for POLYCHROMATIC lanes: one (4W,)-wide
+        # contiguous row gather per lane serves every wavelength at once
+        nl = self.S11.shape[0]
+        self.S_theta_major = np.ascontiguousarray(
+            np.stack([self.S11.T, self.S12.T, self.S33.T, self.S34.T],
+                     axis=1).reshape(self.ntheta, 4 * nl))
 
     def theta_index(self, theta):
         """ref: DustMix.cpp indexForTheta."""
@@ -197,6 +203,19 @@ class MuellerTables:
         t = self.theta_index(theta)
         rows = jnp.asarray(self.S_packed)[ell * self.ntheta + t]  # (N, 4)
         return rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
+
+    def lookup_all(self, theta):
+        """S rows at one theta per lane for ALL wavelengths: 4 x (W, N).
+
+        One contiguous (4W,)-wide row gather per lane from the
+        theta-major packed table (the row-gather trick) — the
+        polychromatic lanes' per-event Mueller lookup.
+        """
+        t = self.theta_index(theta)
+        rows = jnp.asarray(self.S_theta_major)[t]         # (N, 4W)
+        nl = self.S11.shape[0]
+        r = rows.reshape(theta.shape[0], 4, nl)
+        return tuple(jnp.moveaxis(r[:, i, :], 0, 1) for i in range(4))
 
 
 def thomson_mueller(nlambda: int, ntheta: int = 181) -> MuellerTables:

@@ -281,3 +281,96 @@ class TestFusedTablePolarized:
         qx = fQ[4, 6] / max(fsca[4, 6], 1e-12)
         qy = fQ[6, 4] / max(fsca[6, 4], 1e-12)
         assert np.sign(qx) == -np.sign(qy)
+
+
+class TestPolyPolarized:
+    """POLYCHROMATIC polarized lanes (round 5): per-wavelength Stokes
+    state + shared geometric normal, driver-wavelength Mueller sampling
+    with defensive-mixture reweighting, one theta-major S-row gather per
+    event serving every wavelength.  Thomson sphere vs the (polarized)
+    vector path at matched per-wavelength totals."""
+
+    def _setup(self):
+        wg = OligoWavelengthGrid([1e-6, 1.2e-6])
+        ss = StellarSystem([LuminosityStellarComponent(PointGeometry(), wg,
+                                                       [1.0, 1.0])])
+        b = np.linspace(-1, 1, 9)
+        grid = CartesianGrid(b, b, b)
+        mix = ElectronDustMix(wg)
+        R = 0.9
+        tau = 0.2
+        kappa = float(mix.kappaext64[0])
+        mass = tau / (kappa * R) * (4 / 3 * np.pi * R ** 3)
+        comp = DustComponent(UniformSphereGeometry(R), mix,
+                             DustMassNormalization(mass))
+        dsys = DustSystem(grid, [comp], samples_per_cell=4,
+                          density_mode="gridded")
+        ins = FullInstrument("pol", 100.0, 2, 9, 9, fov_x=2.2, fov_y=2.2,
+                             inclination=np.pi / 2, polarization=True)
+        return grid, dsys, ss, ins, thomson_mueller(2)
+
+    def test_poly_matches_vector(self):
+        grid, dsys, ss, ins, mueller = self._setup()
+        n = 20000
+        opts_v = LifecycleOptions(quadrature_panels=16)
+        run_v = make_lifecycle(grid, dsys, ss, [ins], opts_v, 2,
+                               mueller=mueller)
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        tv = jax.jit(run_v)(rng.root_key(5), ell,
+                            jnp.full((n,), 2.0 / n, jnp.float32),
+                            {"instruments": [ins.zero_tallies()]})
+
+        tds = dsys.as_table()
+        opts_p = LifecycleOptions(quadrature_panels=16, fused=True,
+                                  polychromatic=True, table_peel="exact")
+        run_p = make_lifecycle(grid, tds, ss, [ins], opts_p, 2,
+                               mueller=mueller)
+        npl = n // 2
+        L0p = jnp.full((npl, 2), 1.0 / npl, jnp.float32)
+        tp = jax.jit(run_p)(rng.root_key(5), jnp.zeros(npl, jnp.int32),
+                            L0p, {"instruments": [ins.zero_tallies()]})
+
+        v = tv["instruments"][0]
+        p = tp["instruments"][0]
+        Fv = np.asarray(v["Ftot"], np.float64)
+        Fp = np.asarray(p["Ftot"], np.float64)
+        np.testing.assert_allclose(Fp, Fv, rtol=0.04)
+        np.testing.assert_allclose(Fp, [1.0, 1.0], rtol=0.05)
+        # per-wavelength scattered flux agrees
+        np.testing.assert_allclose(np.asarray(p["Fscastel"], np.float64),
+                                   np.asarray(v["Fscastel"], np.float64),
+                                   rtol=0.10)
+        # the Thomson tangential ring (per wavelength)
+        for w in range(2):
+            fQ = np.asarray(p["fQ"]).reshape(2, 9, 9)[w]
+            fs = np.asarray(p["fscastel"]).reshape(2, 9, 9)[w]
+            qx = fQ[4, 6] / max(fs[4, 6], 1e-12)
+            qy = fQ[6, 4] / max(fs[6, 4], 1e-12)
+            assert abs(qx) > 0.15 and abs(qy) > 0.15, (w, qx, qy)
+            assert np.sign(qx) == -np.sign(qy)
+        # integrated Q/U cancel by symmetry
+        FQ = np.asarray(p["FQ"], np.float64)
+        FU = np.asarray(p["FU"], np.float64)
+        Fsc = np.asarray(p["Fscastel"], np.float64)
+        assert (np.hypot(FQ, FU) / np.maximum(Fsc, 1e-12)).max() < 0.06
+
+    def test_poly_polarized_refill(self):
+        grid, dsys, ss, ins, mueller = self._setup()
+        tds = dsys.as_table()
+        opts_p = LifecycleOptions(quadrature_panels=16, fused=True,
+                                  polychromatic=True, table_peel="exact",
+                                  refill_batches=4)
+        run_p = make_lifecycle(grid, tds, ss, [ins], opts_p, 2,
+                               mueller=mueller)
+        npl = 20000 // 8
+        L0p = jnp.full((npl, 2), 1.0 / (npl * 4), jnp.float32)
+        tp = jax.jit(run_p)(rng.root_key(5), jnp.zeros(npl, jnp.int32),
+                            L0p, {"instruments": [ins.zero_tallies()]})
+        p = tp["instruments"][0]
+        np.testing.assert_allclose(np.asarray(p["Ftot"], np.float64),
+                                   [1.0, 1.0], rtol=0.06)
+        fQ = np.asarray(p["fQ"]).reshape(2, 9, 9)[0]
+        fs = np.asarray(p["fscastel"]).reshape(2, 9, 9)[0]
+        qx = fQ[4, 6] / max(fs[4, 6], 1e-12)
+        qy = fQ[6, 4] / max(fs[6, 4], 1e-12)
+        assert np.sign(qx) == -np.sign(qy)
