@@ -43,17 +43,22 @@ def main():
     fused = os.environ.get("POL_FUSED", "1") == "1"
     table = os.environ.get("POL_TABLE", "0") == "1"
     poly = os.environ.get("POL_POLY", "0") == "1" and table
+    nlam = int(os.environ.get("POL_NLAM", "2"))
     n = 1 << int(os.environ.get("POL_LOG2N", "17"))
     refill = int(os.environ.get("POL_REFILL", "64" if fused else "0"))
 
-    wg = OligoWavelengthGrid([0.55e-6, 2.2e-6])
+    lams = np.geomspace(0.55e-6, 2.2e-6, nlam)
+    fpl = np.log(lams / 0.55e-6) / np.log(2.2 / 0.55)
+    wg = OligoWavelengthGrid(list(lams))
     ss = StellarSystem([LuminosityStellarComponent(
-        ExpDiskGeometry(4 * KPC, 0.35 * KPC), wg, [1e36, 1e36])])
+        ExpDiskGeometry(4 * KPC, 0.35 * KPC), wg, [1e36] * nlam)])
     half = 12 * KPC
     b = np.linspace(-half, half, 33)
     bz = np.linspace(-2 * KPC, 2 * KPC, 17)
     grid = CartesianGrid(b, b, bz)
-    mix = SimpleOligoDustMix(wg, [2600.0, 600.0], [0.5, 0.4], [0.4, 0.2])
+    mix = SimpleOligoDustMix(wg, list(2600.0 * (600.0 / 2600.0) ** fpl),
+                             list(0.5 + (0.4 - 0.5) * fpl),
+                             list(0.4 + (0.2 - 0.4) * fpl))
     comp = DustComponent(ExpDiskGeometry(4 * KPC, 0.2 * KPC), mix,
                          OpticalDepthNormalization("z", wg.lambdav[0], 1.0))
     if table:
@@ -67,7 +72,7 @@ def main():
                           lambda p: np.asarray(torus.density(p)),
                           min_level=2, max_level=5)
         ss = StellarSystem([LuminosityStellarComponent(
-            PointGeometry(), wg, [1e36, 1e36])])
+            PointGeometry(), wg, [1e36] * nlam)])
         comp = DustComponent(torus, mix,
                              OpticalDepthNormalization("x",
                                                        wg.lambdav[0],
@@ -78,30 +83,31 @@ def main():
         grid = dsys.grid
     else:
         dsys = DustSystem(grid, [comp], density_mode="analytic")
-    mueller = thomson_mueller(2)
+    mueller = thomson_mueller(nlam)
     # azimuth off the lattice plane: an azimuth-0 observer of a
     # grid-center point source rides the y=0 knife edge (ROADMAP r4 B)
     az = float(os.environ.get("POL_AZ", "0.7" if table else "0.0"))
-    ins = [FullInstrument("pol", 3.08e23, 2, 16, 16, fov_x=26 * KPC,
+    ins = [FullInstrument("pol", 3.08e23, nlam, 16, 16, fov_x=26 * KPC,
                           fov_y=26 * KPC, inclination=1.2, azimuth=az,
                           polarization=True),
-           SEDInstrument("sed", 3.08e23, 2, inclination=1.2, azimuth=az)]
+           SEDInstrument("sed", 3.08e23, nlam, inclination=1.2,
+                         azimuth=az)]
 
     opts = LifecycleOptions(max_scatt_events=64, deposition="sampled",
                             quadrature_panels=(16 if table else 32),
                             peel_panels=int(os.environ.get("POL_PEELP", "8")),
                             table_peel="exact", polychromatic=poly,
                             fused=fused, refill_batches=refill)
-    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, 2,
+    run = jax.jit(make_lifecycle(grid, dsys, ss, ins, opts, nlam,
                                  mueller=mueller))
     K = max(refill, 1)
     if poly:
-        npackets = n * K * 2
+        npackets = n * K * nlam
         ell = jnp.zeros((n,), jnp.int32)
-        L0 = jnp.full((n, 2), 1e36 / (n * K), jnp.float32)
+        L0 = jnp.full((n, nlam), 1e36 / (n * K), jnp.float32)
     else:
         npackets = n * K
-        ell = jnp.asarray(np.arange(n, dtype=np.int32) % 2)
+        ell = jnp.asarray(np.arange(n, dtype=np.int32) % nlam)
         L0 = jnp.full((n,), 1e36 / npackets, jnp.float32)
 
     def tallies():
