@@ -68,9 +68,6 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
     if ds is None or not getattr(ds, "table", False):
         raise ValueError("slab-fused lifecycle requires a table dust "
                          "system (voxelized().as_table())")
-    if ds.ncomp != 1:
-        raise NotImplementedError("slab-fused lifecycle: single dust "
-                                  "component only")
     if not (hasattr(grid, "nx") and hasattr(grid, "_uniform")
             and all(grid._uniform)):
         raise ValueError("slab-fused lifecycle requires a uniform "
@@ -109,10 +106,23 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
     # the kernel is built against the GLOBAL grid: its arithmetic locate
     # yields GLOBAL deposit bins (cell*nlambda + ell), which the deposit
     # ring sweep routes to the owning slab shard
-    kern = _build_kernel(grid, options, nlambda, npanels, want_labs,
-                         arith_locate=True)
-    n_uniform = 5
-    n_state = 15
+    multi = ds.ncomp > 1
+    H = ds.ncomp
+    if multi:
+        # staged (kext*rho, ksca*rho) row pairs -> per-panel albedo
+        # blending in VMEM; component selection + blended peel move
+        # XLA-side with a psum to publish the interaction cell's
+        # per-component densities from the owning shard
+        from ..engine.fused_table import _build_kernel_multi
+        kern = _build_kernel_multi(grid, options, nlambda, npanels,
+                                   want_labs)
+        n_uniform = 3
+        n_state = 13
+    else:
+        kern = _build_kernel(grid, options, nlambda, npanels, want_labs,
+                             arith_locate=True)
+        n_uniform = 5
+        n_state = 15
 
     fwd = [(i, (i + 1) % D) for i in range(D)]
 
@@ -128,15 +138,20 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
         def hopf(arrs):
             return [jax.lax.ppermute(a, SLAB_AXIS, fwd) for a in arrs]
 
-        def fill_rows(pos, direction, kext_pk):
-            """One lap of the ring: every lane's (P,) kext*rho panel row
-            filled from each slab's local shard.  Returns (rows, t0,
-            delta) — t0/delta recomputed from the (ring-invariant)
-            descriptor so they equal the home values bit for bit."""
-            st = [pos, direction, kext_pk,
-                  jnp.zeros((n, npanels), jnp.float32)]
+        def fill_rows(pos, direction, kpk_mat, want_sca=False):
+            """One lap of the ring: every lane's (P,) blended kappa*rho
+            panel rows filled from each slab's local shard.  kpk_mat is
+            (n, H) per-component kext (columns H..2H-1 carry ksca when
+            want_sca — the multi-component kernel consumes both row
+            sets).  Returns (rows_kext[, rows_ksca], t0, delta) —
+            t0/delta recomputed from the (ring-invariant) descriptor so
+            they equal the home values bit for bit."""
+            rows_r = jnp.zeros((n, npanels), jnp.float32)
+            st = [pos, direction, kpk_mat, rows_r]                 + ([jnp.zeros((n, npanels), jnp.float32)]
+                   if want_sca else [])
             for _ in range(D):
-                p_c, d_c, k_c, rows = st
+                p_c, d_c, k_c, rows = st[0], st[1], st[2], st[3]
+                rows_s = st[4] if want_sca else None
                 t0g, t1g = grid.ray_span(p_c, d_c)
                 delta = jnp.maximum(t1g - t0g, 0.0) / npanels
                 kk = jnp.arange(npanels, dtype=jnp.float32)[None, :]
@@ -157,16 +172,27 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
                       & (iz >= 0) & (iz < nz) & (delta[:, None] > 0))
                 safe = jnp.clip((ixl * ny + iy) * nz + iz, 0,
                                 cells_per_slab - 1)
-                rows = rows + jnp.where(ok,
-                                        k_c[:, None] * rho_loc[0][safe],
-                                        0.0)
-                st = hopf([p_c, d_c, k_c, rows])
-            p_c, d_c, k_c, rows = st
+                acc_r = 0.0
+                acc_s = 0.0
+                for h in range(H):
+                    rho_h = rho_loc[h][safe]
+                    acc_r = acc_r + k_c[:, h:h + 1] * rho_h
+                    if want_sca:
+                        acc_s = acc_s + k_c[:, H + h:H + h + 1] * rho_h
+                rows = rows + jnp.where(ok, acc_r, 0.0)
+                nxt = [p_c, d_c, k_c, rows]
+                if want_sca:
+                    rows_s = rows_s + jnp.where(ok, acc_s, 0.0)
+                    nxt.append(rows_s)
+                st = hopf(nxt)
+            p_c, d_c = st[0], st[1]
             t0g, t1g = grid.ray_span(p_c, d_c)
             delta = jnp.maximum(t1g - t0g, 0.0) / npanels
-            return rows, t0g, delta
+            if want_sca:
+                return st[3], st[4], t0g, delta
+            return st[3], t0g, delta
 
-        def slab_peel_tau(pos, kobs_np, kext_pk):
+        def slab_peel_tau(pos, kobs_np, kpk_mat):
             """My slab's clipped P_peel-panel kext*rho quadrature toward
             a fixed leader direction (the per-slab share of the peel
             optical depth)."""
@@ -208,8 +234,10 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
                       & (iz >= 0) & (iz < nz) & hit)
                 safe = jnp.clip((ixl * ny + iy) * nz + iz, 0,
                                 cells_per_slab - 1)
-                tau = tau + jnp.where(ok, kext_pk * rho_loc[0][safe],
-                                      0.0) * delta
+                acc = 0.0
+                for h in range(H):
+                    acc = acc + kpk_mat[:, h] * rho_loc[h][safe]
+                tau = tau + jnp.where(ok, acc, 0.0) * delta
             return tau
 
         bin_lo = d * (cells_per_slab * nlambda)
@@ -247,42 +275,53 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
         def unpack(a):
             return a.reshape(-1)[:n]
 
-        def call_kernel(u, kr, state):
+        def call_kernel(u, kr, state, ks=None):
             tr = min(tile_rows, R)
 
             def blk():
                 return pl.BlockSpec((tr, 128), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
 
-            out_dtypes = ([jnp.float32] * 7 + [jnp.int32] * 2
-                          + ([jnp.int32, jnp.float32] if want_labs
-                             else []))
+            if multi:
+                # pos3, L, alive, cell (+ deposit bins/values)
+                out_dtypes = ([jnp.float32] * 4 + [jnp.int32] * 2
+                              + ([jnp.int32, jnp.float32] if want_labs
+                                 else []))
+            else:
+                out_dtypes = ([jnp.float32] * 7 + [jnp.int32] * 2
+                              + ([jnp.int32, jnp.float32] if want_labs
+                                 else []))
             u_spec = pl.BlockSpec((n_uniform, tr, 128),
                                   lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)
             kr_spec = pl.BlockSpec((npanels, tr, 128),
                                    lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)
+            ins_args = ([u, kr, ks] if multi else [u, kr]) + list(state)
             return pl.pallas_call(
                 kern,
                 grid=(R // tr,),
                 in_specs=[u_spec, kr_spec]
+                + ([kr_spec] if multi else [])
                 + [blk() for _ in range(n_state)],
                 out_specs=tuple(blk() for _ in range(len(out_dtypes))),
                 out_shape=tuple(jax.ShapeDtypeStruct((R, 128), dt)
                                 for dt in out_dtypes),
                 interpret=interpret,
-            )(u, kr, *state)
+            )(*ins_args)
 
         # ---- launch (per-device shard, device-folded RNG) ---------------
         k_launch, k_cycle = jax.random.split(rng.event_key(kdev, 1))
         pos, direction, L, _comp = stellar_system.launch(k_launch, ell,
                                                          L0)
         alive = L > 0
-        kext_pk = kext_t[0, ell]
-        albedo_pk = jnp.asarray(np.asarray(ds.kappasca,
-                                           np.float32))[0, ell] \
-            / jnp.maximum(kext_pk, 1e-37)
+        ksca_l, kext_l = ds.packet_kappas(ell)
+        kpk_ext = jnp.stack(list(kext_l), axis=1)          # (n, H)
+        kpk_mat = (jnp.concatenate(
+            [kpk_ext, jnp.stack(list(ksca_l), axis=1)], axis=1)
+            if multi else kpk_ext)                         # (n, 2H)|(n, H)
+        kext_pk = kext_l[0]
+        albedo_pk = ksca_l[0] / jnp.maximum(kext_pk, 1e-37)
         g_pk = jnp.asarray(np.asarray(mix.g, np.float32))[ell]
         l0_p = pack(L0, 0.0)
         ell_p = pack(ell)
@@ -294,7 +333,7 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
         dust_flags = jnp.full(n, False)
         no_dep = jnp.full(n, -1, jnp.int32)
         taus0, labs_loc = peel_deposit_sweep(
-            pos, kext_pk, no_dep, jnp.zeros(n, jnp.float32), labs_loc)
+            pos, kpk_ext, no_dep, jnp.zeros(n, jnp.float32), labs_loc)
         tags0 = {"nscatt": jnp.zeros(n, jnp.int32), "is_dust": dust_flags}
         for i, ins in enumerate(instruments):
             contribution = jnp.where(alive, L, 0.0)
@@ -318,30 +357,97 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
                          1e-7, 1.0 - 1e-7)
 
             # -- sweep F: assemble the full panel rows over the ring ------
-            rows, t0g, delta = fill_rows(s_pos, s_dir, kext_pk)
-            kr = jnp.moveaxis(
-                jnp.pad(rows, ((0, npad - n), (0, 0)))
-                if npad > n else rows, 1, 0).reshape(npanels, R, 128)
+            def tiles(rows):
+                return jnp.moveaxis(
+                    jnp.pad(rows, ((0, npad - n), (0, 0)))
+                    if npad > n else rows, 1, 0).reshape(npanels, R, 128)
 
-            kstate = (pack(s_pos[:, 0]), pack(s_pos[:, 1]),
-                      pack(s_pos[:, 2]),
-                      pack(s_dir[:, 0]), pack(s_dir[:, 1]),
-                      pack(s_dir[:, 2], 1.0),
-                      pack(s_L), pack(s_alive.astype(jnp.int32)),
-                      pack(s_ns), ell_p, l0_p, pack(t0g), pack(delta),
-                      pack(albedo_pk), pack(g_pk))
-            outs = call_kernel(u, kr, kstate)
+            wv_h = None
+            if multi:
+                kr_rows, ks_rows, t0g, delta = fill_rows(
+                    s_pos, s_dir, kpk_mat, want_sca=True)
+                kstate = (pack(s_pos[:, 0]), pack(s_pos[:, 1]),
+                          pack(s_pos[:, 2]),
+                          pack(s_dir[:, 0]), pack(s_dir[:, 1]),
+                          pack(s_dir[:, 2], 1.0),
+                          pack(s_L), pack(s_alive.astype(jnp.int32)),
+                          pack(s_ns), ell_p, l0_p, pack(t0g),
+                          pack(delta))
+                outs = call_kernel(u, tiles(kr_rows), kstate,
+                                   ks=tiles(ks_rows))
+                pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
+                                     unpack(outs[2])], axis=-1)
+                L_new = unpack(outs[3])
+                alive_new = unpack(outs[4]) != 0
+                cell_at = unpack(outs[5])
+                dep_bin = unpack(outs[6]) if want_labs else no_dep
+                dep_val = unpack(outs[7]) if want_labs \
+                    else jnp.zeros(n, jnp.float32)
 
-            pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
-                                 unpack(outs[2])], axis=-1)
-            dir_new = jnp.stack([unpack(outs[3]), unpack(outs[4]),
-                                 unpack(outs[5])], axis=-1)
-            L_new = unpack(outs[6])
-            alive_new = unpack(outs[7]) != 0
-            ns_new = unpack(outs[8])
-            dep_bin = unpack(outs[9]) if want_labs else no_dep
-            dep_val = unpack(outs[10]) if want_labs \
-                else jnp.zeros(n, jnp.float32)
+                # per-component densities at the interaction cell:
+                # lanes are SHARDED (a psum would sum misaligned
+                # lanes), so the (cell,) descriptor makes one ring lap
+                # and each visited shard fills the cells it owns
+                cell_lo = d * cells_per_slab
+
+                def rho_ring(cells):
+                    st2 = [cells, jnp.zeros((n, H), jnp.float32)]
+                    for _ in range(D):
+                        c_c, a_c = st2
+                        minec = (c_c >= cell_lo) \
+                            & (c_c < cell_lo + cells_per_slab)
+                        safec = jnp.clip(c_c - cell_lo, 0,
+                                         cells_per_slab - 1)
+                        vals = jnp.stack(
+                            [jnp.where(minec, rho_loc[h][safec], 0.0)
+                             for h in range(H)], axis=1)
+                        st2 = hopf([c_c, a_c + vals])
+                    return st2[1]                        # (n, H)
+
+                rho_at_mat = rho_ring(cell_at)
+                wv_h = [ksca_l[h] * rho_at_mat[:, h] for h in range(H)]
+                total_wv = sum(wv_h)
+
+                # XLA-side component selection + HG scatter (ref: the
+                # unfused multi-component branch; fused_table.py body)
+                from ..engine.lifecycle import hg_costheta
+                ksc = rng.event_key(k_cycle, st["it"], 11)
+                usel = jax.random.uniform(jax.random.fold_in(ksc, 0),
+                                          (n,)) \
+                    * jnp.maximum(total_wv, 1e-30)
+                g_tab = jnp.asarray(np.asarray(ds.g, np.float32))
+                g_sel = g_tab[0, ell]
+                acc = wv_h[0]
+                for h in range(1, H):
+                    g_sel = jnp.where(usel > acc, g_tab[h, ell], g_sel)
+                    acc = acc + wv_h[h]
+                ug = rng.uniform_open(jax.random.fold_in(ksc, 1), (n,))
+                costh = hg_costheta(g_sel, ug)
+                dir_new = rng.direction_about_axis(
+                    jax.random.fold_in(ksc, 2), s_dir, costh)
+                dir_new = jnp.where(alive_new[:, None], dir_new, s_dir)
+                ns_new = jnp.where(alive_new, s_ns + 1, s_ns)
+            else:
+                rows, t0g, delta = fill_rows(s_pos, s_dir, kpk_ext)
+                kstate = (pack(s_pos[:, 0]), pack(s_pos[:, 1]),
+                          pack(s_pos[:, 2]),
+                          pack(s_dir[:, 0]), pack(s_dir[:, 1]),
+                          pack(s_dir[:, 2], 1.0),
+                          pack(s_L), pack(s_alive.astype(jnp.int32)),
+                          pack(s_ns), ell_p, l0_p, pack(t0g),
+                          pack(delta), pack(albedo_pk), pack(g_pk))
+                outs = call_kernel(u, tiles(rows), kstate)
+
+                pos_new = jnp.stack([unpack(outs[0]), unpack(outs[1]),
+                                     unpack(outs[2])], axis=-1)
+                dir_new = jnp.stack([unpack(outs[3]), unpack(outs[4]),
+                                     unpack(outs[5])], axis=-1)
+                L_new = unpack(outs[6])
+                alive_new = unpack(outs[7]) != 0
+                ns_new = unpack(outs[8])
+                dep_bin = unpack(outs[9]) if want_labs else no_dep
+                dep_val = unpack(outs[10]) if want_labs \
+                    else jnp.zeros(n, jnp.float32)
 
             # -- XLA-side relaunch (refill) -------------------------------
             bc = st["bc"]
@@ -359,7 +465,7 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
                 alive_new = alive_new | eligible
 
             # -- sweep C: peel taus + deposit routing ---------------------
-            taus_s, labs_c = peel_deposit_sweep(pos_new, kext_pk, dep_bin,
+            taus_s, labs_c = peel_deposit_sweep(pos_new, kpk_ext, dep_bin,
                                                 dep_val, labs_c)
             tags2 = {"nscatt": ns_new, "is_dust": dust_flags}
             for i, ins in enumerate(instruments):
@@ -367,7 +473,19 @@ def make_slab_fused_lifecycle(mesh: Mesh, grid, dust_system,
                 cosj = (s_dir[:, 0] * np.float32(kvec[0])
                         + s_dir[:, 1] * np.float32(kvec[1])
                         + s_dir[:, 2] * np.float32(kvec[2]))
-                w = mix.phase_function(ell, cosj)
+                if multi:
+                    # blended phase weight by ksca_h*rho_h at the
+                    # interaction cell (ref: peeloffscattering's
+                    # per-component wv mix)
+                    total_w = sum(wv_h)
+                    w = 0.0
+                    for h in range(H):
+                        w = w + wv_h[h] * ds.components[h].mix \
+                            .phase_function(ell, cosj)
+                    w = jnp.where(total_w > 0,
+                                  w / jnp.maximum(total_w, 1e-30), 0.0)
+                else:
+                    w = mix.phase_function(ell, cosj)
                 if refill:
                     w = jnp.where(fresh, 1.0, w)
                 contribution = jnp.where(alive_new, L_new * w, 0.0)

@@ -153,15 +153,41 @@ class TestSlabFusedPoly:
             assert np.isfinite(np.asarray(leaf)).all()
 
 
-class TestSlabFusedGates:
-    def test_gates(self):
+class TestSlabFusedMulti:
+    """Round-5 addendum: multi-component dust on the slab-fused engine
+    ((kext*rho, ksca*rho) row pairs through the ring; component
+    selection + blended peel XLA-side with a psum publishing the
+    interaction cell's per-component densities)."""
+
+    def test_two_component_parity(self):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
         wg, ss, grid, dsys, instruments = build(ncomp=2)
         tds = dsys.as_table()
-        with pytest.raises(NotImplementedError, match="single dust"):
-            make_slab_fused_lifecycle(slab_mesh8(), grid, tds, ss,
-                                      instruments, _opts(), 1)
+        assert tds.ncomp == 2
+        npk = 1 << 12
+        key = srng.root_key(17)
+        ell = jnp.zeros((npk,), jnp.int32)
+        L0 = jnp.full((npk,), 1.0 / npk, jnp.float32)
+        run1 = make_lifecycle(grid, tds, ss, instruments, _opts(), 1)
+        t1 = jax.jit(run1)(key, ell, L0, {
+            "instruments": [i.zero_tallies() for i in instruments],
+            "labs": jnp.zeros((grid.ncells,), jnp.float32)})
+        runf = make_slab_fused_lifecycle(slab_mesh8(), grid, tds, ss,
+                                         instruments, _opts(), 1)
+        tf = runf(key, ell, L0)
+        f1 = np.asarray(t1["instruments"][0]["Ftot"], np.float64)
+        ff = np.asarray(tf["instruments"][0]["Ftot"], np.float64)
+        np.testing.assert_allclose(ff, f1, rtol=0.07)
+        l1 = float(np.asarray(t1["labs"]).sum())
+        lf = float(np.asarray(tf["labs"]).sum())
+        assert lf == pytest.approx(l1, rel=0.07)
+
+
+class TestSlabFusedGates:
+    def test_gates(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
         wg, ss, grid, dsys, instruments = build()
         with pytest.raises(ValueError, match="table dust"):
             make_slab_fused_lifecycle(slab_mesh8(), grid, dsys, ss,
